@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef._
+
+/** Log-analytics operators from SURVEY.md §2 re-hosted on the driver's
+  * generic `events` table (event_id, ts, user_id, event_type, value,
+  * props-json). Covers: stats report (A1-A4), baselines (A5-A6), windowed
+  * rollups (A7), bucket heatmaps + hotspot selection (A8-A10), z-score
+  * bucket anomalies (A11, tools/investigation_tools/detectors.py:234-285),
+  * per-event z-score gate (tools/anomaly_detector.py:38-198), sequential
+  * drop detection (W1, global_scanner.py:273-323), gap sessionization
+  * (W5, global_scanner.py:177-219), burst/recovery-loop detection (W6,
+  * detectors.py:176-203), first-crossing timeline marks (W11,
+  * timeline_builder.py:55-68), and JSON payload extraction (F9).
+  *
+  * Scale notes: every sequential operator partitions by a high-cardinality
+  * key (user_id) — no global single-partition sorts. Global 1-row stats are
+  * cross-joined (broadcast) onto bucket aggregates, never the reverse.
+  * Stddev is computed from exact integer/decimal power sums rather than
+  * streaming stddev_samp so results are bit-identical across engines AND
+  * order-independent across partitions/retries at any scale.
+  */
+object EventAnalytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  /** Epoch-floored N-second bucket as BIGINT (same in DuckDB via
+    * CAST(FLOOR(date_part('epoch', ts)/N)*N AS BIGINT)). */
+  private def bucket(c: Column, n: Int): Column =
+    (floor(unix_timestamp(c) / n) * n).cast("long")
+
+  /** Sample stddev from exact power sums: sqrt((sumsq - sum²/n)/(n-1)).
+    * `sum`/`sumsq` must be doubles derived from exact decimal/integer
+    * accumulation so both engines see identical inputs. */
+  private def stddevFromSums(sum: Column, sumsq: Column, n: Column): Column =
+    when(n > 1, sqrt((sumsq - sum * sum / n) / (n - lit(1)))).otherwise(lit(null))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- A1/A2: stats report — counts + exact means per type -------------
+    sql("ev_stats_by_type",
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY n_events DESC, event_type""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec(col("value"))).cast("double").as("total_value"),
+          (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+        .orderBy(col("n_events").desc, col("event_type"))
+    },
+
+    // ---- A3/A4: time span ------------------------------------------------
+    sql("ev_time_span",
+      """SELECT COUNT(*) AS n_events,
+        |  CAST(date_part('epoch', date_trunc('second', MIN(ts))) AS BIGINT) AS first_sec,
+        |  CAST(date_part('epoch', date_trunc('second', MAX(ts))) AS BIGINT) AS last_sec,
+        |  CAST(date_part('epoch', date_trunc('second', MAX(ts))) AS BIGINT)
+        |    - CAST(date_part('epoch', date_trunc('second', MIN(ts))) AS BIGINT) AS span_sec
+        |FROM events""") { (s, dir) =>
+      ev(s, dir).agg(
+        count(lit(1)).as("n_events"),
+        epochSec(min(col("ts"))).as("first_sec"),
+        epochSec(max(col("ts"))).as("last_sec"),
+        (epochSec(max(col("ts"))) - epochSec(min(col("ts")))).as("span_sec"))
+    },
+
+    // ---- A5: per-type baselines with order-independent stddev ------------
+    sql("ev_type_baselines",
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+        |  CASE WHEN COUNT(*) > 1 THEN SQRT(
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |     - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)) END AS stddev_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      val sumv = sum(dec(col("value"))).cast("double")
+      val sumsq = sum(dec(col("value")) * dec(col("value"))).cast("double")
+      val n = count(lit(1))
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(
+          n.as("n"),
+          (sumv / n).as("mean_value"),
+          stddevFromSums(sumv, sumsq, n).as("stddev_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- A7: 60-second tumbling rollups ----------------------------------
+    sql("ev_rollup_60s",
+      """SELECT CAST(FLOOR(date_part('epoch', ts)/60)*60 AS BIGINT) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  MAX(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy(bucket(col("ts"), 60).as("window_start"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"),
+          max(col("value")).as("max_value"))
+        .filter(col("n") >= 2)
+        .orderBy("window_start", "event_type")
+    },
+
+    // ---- A8/A9: 600s heatmap, high-activity buckets only -----------------
+    sql("ev_bucket_heatmap",
+      """SELECT CAST(FLOOR(date_part('epoch', ts)/600)*600 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_events, MAX(value) AS max_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |HAVING MAX(value) >= 100
+        |ORDER BY bucket""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy(bucket(col("ts"), 600).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("max_value") >= 100)
+        .orderBy("bucket")
+    },
+
+    // ---- A11/J4: z-score over bucket counts (detectors.py:234-285) -------
+    // Two-level agg; the 1-row global stats are broadcast-cross-joined onto
+    // the bucket counts. Counts are integers → power sums exact in double.
+    sql("ev_zscore_hotspots",
+      """WITH bucketed AS (
+        |  SELECT CAST(FLOOR(date_part('epoch', ts)/300)*300 AS BIGINT) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(SUM(cnt) AS DOUBLE)/COUNT(*) AS mean_cnt,
+        |    CASE WHEN COUNT(*) > 1 THEN SQRT(
+        |      (CAST(SUM(cnt*cnt) AS DOUBLE)
+        |       - CAST(SUM(cnt) AS DOUBLE)*CAST(SUM(cnt) AS DOUBLE)/COUNT(*))
+        |      / (COUNT(*) - 1)) END AS std_cnt
+        |  FROM bucketed
+        |)
+        |SELECT b.bucket, b.cnt,
+        |  (b.cnt - s.mean_cnt) / NULLIF(s.std_cnt, 0) AS zscore
+        |FROM bucketed b, stats s
+        |WHERE (b.cnt - s.mean_cnt) / NULLIF(s.std_cnt, 0) >= 1.0
+        |ORDER BY zscore DESC, bucket
+        |LIMIT 20""") { (s, dir) =>
+      val bucketed = ev(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(bucket(col("ts"), 300).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = bucketed.agg(
+        (sum(col("cnt")).cast("double") / count(lit(1))).as("mean_cnt"),
+        stddevFromSums(
+          sum(col("cnt")).cast("double"),
+          sum(col("cnt") * col("cnt")).cast("double"),
+          count(lit(1))).as("std_cnt"))
+      bucketed.crossJoin(broadcast(stats))
+        .withColumn("zscore",
+          (col("cnt") - col("mean_cnt")) / nullif(col("std_cnt"), lit(0)))
+        .filter(col("zscore") >= 1.0)
+        .select("bucket", "cnt", "zscore")
+        .orderBy(col("zscore").desc, col("bucket"))
+        .limit(20)
+    },
+
+    // ---- per-event z-score gate (anomaly_detector.py:38-198) -------------
+    // Baselines are a tiny per-type table → broadcast join onto the stream.
+    sql("ev_anomaly_gate",
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean_v,
+        |    CASE WHEN COUNT(*) > 1 THEN SQRT(
+        |      (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))
+        |      / (COUNT(*) - 1)) END AS std_v
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ABS(e.value - b.mean_v) / NULLIF(b.std_v, 0) AS zscore
+        |FROM events e JOIN base b USING (event_type)
+        |WHERE ABS(e.value - b.mean_v) / NULLIF(b.std_v, 0) > 1.5
+        |ORDER BY e.event_id""") { (s, dir) =>
+      val sumv = sum(dec(col("value"))).cast("double")
+      val sumsq = sum(dec(col("value")) * dec(col("value"))).cast("double")
+      val n = count(lit(1))
+      val base = ev(s, dir).groupBy("event_type")
+        .agg((sumv / n).as("mean_v"), stddevFromSums(sumv, sumsq, n).as("std_v"))
+      ev(s, dir).join(broadcast(base), "event_type")
+        .withColumn("zscore",
+          abs(col("value") - col("mean_v")) / nullif(col("std_v"), lit(0)))
+        .filter(col("zscore") > 1.5)
+        .select("event_id", "event_type", "value", "zscore")
+        .orderBy("event_id")
+    },
+
+    // ---- W1: sequential drop detection, partitioned by user --------------
+    // "value < half of the previous value for the same user" — the lag
+    // carries the immediately preceding row per user in event order.
+    sql("ev_value_drops",
+      """SELECT user_id, event_id, value, prev_value FROM (
+        |  SELECT user_id, event_id, value,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |  FROM events)
+        |WHERE prev_value IS NOT NULL AND value < prev_value * 0.1
+        |ORDER BY user_id, event_id""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .filter(col("prev_value").isNotNull &&
+          col("value") < col("prev_value") * 0.1)
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- W5: gap sessionization (gaps-and-islands), 1800s gap ------------
+    sql("ev_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, event_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    CASE WHEN CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+        |           - LAG(CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, event_id, sec,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+        |  MAX(sec) - MIN(sec) AS duration_sec
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("sec"))
+        .withColumn("is_new",
+          when(col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("sec")).as("start_sec"),
+          max(col("sec")).as("end_sec"),
+          (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- W6: burst detection — 3 errors within 60s (recovery loop) -------
+    sql("ev_error_bursts",
+      """SELECT COUNT(*) AS n_bursts FROM (
+        |  SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    LAG(CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT), 2)
+        |      OVER (ORDER BY event_id) AS sec2
+        |  FROM events WHERE event_type = 'error')
+        |WHERE sec2 IS NOT NULL AND sec - sec2 <= 60""") { (s, dir) =>
+      // Single ordered pass over the (small, pre-filtered) error stream;
+      // at cluster scale this would partition by a tenant/shard key.
+      val w = Window.orderBy("event_id")
+      ev(s, dir)
+        .filter(col("event_type") === "error")
+        .select(epochSec(col("ts")).as("sec"),
+          lag(epochSec(col("ts")), 2).over(w).as("sec2"))
+        .filter(col("sec2").isNotNull && col("sec") - col("sec2") <= 60)
+        .agg(count(lit(1)).as("n_bursts"))
+    },
+
+    // ---- W11: first-crossing marks per user ------------------------------
+    sql("ev_first_crossing",
+      """SELECT user_id, MIN(event_id) AS first_event,
+        |  CAST(date_part('epoch', date_trunc('second', MIN(ts))) AS BIGINT) AS first_sec
+        |FROM events WHERE value > 190
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      ev(s, dir)
+        .filter(col("value") > 190)
+        .groupBy("user_id")
+        .agg(min(col("event_id")).as("first_event"),
+          epochSec(min(col("ts"))).as("first_sec"))
+        .orderBy("user_id")
+    },
+
+    // ---- F9: JSON payload extraction + aggregation -----------------------
+    sql("ev_props_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10)
+          .as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("k_bucket")
+    },
+
+    // ---- F1-F4 composite: conjunctive filter + LIKE + top-k --------------
+    sql("ev_filter_search",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_type LIKE '%o%' AND value >= 150
+        |  AND CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) % 2 = 0
+        |ORDER BY value DESC, event_id
+        |LIMIT 50""") { (s, dir) =>
+      ev(s, dir)
+        .filter(col("event_type").like("%o%") && col("value") >= 150 &&
+          epochSec(col("ts")) % 2 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(50)
+    }
+  )
+}
