@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef._
+
+/** Training-data pipeline operators over the `documents` table: text
+  * statistics, quality scoring, exact + fingerprint dedup, shingle-based
+  * near-dup detection (exact Jaccard and MinHash-LSH banding).
+  *
+  * Scale notes: everything is a groupBy/join on content-derived keys —
+  * no driver-side loops. Exact-Jaccard self-joins on shingles are the
+  * verification path; the 100 TB path is MinHash-LSH (doc_minhash_lsh):
+  * signatures shrink each doc to 16 hashes, band-bucket joins touch only
+  * colliding candidates. MinHash uses md5 (identical in DuckDB) so the
+  * whole pipeline is oracle-checkable, and is order/partitioning
+  * independent (min over a set).
+  */
+object DocAnalytics {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Word 3-gram shingles, distinct, as in the dedup literature; short
+    * docs (<3 words) yield one shingle of the whole text. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_shingles", greatest(size(col("w")) - 2, lit(1)))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
+        ))).as("shingle"))
+
+  /** DuckDB twin of `shingled` as a CTE body. */
+  private val shingleSql =
+    """SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(w)-1, 2)),
+      |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- token/char statistics per source --------------------------------
+    sql("doc_token_stats",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""") { (s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", size(expr("regexp_extract_all(text, '\\\\S+', 0)")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
+    },
+
+    // ---- per-doc quality scoring (stopword ratio, token stats) -----------
+    sql("doc_quality",
+      """SELECT doc_id, n_tokens, stop_tokens,
+        |  CAST(stop_tokens AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CASE WHEN n_tokens >= 30 AND CAST(stop_tokens AS DOUBLE) / n_tokens < 0.2
+        |       THEN 1 ELSE 0 END AS is_quality
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a'))) AS stop_tokens
+        |  FROM documents)
+        |WHERE doc_id < 100
+        |ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir)
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_tokens",
+          size(expr("filter(toks, x -> x IN ('the', 'a'))")))
+        .select(
+          col("doc_id"), col("n_tokens"), col("stop_tokens"),
+          (col("stop_tokens").cast("double") / col("n_tokens")).as("stop_ratio"),
+          (col("n_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+          when(col("n_tokens") >= 30 &&
+            col("stop_tokens").cast("double") / col("n_tokens") < 0.2, 1)
+            .otherwise(0).as("is_quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language/source distribution ------------------------------------
+    sql("doc_lang_stats",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- exact dedup: content-hash groups, keep-min representative -------
+    sql("doc_exact_dedup",
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY content_hash""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy("content_hash")
+    },
+
+    // ---- normalized fingerprint dedup (whitespace/case-insensitive) ------
+    sql("doc_fingerprint_dedup",
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id, MAX(doc_id) AS last_id
+        |FROM documents
+        |GROUP BY 1
+        |HAVING COUNT(*) > 1 OR MIN(doc_id) % 50 = 0
+        |ORDER BY fingerprint""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
+          max(col("doc_id")).as("last_id"))
+        .filter(col("n_docs") > 1 || col("keep_id") % 50 === 0)
+        .orderBy("fingerprint")
+    },
+
+    // ---- exact n-gram Jaccard near-dup pairs (verification path) ---------
+    // |A∩B| via shingle self-join, sizes via per-doc distinct counts.
+    sql("doc_neardup_jaccard",
+      s"""WITH shingles AS (
+        |$shingleSql
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM shingles a JOIN shingles b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+        |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sh = shingled(s, dir).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val common = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- MinHash signatures + LSH banding (the 100 TB dedup path) --------
+    // 16 md5-based min-hashes per doc, 4 bands × 4 rows; candidate pairs
+    // are docs colliding in ≥1 band. md5 makes it engine-portable AND
+    // deterministic under any partitioning.
+    sql("doc_minhash_lsh", {
+      val mins = (0 until 16)
+        .map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(",\n    ")
+      val bands = (0 until 4)
+        .map(k => s"md5(m${4 * k} || m${4 * k + 1} || m${4 * k + 2} || m${4 * k + 3}) AS b$k")
+        .mkString(", ")
+      val unions = (0 until 4)
+        .map(k => s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
+        .mkString("\n  UNION\n  ")
+      s"""WITH shingles AS (
+        |$shingleSql
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $mins
+        |  FROM shingles GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, $bands FROM sig
+        |)
+        |SELECT doc_a, doc_b FROM (
+        |  $unions
+        |)
+        |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      val sh = shingled(s, dir)
+      val minCols = (0 until 16).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
+      val sig = sh.groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+      val banded = sig.select(
+        col("doc_id") +: (0 until 4).map(k =>
+          md5(concat(col(s"m${4 * k}"), col(s"m${4 * k + 1}"),
+            col(s"m${4 * k + 2}"), col(s"m${4 * k + 3}"))).as(s"b$k")): _*)
+        .cache()
+      val pairs = (0 until 4).map { k =>
+        val a = banded.select(col("doc_id").as("doc_a"), col(s"b$k").as("bh"))
+        val b = banded.select(col("doc_id").as("doc_b"), col(s"b$k").as("bh"))
+        a.join(b, "bh").filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+      }.reduce(_ union _).distinct()
+      pairs.orderBy("doc_a", "doc_b")
+    }
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Brute-force cosine top-k is the verification baseline: broadcast the
+  * (small) query set against the corpus — O(|Q|·N) with no shuffle of the
+  * big side, and per-vector norms are precomputed once so each pair costs
+  * a single dot product. All vector math is double-precision left-to-right
+  * folds so DuckDB (list_dot_product) produces bit-identical results.
+  * The 100 TB path replaces the pairwise scan with LSH sign-bucketing —
+  * see graft.ops.VectorSearch.
+  */
+object EmbeddingOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  /** vec_id, e (double vector), norm — computed once per vector. */
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(dot("e", "e")))
+
+  private val vectorsSql =
+    """SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-10 for a fixed query set -----------------
+    sql("emb_knn_cosine",
+      s"""WITH v AS (
+        |$vectorsSql
+        |), q AS (SELECT * FROM v WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, v.e) / (q.nrm * v.nrm) AS cosine
+        |  FROM q JOIN v ON q.vec_id <> v.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""") { (s, dir) =>
+      val v = vectors(s, dir)
+      val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm")).filter(col("query_id") < 5)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cosine", dot("qe", "e") / (col("qnrm") * col("nrm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          row_number().over(w).as("rank"), round(col("cosine"), 6).as("cosine"))
+        .filter(col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- per-label centroids (first 8 dims), elementwise mean ------------
+    sql("emb_label_centroids",
+      """SELECT label, pos, COUNT(*) AS n,
+        |  ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 4) AS centroid
+        |FROM (
+        |  SELECT label, unnest(embedding) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings)
+        |WHERE pos <= 8
+        |GROUP BY label, pos
+        |ORDER BY label, pos""") { (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .withColumn("pos", col("pos0") + 1)
+        .filter(col("pos") <= 8)
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("x").cast("double")) / count(lit(1)), 4).as("centroid"))
+        .orderBy("label", "pos")
+    },
+
+    // ---- embedding-cosine near-duplicate pairs ---------------------------
+    sql("emb_neardup_pairs",
+      s"""WITH v AS (
+        |$vectorsSql
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY vec_a, vec_b""") { (s, dir) =>
+      val v = vectors(s, dir)
+      val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("nrm").as("nb"))
+      a.crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos_raw", dot("ea", "eb") / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.45)
+        .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+}
