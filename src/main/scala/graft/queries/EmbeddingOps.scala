@@ -22,15 +22,19 @@ object EmbeddingOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** Codegen'd native dot product (graft.functions.DotProduct) — same
+    * left-to-right double accumulation as DuckDB's list_dot_product. */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    graft.functions.GraftFunctions.dotProduct(col(a), col(b))
 
   /** vec_id, e (double vector), norm — computed once per vector. */
-  private def vectors(s: SparkSession, dir: String): DataFrame =
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     emb(s, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", sqrt(dot("e", "e")))
+  }
 
   private val vectorsSql =
     """SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM (
