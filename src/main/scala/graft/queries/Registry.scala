@@ -4,7 +4,8 @@ package graft.queries
   * operator inventory onto the driver testdata tables. */
 object Registry {
   lazy val all: Seq[QueryDef] =
-    Relational.all ++ EventAnalytics.all ++ DocAnalytics.all ++ EmbeddingOps.all
+    Relational.all ++ EventAnalytics.all ++ DocAnalytics.all ++
+      EmbeddingOps.all ++ TraceQueries.all
 
   lazy val byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap

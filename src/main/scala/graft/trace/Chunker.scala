@@ -1,0 +1,116 @@
+package graft.trace
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RAG chunking (tools/chunker.py): split the ordered event stream into
+  * chunks that each END at a MasterRecoveryState marker (inclusive), with
+  * trailing events as a final chunk; then character-split chunk text with
+  * overlap. Marker chunking is a running count of markers over the ordered
+  * stream — the marker row closes its own chunk.
+  */
+object Chunker {
+
+  /** One row per chunk: ids, bounds, and the newline-joined content
+    * (chunker.py:18-44). contentCol controls what each event renders as. */
+  def chunkByMarker(events: DataFrame,
+      markerEvent: String = "MasterRecoveryState",
+      contentCol: Column = null): DataFrame = {
+    val w = Window.orderBy("event_id")
+    val content =
+      if (contentCol != null) contentCol
+      else to_json(struct(col("event_id"), col("ts"), col("severity"),
+        col("event"), col("fields")))
+    val marked = events
+      .withColumn("line", content)
+      .withColumn("is_marker",
+        when(col("event") === markerEvent, 1).otherwise(0))
+      // markers strictly BEFORE this row = the chunk this row belongs to
+      // (so each marker row closes chunk N and the next row opens N+1)
+      .withColumn("chunk_id",
+        coalesce(sum(col("is_marker"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val maxMarker = marked.agg(max(
+      when(col("is_marker") === 1, col("chunk_id"))).as("last_closed"))
+    marked
+      .groupBy("chunk_id")
+      .agg(
+        min(col("event_id")).as("start_event_id"),
+        max(col("event_id")).as("end_event_id"),
+        count(lit(1)).as("n_events"),
+        max(col("is_marker")).as("has_marker"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("event_id"), col("line")))),
+          s => s.getField("line"))).as("chunk_content"))
+      .crossJoin(broadcast(maxMarker))
+      .withColumn("chunk_type",
+        when(col("has_marker") === 1, "pre-recovery").otherwise("final_chunk"))
+      .drop("has_marker", "last_closed")
+      .orderBy("chunk_id")
+  }
+
+  /** Recursive character splitting, 500 chars / 100 overlap, separator
+    * preference ["\n\n", "\n", " ", ""] (chunker.py:8-16 — langchain's
+    * RecursiveCharacterTextSplitter algorithm re-implemented; same
+    * greedy merge-with-overlap behavior). Pure function → usable in a UDF. */
+  def splitText(text: String, chunkSize: Int = 500,
+      overlap: Int = 100): Seq[String] = {
+    val seps = Seq("\n\n", "\n", " ", "")
+
+    def split(text: String, sepIdx: Int): Seq[String] = {
+      if (text.length <= chunkSize) return Seq(text).filter(_.nonEmpty)
+      val sep = seps(sepIdx)
+      val parts: Seq[String] =
+        if (sep.isEmpty) text.grouped(chunkSize).toSeq
+        else text.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+      // recurse into any part still too large (with the next separator)
+      val pieces = parts.flatMap { p =>
+        if (p.length > chunkSize && sepIdx < seps.length - 1)
+          split(p, sepIdx + 1)
+        else Seq(p)
+      }.filter(_.nonEmpty)
+      merge(pieces, sep)
+    }
+
+    def merge(pieces: Seq[String], sep: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var curLen = 0
+      def sepLen = if (cur.isEmpty) 0 else sep.length
+      for (p <- pieces) {
+        if (curLen + sepLen + p.length > chunkSize && cur.nonEmpty) {
+          out += cur.mkString(sep)
+          // keep a tail of pieces as overlap
+          while (curLen > overlap ||
+            (curLen + sep.length + p.length > chunkSize && curLen > 0)) {
+            curLen -= cur.head.length + (if (cur.size > 1) sep.length else 0)
+            cur.remove(0)
+          }
+        }
+        cur += p
+        curLen = cur.map(_.length).sum + sep.length * (cur.size - 1)
+      }
+      if (cur.nonEmpty) out += cur.mkString(sep)
+      out.toSeq
+    }
+
+    split(text, 0)
+  }
+
+  private val splitUdf =
+    udf((s: String, size: Int, overlap: Int) =>
+      if (s == null) Seq.empty[String] else splitText(s, size, overlap))
+
+  /** Explode chunk rows into ≤chunkSize character sub-chunks with overlap
+    * and a global chunk index (chunker.py:46-56). */
+  def splitChunks(chunks: DataFrame, chunkSize: Int = 500,
+      overlap: Int = 100): DataFrame =
+    chunks
+      .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
+        col("chunk_type"),
+        posexplode(splitUdf(col("chunk_content"), lit(chunkSize),
+          lit(overlap))).as(Seq("piece_index", "content")))
+      .withColumn("chunk_uid",
+        concat(col("chunk_id"), lit("-"), col("piece_index")))
+}

@@ -1,0 +1,171 @@
+package graft.trace
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's detector battery (tools/investigation_tools/detectors.py)
+  * as pure DataFrame transforms. Each detector returns its anomaly rows;
+  * `summary` collapses them to the detected/count/first/last shape the
+  * report consumes. Baseline lookups broadcast the (tiny) baselines table
+  * with the (metric, role) → (metric, 'ALL') fallback as join + coalesce
+  * (detectors.py:20-57).
+  */
+object Detectors {
+
+  private def f(k: String): Column = element_at(col("fields"), k)
+
+  /** detected/count/first_ts/last_ts summary of an anomaly stream. */
+  def summary(anomalies: DataFrame): DataFrame =
+    anomalies.agg(
+      (count(lit(1)) > 0).as("detected"),
+      count(lit(1)).as("count"),
+      min(col("ts")).as("first_ts"),
+      max(col("ts")).as("last_ts"))
+
+  /** Attach a baseline (mean/stddev) per role with 'ALL' fallback —
+    * left-join on role then left-join the single 'ALL' row on a constant
+    * key, coalescing (detectors.py:20-57 as joins, not a cache). */
+  def withBaseline(rows: DataFrame, baselines: DataFrame,
+      metricName: String): DataFrame = {
+    val b = baselines.filter(col("metric_name") === metricName)
+    val byRole = b.select(col("role").as("b_role"),
+      col("mean").as("role_mean"), col("stddev").as("role_std"))
+    val all = b.filter(col("role") === "ALL")
+      .select(lit(1).as("all_key"), col("mean").as("all_mean"),
+        col("stddev").as("all_std")).limit(1)
+    rows
+      .join(broadcast(byRole),
+        coalesce(col("role"), lit("ALL")) === col("b_role"), "left")
+      .withColumn("all_key", lit(1))
+      .join(broadcast(all), Seq("all_key"), "left")
+      .withColumn("b_mean", coalesce(col("role_mean"), col("all_mean")))
+      .withColumn("b_std", coalesce(col("role_std"), col("all_std")))
+      .drop("b_role", "role_mean", "role_std", "all_key",
+        "all_mean", "all_std")
+  }
+
+  /** storage_engine_pressure (detectors.py:60-122): VersionLag on
+    * StorageMetrics events; flag z ≥ 3 vs baseline OR raw > 50000. */
+  def storagePressureAnomalies(events: DataFrame, baselines: DataFrame,
+      lagThreshold: Double = 50000, zThreshold: Double = 3.0): DataFrame = {
+    val lags = events
+      .filter(col("event") === "StorageMetrics")
+      .withColumn("lag", graft.functions.PyNum.py_float(
+        coalesce(f("VersionLag"), f("versionLag"))))
+      .filter(col("lag").isNotNull)
+      .select(col("ts"), col("event_id"),
+        coalesce(col("role"), lit("ALL")).as("role"), col("lag"))
+    withBaseline(lags, baselines, "VersionLag")
+      .withColumn("zscore",
+        when(col("b_std").isNotNull && col("b_std") > 0,
+          abs((col("lag") - col("b_mean")) / col("b_std"))))
+      .filter((col("zscore").isNotNull && col("zscore") >= zThreshold) ||
+        col("lag") > lagThreshold)
+      .select("ts", "event_id", "role", "lag", "zscore")
+  }
+
+  /** ratekeeper_throttling (detectors.py:126-149). */
+  def ratekeeperThrottling(events: DataFrame): DataFrame =
+    events
+      .filter(col("event").like("%Ratekeeper%") ||
+        col("event").like("%Throttle%"))
+      .filter(lower(col("event")).contains("throttle") ||
+        exists(map_keys(col("fields")),
+          k => lower(k).contains("throttle")))
+      .select("ts", "event_id", "event", "severity")
+
+  /** missing_tlogs (detectors.py:152-173). */
+  def missingTlogs(events: DataFrame): DataFrame =
+    events
+      .filter(col("event").like("%TLog%") &&
+        (col("event").like("%Missing%") || col("event").like("%Failed%") ||
+          col("event").like("%Error%")))
+      .select("ts", "event_id", "event", "severity")
+
+  /** recovery_loop (detectors.py:176-203): count positions where the
+    * (i+threshold-1)-th MasterRecoveryState is within windowSeconds of the
+    * i-th, over the time-ordered recovery stream. */
+  def recoveryLoops(events: DataFrame, threshold: Int = 3,
+      windowSeconds: Int = 60): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    events
+      .filter(col("event").like("%MasterRecoveryState%") &&
+        col("ts").isNotNull)
+      .select(col("ts"), col("event_id"))
+      .withColumn("nth_later", lead(col("ts"), threshold - 1).over(w))
+      .filter(col("nth_later").isNotNull &&
+        unix_timestamp(col("nth_later")) - unix_timestamp(col("ts")) <= windowSeconds)
+  }
+
+  /** coordination_loss (detectors.py:206-231): Coordinator events whose
+    * name or stringified payload mentions fail/lost. */
+  def coordinationLoss(events: DataFrame): DataFrame =
+    events
+      .filter(col("event").like("%Coordinator%"))
+      .filter(lower(col("event")).contains("fail") ||
+        lower(col("event")).contains("lost") ||
+        lower(to_json(col("fields"))).contains("fail") ||
+        lower(to_json(col("fields"))).contains("lost"))
+      .select("ts", "event_id", "event")
+
+  /** zscore_hotspots (detectors.py:234-285): buckets whose event count is
+    * min_z sample-stddevs above the mean bucket count. */
+  def zscoreHotspots(events: DataFrame, bucketSeconds: Int = 300,
+      minZ: Double = 2.0, limit: Int = 20): DataFrame = {
+    val bucketed = events.filter(col("ts").isNotNull)
+      .groupBy(GlobalScanner.bucket(col("ts"), bucketSeconds).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("severity")).as("max_sev"))
+    val stats = bucketed.agg(
+      avg(col("cnt")).as("mean_cnt"),
+      stddev_samp(col("cnt")).as("std_cnt"))
+    bucketed.crossJoin(broadcast(stats))
+      .filter(col("std_cnt").isNotNull && col("std_cnt") > 0)
+      .withColumn("zscore", (col("cnt") - col("mean_cnt")) / col("std_cnt"))
+      .filter(col("zscore") >= minZ)
+      .select("bucket", "cnt", "max_sev", "zscore")
+      .orderBy(col("zscore").desc, col("bucket"))
+      .limit(limit)
+  }
+
+  /** baseline_window_anomalies (detectors.py:288-352): per-bucket metric
+    * means vs the baseline table, z ≥ threshold, cnt ≥ minSamples. */
+  def baselineWindowAnomalies(metrics: DataFrame, baselines: DataFrame,
+      bucketSeconds: Int = 30, zThreshold: Double = 3.0,
+      minSamples: Int = 3,
+      metricNames: Seq[String] = Seq("VersionLag", "DurabilityLag",
+        "BytesInput", "WorstStorageServerQueue",
+        "WorstStorageServerDurabilityLag")): DataFrame = {
+    val bucketed = metrics
+      .filter(col("metric_name").isin(metricNames.map(lit): _*) &&
+        !isnan(col("metric_value")) &&
+        !col("metric_value").isin(
+          Double.PositiveInfinity, Double.NegativeInfinity) &&
+        col("ts").isNotNull)
+      .groupBy(GlobalScanner.bucket(col("ts"), bucketSeconds).as("bucket"),
+        coalesce(col("role"), lit("ALL")).as("role"), col("metric_name"))
+      .agg(avg(col("metric_value")).as("mean_val"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSamples)
+    val b = baselines.select(col("metric_name"), col("role").as("b_role"),
+      col("mean").as("b_mean"), col("stddev").as("b_std"))
+    val bAll = baselines.filter(col("role") === "ALL")
+      .select(col("metric_name"), col("mean").as("all_mean"),
+        col("stddev").as("all_std"))
+    bucketed
+      .join(broadcast(b),
+        bucketed("metric_name") === b("metric_name") &&
+          col("role") === col("b_role"), "left")
+      .drop(b("metric_name"))
+      .join(broadcast(bAll),
+        bucketed("metric_name") === bAll("metric_name"), "left")
+      .drop(bAll("metric_name"))
+      .withColumn("base_mean", coalesce(col("b_mean"), col("all_mean")))
+      .withColumn("base_std", coalesce(col("b_std"), col("all_std")))
+      .withColumn("zscore",
+        when(col("base_std").isNotNull && col("base_std") > 0,
+          abs((col("mean_val") - col("base_mean")) / col("base_std"))))
+      .filter(col("zscore").isNotNull && col("zscore") >= zThreshold)
+      .select("bucket", "role", "metric_name", "mean_val",
+        "base_mean", "base_std", "zscore", "cnt")
+      .orderBy("bucket", "role", "metric_name")
+  }
+}

@@ -1,0 +1,166 @@
+package graft.trace
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cluster-wide scans: stats report, heatmaps, recovery episodes, rollback
+  * analysis (tools/investigation_tools/global_scanner.py). Sequential
+  * carried-state scans become window functions: "previous non-null value"
+  * is last(col, ignoreNulls) over an unbounded-preceding frame — one sort
+  * per query instead of a driver loop. */
+object GlobalScanner {
+
+  private def f(k: String): Column = element_at(col("fields"), k)
+
+  /** Epoch-floored bucket (FLOOR(EXTRACT(EPOCH ...)/N)*N). */
+  def bucket(c: Column, seconds: Int): Column =
+    (floor(unix_timestamp(c) / seconds) * seconds).cast("long")
+
+  // ---- stats report (A1-A4) ----------------------------------------------
+
+  def severityCounts(events: DataFrame): DataFrame =
+    events.groupBy("severity").agg(count(lit(1)).as("n"))
+      .orderBy(col("severity").desc)
+
+  def eventHistogram(events: DataFrame, limit: Int = 50): DataFrame =
+    events.groupBy("event").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event")).limit(limit)
+
+  def timeSpan(events: DataFrame): DataFrame =
+    events.agg(
+      min(col("ts")).as("earliest"),
+      max(col("ts")).as("latest"),
+      (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        .as("duration_seconds"))
+
+  def topEvents(events: DataFrame, severityMin: Int = 40, limit: Int = 50): DataFrame =
+    events.filter(col("severity") >= severityMin)
+      .orderBy(col("severity").desc, col("ts").desc, col("event_id"))
+      .limit(limit)
+
+  /** Severity×time heatmap buckets ordered by worst severity
+    * (global_scanner.py:232-252). */
+  def bucketHeatmap(events: DataFrame, bucketSeconds: Int = 300,
+      limit: Int = 100): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .groupBy(bucket(col("ts"), bucketSeconds).as("bucket"))
+      .agg(max(col("severity")).as("max_severity"), count(lit(1)).as("n"))
+      .orderBy(col("max_severity").desc, col("bucket"))
+      .limit(limit)
+
+  // ---- recovery episodes (W5): gaps-and-islands sessionization -----------
+
+  /** Cluster MasterRecoveryState events into episodes split where the gap
+    * exceeds gapSeconds; per episode, the max severity of ALL events within
+    * ±severityWindow seconds (global_scanner.py:177-219). The severity
+    * lookup is a range join of the (few) episodes against events. */
+  def recoveryEpisodes(events: DataFrame, gapSeconds: Int = 60,
+      severityWindow: Int = 30): DataFrame = {
+    val w = Window.orderBy("ts", "event_id")
+    val recov = events
+      .filter(col("event") === "MasterRecoveryState" && col("ts").isNotNull)
+      .select(col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new", when(col("gap_s") > gapSeconds, 1).otherwise(0))
+      .withColumn("episode",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val episodes = recov.groupBy("episode")
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
+      .withColumn("duration_seconds",
+        unix_timestamp(col("end")) - unix_timestamp(col("start")))
+    episodes.join(events.select(col("ts").as("ets"), col("severity")),
+        col("ets").between(
+          col("start") - expr(s"INTERVAL $severityWindow SECONDS"),
+          col("end") + expr(s"INTERVAL $severityWindow SECONDS")),
+        "left")
+      .groupBy("episode", "start", "end", "duration_seconds")
+      .agg(max(col("severity")).as("max_severity_nearby"))
+      .orderBy("episode")
+  }
+
+  // ---- rollback analysis (W1-W4): carried non-null previous value --------
+
+  private def prevNonNull(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    last(c, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+
+  /** Version drops: current CommittedVersion/DurableVersion below the last
+    * non-null one (global_scanner.py:273-323). Emits one row per drop with
+    * the same fields the reference reports.
+    *
+    * Scale note: a single global sort by ts — semantically inherent (the
+    * version sequence is cluster-wide). For 100 TB, partition by trace
+    * epoch first; within the test corpus one pass is exact. */
+  def versionDrops(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("ts", "event_id")
+    val versioned = events
+      .withColumn("cv", f("CommittedVersion").cast("long"))
+      .withColumn("dv", f("DurableVersion").cast("long"))
+      .filter(col("cv").isNotNull || col("dv").isNotNull)
+      .select(col("ts"), col("event_id"), col("event"), col("cv"), col("dv"))
+      .withColumn("prev_cv", prevNonNull(col("cv"), w))
+      .withColumn("prev_dv", prevNonNull(col("dv"), w))
+    val cvDrops = versioned
+      .filter(col("cv").isNotNull && col("prev_cv").isNotNull &&
+        col("cv") < col("prev_cv"))
+      .select(col("ts"), col("event_id"), col("event"),
+        lit("CommittedVersionDrop").as("type"),
+        (col("prev_cv") - col("cv")).as("drop_amount"),
+        col("prev_cv").as("prev"), col("cv").as("now"))
+    val dvDrops = versioned
+      .filter(col("dv").isNotNull && col("prev_dv").isNotNull &&
+        col("dv") < col("prev_dv"))
+      .select(col("ts"), col("event_id"), col("event"),
+        lit("DurableVersionDrop").as("type"),
+        (col("prev_dv") - col("dv")).as("drop_amount"),
+        col("prev_dv").as("prev"), col("dv").as("now"))
+    cvDrops.unionAll(dvDrops).orderBy("ts", "event_id", "type")
+  }
+
+  /** Version resets: previous > 1M and current < 1M
+    * (global_scanner.py:325-354). */
+  def versionResets(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("ts", "event_id")
+    events
+      .withColumn("cv", f("CommittedVersion").cast("long"))
+      .filter(col("cv").isNotNull)
+      .select(col("ts"), col("event_id"), col("event"), col("cv"))
+      .withColumn("prev_cv", prevNonNull(col("cv"), w))
+      .filter(col("prev_cv") > 1000000L && col("cv") < 1000000L)
+      .select(col("ts"), col("event_id"), col("event"),
+        col("prev_cv").as("prev_version"), col("cv").as("new_version"))
+  }
+
+  /** RecoveryVersion regressions on RecoveryState events
+    * (global_scanner.py:356-385). */
+  def recoveryResets(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("ts", "event_id")
+    events
+      .filter(col("event") === "RecoveryState")
+      .withColumn("rv", f("RecoveryVersion").cast("long"))
+      .filter(col("rv").isNotNull)
+      .select(col("ts"), col("event_id"), col("event"), col("rv"))
+      .withColumn("prev_rv", prevNonNull(col("rv"), w))
+      .filter(col("prev_rv").isNotNull && col("rv") < col("prev_rv"))
+      .select(col("ts"), col("event_id"), col("event"),
+        col("prev_rv").as("prev_recovery_version"),
+        col("rv").as("new_recovery_version"),
+        (col("prev_rv") - col("rv")).as("drop_amount"))
+  }
+
+  /** Rollback status aggregation (global_scanner.py:388-401). */
+  def rollbackStatus(events: DataFrame): DataFrame = {
+    val drops = versionDrops(events)
+      .agg(count(lit(1)).as("num_drops"),
+        coalesce(max(col("drop_amount")), lit(0L)).as("max_drop"))
+    val resets = versionResets(events).agg(count(lit(1)).as("num_resets"))
+    val recResets = recoveryResets(events)
+      .agg(count(lit(1)).as("num_recovery_resets"))
+    drops.crossJoin(resets).crossJoin(recResets)
+      .withColumn("detected",
+        col("num_drops") > 0 || col("num_resets") > 0 ||
+          col("num_recovery_resets") > 0)
+  }
+}

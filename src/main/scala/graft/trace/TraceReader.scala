@@ -1,0 +1,116 @@
+package graft.trace
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources for FDB TraceEvent logs (SURVEY.md §2.1, S1-S6).
+  *
+  * All parsing is line-oriented SQL over `spark.read.text` — fully
+  * distributed, codegen'd, and robust against truncated rollover files
+  * (a malformed tail line yields one bad record, not a failed file, unlike
+  * the reference's ET.iterparse which raises: tools/parser.py:30-40 vs the
+  * regex route its own log_analysis/processing_script.py:7-16 uses).
+  *
+  * The parsed form is an attribute bag `attrs: map<string,string>` plus
+  * file/line provenance; `TraceEvents.normalize` turns bags into the typed
+  * envelope + payload schema.
+  */
+object TraceReader {
+
+  /** `Key="value"` XML attribute extraction — keys may contain dots
+    * (`P99.9`). Two parallel regexp_extract_all calls zipped into a map;
+    * both run the same pattern so ordinals align. */
+  private val attrPattern = """([\w.]+)="([^"]*)""""
+
+  /** Provenance: file + a read-order id. monotonically_increasing_id on a
+    * fresh text scan ascends with (partition, row) and text partitions
+    * follow (file, offset) — so sorting by it reproduces file/line order
+    * without any shuffle. */
+  private def withProvenance(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("src_file", input_file_name())
+      .withColumn("read_order", monotonically_increasing_id())
+
+  /** XML TraceEvent scan (S1): one `<Event .../>` element per line. */
+  def xml(spark: SparkSession, path: String): DataFrame =
+    withProvenance(spark.read.textFile(path).toDF("line"))
+      .filter(col("line").contains("<Event "))
+      .withColumn("attrs", map_from_arrays(
+        regexp_extract_all(col("line"), lit(attrPattern), lit(1)),
+        regexp_extract_all(col("line"), lit(attrPattern), lit(2))))
+      .select("src_file", "read_order", "attrs")
+
+  /** JSON-lines scan with plaintext fallback (S2+S3): blank lines are
+    * skipped; a line that fails JSON parse degrades to `key=value` regex
+    * pairs (tools/parser.py:16-21,42-56). */
+  def jsonLines(spark: SparkSession, path: String): DataFrame = {
+    val mapType = MapType(StringType, StringType)
+    withProvenance(spark.read.textFile(path).toDF("line"))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("parsed", from_json(trim(col("line")), mapType))
+      .withColumn("attrs", coalesce(col("parsed"), map_from_arrays(
+        regexp_extract_all(col("line"), lit("""(\w+)=([^\s]+)"""), lit(1)),
+        regexp_extract_all(col("line"), lit("""(\w+)=([^\s]+)"""), lit(2)))))
+      .select("src_file", "read_order", "attrs")
+  }
+
+  /** Format dispatch (S4): `.xml` suffix → XML, else JSON/plaintext. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".xml")) xml(spark, path) else jsonLines(spark, path)
+}
+
+/** Normalization of attribute bags into the typed event schema
+  * (tools/parser.py:73-89, data_transfer_object/event_dto.py:10-31). */
+object TraceEvents {
+
+  /** Envelope keys excluded from the dynamic payload. */
+  val MandatoryFields: Seq[String] = Seq(
+    "Severity", "Time", "DateTime", "Type", "Process", "Role",
+    "PID", "Machine", "MachineId", "Address", "LogGroup", "File", "Line")
+
+  private def attr(k: String): Column = element_at(col("attrs"), k)
+
+  /** Lenient integer parse: non-numeric → null (the reference's
+    * int(obj[...]) raises and aborts the event; we degrade to null per
+    * FIXTURES.md §7 — documented divergence in favor of robustness). */
+  private def toInt(c: Column): Column =
+    when(c.rlike("^[+-]?\\d+$"), c.cast("int")).otherwise(lit(null))
+
+  /** attrs bag → typed envelope + `fields` payload map + original bag.
+    *
+    * event_id is assigned per file/line order via the reader's read_order.
+    * `stableIds=false` (default) uses read_order directly — unique and
+    * order-consistent with the input, no shuffle: the 100 TB path.
+    * `stableIds=true` mirrors the reference's contiguous 1-based ids
+    * (tools/storage.py:88) via a global row_number — one sort, used for
+    * parity tests. */
+  def normalize(bags: DataFrame, stableIds: Boolean = false): DataFrame = {
+    val withId =
+      if (stableIds)
+        bags.withColumn("event_id",
+          row_number().over(Window.orderBy("read_order")).cast("long"))
+      else bags.withColumn("event_id", col("read_order"))
+    withId.select(
+      col("event_id"),
+      to_timestamp(attr("DateTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts"),
+      toInt(attr("Severity")).as("severity"),
+      attr("Type").as("event"),
+      attr("Processes").as("process"),
+      attr("Roles").as("role"),
+      toInt(attr("PID")).as("pid"),
+      coalesce(attr("Machine"), attr("MachineId")).as("machine_id"),
+      attr("Address").as("address"),
+      attr("File").as("trace_file"),
+      toInt(attr("Line")).as("src_line"),
+      map_filter(col("attrs"), (k, _) =>
+        !k.isin(MandatoryFields.map(lit): _*)).as("fields"),
+      col("attrs").as("raw"),
+      col("src_file"))
+  }
+
+  /** One-call ingest: path → normalized typed events. */
+  def load(spark: SparkSession, path: String, stableIds: Boolean = false): DataFrame =
+    normalize(TraceReader.read(spark, path), stableIds)
+}
