@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary columns
+  * with typed metadata, processed in partition-local batches.
+  *
+  * The decode step is STUBBED (this environment ships no image/audio
+  * codecs): `decodeStub` derives deterministic fake metadata/features from
+  * the bytes. Everything around it — schema, batched mapPartitions
+  * execution, partition sizing, feature schema — is the real distributed
+  * plumbing a codec would drop into: replace `decodeStub`'s body with a
+  * JNI/javacv call and nothing else changes.
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,            // image | audio | video
+      payload: Array[Byte],
+      source: String)
+
+  case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      format: String,          // sniffed container/codec name
+      width: Int,              // image/video; -1 otherwise
+      height: Int,
+      duration_ms: Long,       // audio/video; -1 otherwise
+      checksum: Long)
+
+  case class MediaFeature(
+      media_id: Long,
+      kind: String,
+      feature: Array[Float])   // fixed-dim embedding
+
+  /** ==== STUB ==== deterministic fake decode: metadata from byte stats.
+    * Real implementation: format sniffing + codec decode per record. */
+  def decodeStub(r: MediaRecord): MediaMeta = {
+    val sum = graft.functions.RollingHash.hash(
+      java.util.Base64.getEncoder.encodeToString(r.payload))
+    val magic = r.payload.take(4).map("%02x".format(_)).mkString
+    val fake = (sum % 1024).toInt
+    MediaMeta(r.media_id, r.kind, r.payload.length.toLong,
+      format = r.kind match {
+        case "image" => if (magic.startsWith("8950")) "png" else "jpeg-stub"
+        case "audio" => "pcm-stub"
+        case _ => "mp4-stub"
+      },
+      width = if (r.kind != "audio") 64 + fake % 512 else -1,
+      height = if (r.kind != "audio") 64 + (fake / 2) % 512 else -1,
+      duration_ms = if (r.kind != "image") 1000L + sum % 60000 else -1L,
+      checksum = sum)
+  }
+
+  /** ==== STUB ==== deterministic fake feature extraction: a `dim`-dim
+    * pseudo-embedding seeded by the payload hash. Real implementation:
+    * model inference over the decoded tensor, batched per partition. */
+  def featureStub(r: MediaRecord, dim: Int = 16): MediaFeature = {
+    val rng = new java.util.Random(
+      graft.functions.RollingHash.hash(new String(r.payload.take(64), "ISO-8859-1")))
+    MediaFeature(r.media_id, r.kind,
+      Array.fill(dim)(rng.nextGaussian().toFloat))
+  }
+
+  /** Decode pass: partition-local, batch-shaped (the iterator is the
+    * batch; a real codec would reuse native buffers across records). */
+  def decode(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeStub))
+  }
+
+  def features(ds: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(featureStub(_, dim)))
+  }
+
+  /** Frame sampling stub for video: every nth kilobyte slice stands in for
+    * a decoded frame — the exploded (media_id, frame_no, frame_bytes)
+    * shape is what matters downstream. */
+  def sampleFrames(ds: Dataset[MediaRecord], everyN: Int = 4): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "video")
+      .flatMap { r =>
+        r.payload.grouped(1024).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (bytes, i) => (r.media_id, i, bytes) }
+      }
+      .toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** Build a deterministic media table from the documents fixture: text
+    * bytes stand in for payloads (no codecs in this environment), ids and
+    * kinds derived from doc_id. Gives the pipeline real, partitioned
+    * binary data of realistic skew. */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All are per-row
+  * projections — they run inline with the scan at any scale (no shuffle).
+  */
+object TextAnalysis {
+
+  /** Character-profile language identification: scores each language by
+    * stopword hits + characteristic-character evidence over the text.
+    * A lightweight n-gram-free heuristic in the spirit of classic langid
+    * profiles; deterministic, pure Scala (usable as a UDF).
+    */
+  object LangId {
+    val Profiles: Map[String, (Set[String], String)] = Map(
+      "en" -> (Set("the", "and", "of", "to", "a", "in", "is", "that", "it",
+        "for", "with", "was", "this"), ""),
+      "es" -> (Set("el", "la", "de", "que", "y", "en", "un", "una", "los",
+        "del", "se", "por", "con", "para", "es"), "áéíóúñ¿¡"),
+      "de" -> (Set("der", "die", "das", "und", "ist", "von", "mit", "den",
+        "nicht", "ein", "eine", "zu", "für", "auf"), "äöüß"),
+      "fr" -> (Set("le", "la", "les", "de", "des", "et", "un", "une", "est",
+        "que", "pour", "dans", "qui", "pas", "au"), "àâçéèêëîïôùûœ"),
+      "it" -> (Set("il", "la", "di", "che", "e", "un", "una", "per", "non",
+        "sono", "con", "del", "della"), "àèéìòù"))
+
+    def detect(text: String): String = {
+      if (text == null || text.isEmpty) return "unknown"
+      val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      if (toks.isEmpty) return "unknown"
+      val scores = Profiles.map { case (lang, (stops, chars)) =>
+        val stopHits = toks.count(stops.contains)
+        val charHits =
+          if (chars.isEmpty) 0
+          else text.count(c => chars.contains(c.toLower)) * 3
+        lang -> (stopHits + charHits)
+      }
+      val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+      if (score == 0) "unknown" else best
+    }
+
+    val udfDetect = udf(detect _)
+  }
+
+  def detectLanguage(c: Column): Column = LangId.udfDetect(c)
+
+  /** GPT-2-style pre-tokenizer regex (public BPE pattern family):
+    * runs of letters, single digits, punctuation runs, whitespace runs.
+    * Token COUNT approximates BPE token count for budget accounting.
+    * Pure SQL (regexp) → codegen'd, and mirrorable in DuckDB. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  /** Cheap token estimate used by the reference for LLM budgeting
+    * (~4 chars/token, cli_wrapper/main.py:417-424 display only). */
+  def tokenEstimate(c: Column): Column = ceil(length(c) / 4)
+
+  /** Quality-signal projection: length, token stats, stopword/punct/upper
+    * ratios and a composite keep/drop flag — the standard pre-training
+    * quality gate shape. */
+  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, "\\s+")
+    df
+      .withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens_q", size(toks))
+      .withColumn("avg_token_len",
+        length(t).cast("double") / greatest(size(toks), lit(1)))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+          .cast("double") / greatest(length(t), lit(1)))
+      .withColumn("upper_ratio",
+        (length(t) - length(regexp_replace(t, "[A-Z]", "")))
+          .cast("double") / greatest(length(t), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, x => lower(x).isin(
+          "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")))
+          .cast("double") / greatest(size(toks), lit(1)))
+      .withColumn("is_quality",
+        (col("n_tokens_q") >= 20) && (col("avg_token_len") between(2, 12)) &&
+          (col("punct_ratio") < 0.3) && (col("upper_ratio") < 0.3))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate nearest-neighbor search over embedding columns.
+  *
+  * Brute force (exact, the verification baseline) is O(|Q|·N) — fine when
+  * the query set broadcasts. The 100 TB path is random-hyperplane LSH:
+  * each vector gets a `bits`-bit sign signature per hash table; candidate
+  * pairs share a bucket in ≥1 table, so the pairwise work collapses from
+  * N² to Σ bucket². Hyperplanes are generated from a fixed seed on the
+  * driver and broadcast as literals — deterministic across runs and
+  * engines, no fit/model state.
+  */
+object VectorSearch {
+
+  /** Deterministic unit-free hyperplanes: dim × bits gaussians. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of `vecCol` (array<double>) for one table. */
+  def bucketId(vecCol: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val dot = GraftFunctions.dotProduct(vecCol,
+        array(p.map(lit(_)): _*))
+      acc.bitwiseOR(when(dot >= 0, lit(1L << i)).otherwise(0L))
+    }
+
+  /** Attach `bucket_t{i}` columns for `tables` independent hash tables. */
+  def withBuckets(df: DataFrame, vecCol: String, dim: Int, bits: Int = 12,
+      tables: Int = 4, seed: Long = 42L): DataFrame =
+    (0 until tables).foldLeft(df) { (acc, t) =>
+      acc.withColumn(s"bucket_t$t",
+        bucketId(col(vecCol), hyperplanes(dim, bits, seed + t)))
+    }
+
+  /** ANN top-k: candidates = same bucket in any table, re-ranked by exact
+    * cosine. Recall grows with `tables`, cost shrinks with `bits`. */
+  def annCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 10, bits: Int = 10,
+      tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val c = withBuckets(corpus, vecCol, dim, bits, tables, seed)
+      .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+    val q = withBuckets(queries, vecCol, dim, bits, tables, seed)
+      .withColumn("qnrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+      .select(Seq(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col("qnrm")) ++ (0 until tables).map(t =>
+        col(s"bucket_t$t").as(s"qbucket_t$t")): _*)
+    // union of per-table bucket joins, deduped on (query, candidate)
+    val candidates = (0 until tables).map { t =>
+      c.join(q, col(s"bucket_t$t") === col(s"qbucket_t$t") &&
+        col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col("qvec"), col("qnrm"),
+          col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("nrm"))
+    }.reduce(_ unionAll _).dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cosine",
+        GraftFunctions.dotProduct(col("qvec"), col("nvec")) /
+          (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Exact brute-force cosine top-k (broadcast query set). */
+  def bruteForceCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10): DataFrame = {
+    val c = corpus
+      .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", sqrt(GraftFunctions.dotProduct(col("qvec"), col("qvec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine",
+        GraftFunctions.dotProduct(col("qvec"), col(vecCol)) /
+          (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, SimHash, TextFunctions}
+import graft.ops.{Multimodal, TextAnalysis, VectorSearch}
+
+/** Training-data pipeline operators: LSH ANN recall, SimHash locality,
+  * language ID, multimodal plumbing. */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("LSH ANN: high recall on clustered vectors") {
+    GraftFunctions.register(spark)
+    // 10 well-separated cluster centers, 30 members each (seeded)
+    val rng = new scala.util.Random(1)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian() * 5))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "e").cache()
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = VectorSearch.bruteForceCosine(df, queries, "vec_id", "e", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorSearch.annCosine(df, queries, "vec_id", "e",
+      dim = 16, k = 10, bits = 8, tables = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low")
+  }
+
+  test("SimHash: near-identical texts land within small Hamming distance") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and once"
+    val c = "completely different words about spark query engines at scale"
+    assert(SimHash.hamming(SimHash.simhash(a), SimHash.simhash(b)) <= 6)
+    assert(SimHash.simhash(a) === SimHash.simhash(a)) // deterministic
+    // unrelated text: expected ~8 bits differ; just require non-identity
+    assert(SimHash.simhash(a) !== SimHash.simhash(c))
+  }
+
+  test("rolling hash fingerprint: deterministic, order-sensitive") {
+    import graft.functions.RollingHash
+    assert(RollingHash.hash("abc") === ((('a' * 31) + 'b') * 31 + 'c') % 1000000007L)
+    assert(RollingHash.hash("abc") !== RollingHash.hash("acb"))
+    assert(RollingHash.hash("") === 0L)
+    // Spark expression path matches the pure function
+    TextFunctions.register(spark)
+    val viaExpr = Seq("abc", "hello world").toDF("t")
+      .select(TextFunctions.rollingHash(col("t"))).collect().map(_.getLong(0))
+    assert(viaExpr.toSeq === Seq(RollingHash.hash("abc"), RollingHash.hash("hello world")))
+  }
+
+  test("langid: classic samples route to the right profile") {
+    assert(TextAnalysis.LangId.detect(
+      "the cat sat on the mat and it was happy with this") === "en")
+    assert(TextAnalysis.LangId.detect(
+      "el perro corre por la calle y se va para la casa") === "es")
+    assert(TextAnalysis.LangId.detect(
+      "der Hund läuft auf der Straße und ist nicht müde") === "de")
+    assert(TextAnalysis.LangId.detect(
+      "le chien court dans la rue et il est pour les amis") === "fr")
+    assert(TextAnalysis.LangId.detect("") === "unknown")
+    assert(TextAnalysis.LangId.detect("12345 67890") === "unknown")
+  }
+
+  test("multimodal: decode/feature/frame plumbing is deterministic") {
+    val media = Multimodal.syntheticMedia(spark, sf("")).cache()
+    assert(media.count() === 500)
+    val meta = Multimodal.decode(media).cache()
+    assert(meta.count() === 500)
+    val m = meta.filter(_.kind == "audio").head()
+    assert(m.width === -1 && m.duration_ms > 0)
+    val img = meta.filter(_.kind == "image").head()
+    assert(img.width > 0 && img.height > 0 && img.duration_ms === -1L)
+    // deterministic: two runs give identical checksums
+    val c1 = meta.select("media_id", "checksum").collect().toSet
+    val c2 = Multimodal.decode(media).select("media_id", "checksum")
+      .collect().toSet
+    assert(c1 === c2)
+    val feats = Multimodal.features(media)
+    assert(feats.head().feature.length === 16)
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() > 0)
+    // every sampled frame comes from a video record
+    val vids = media.filter(_.kind == "video").select("media_id")
+    assert(frames.join(vids, Seq("media_id"), "left_anti").count() === 0)
+  }
+
+  test("bpeish token count: matches manual tokenization") {
+    val df = Seq("hello, world 42", "a  b").toDF("t")
+    val counts = df.select(TextAnalysis.bpeishTokenCount(col("t")))
+      .collect().map(_.getInt(0)).toSeq
+    // "hello" "," " " "world" " " "4" "2"  → 7 ; "a" "  " "b" → 3
+    assert(counts === Seq(7, 3))
+  }
+}
