@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.trace._
+
+/** CLI mirroring the reference's subcommand surface
+  * (cli_wrapper/main.py:39-230): init / load / parse / query / stats /
+  * export / pipeline / rollup / chunk — with a parquet table store per
+  * "database" directory instead of a DuckDB file.
+  *
+  * Usage: graft.Cli --db <storeDir> <command> [args...]
+  */
+object Cli {
+
+  val Tables = Seq("events", "event_metrics", "events_wide", "processes",
+    "process_roles")
+
+  case class Ctx(spark: SparkSession, store: String) {
+    def path(t: String) = s"$store/$t"
+    def read(t: String): DataFrame = spark.read.parquet(path(t))
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(path(t))
+    def registerAll(): Unit = Tables.foreach { t =>
+      if (new java.io.File(path(t)).exists())
+        read(t).createOrReplaceTempView(t)
+    }
+  }
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  /** Parses and runs; returns an exit code (testable without exiting). */
+  def run(args: Array[String],
+      sessionOverride: Option[SparkSession] = None): Int = {
+    var db = "graft_store"
+    val rest = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--db" => db = args(i + 1); i += 2
+        case a => rest += a; i += 1
+      }
+    }
+    if (rest.isEmpty) { println(usage); return 1 }
+    val spark = sessionOverride.getOrElse(GraftSession.build("graft-cli"))
+    val ctx = Ctx(spark, db)
+    try {
+      rest.head match {
+        case "init" => init(ctx)
+        case "load" => load(ctx, rest.tail.toSeq)
+        case "parse" => parse(ctx, rest.tail.toSeq)
+        case "query" => query(ctx, rest.tail.toSeq)
+        case "stats" => stats(ctx)
+        case "export" => export(ctx, rest.tail.toSeq)
+        case "pipeline" => load(ctx, rest.tail.toSeq); rollup(ctx, Seq()); stats(ctx)
+        case "rollup" => rollup(ctx, rest.tail.toSeq)
+        case "chunk" => chunk(ctx, rest.tail.toSeq)
+        case "detect" => detect(ctx)
+        case other => println(s"unknown command: $other\n$usage"); return 1
+      }
+      0
+    } finally if (sessionOverride.isEmpty) spark.stop()
+  }
+
+  val usage: String =
+    """graft-log-analyzer — FoundationDB trace log analysis on Spark
+      |  --db <dir>                 table store directory (default graft_store)
+      |  init                       initialize an empty store
+      |  load <path> [--stable-ids] ingest XML/JSON/plaintext logs + derive tables
+      |  parse <path> [--limit N]   parse and display, no storage
+      |  query <sql>                SQL over events/event_metrics/... views
+      |  stats                      severity/event/role/time-span report
+      |  export <sql> <out> [--format csv|json|parquet]
+      |  pipeline <path>            load + rollup + stats
+      |  rollup [--interval N]      materialize rollups_{N}s
+      |  chunk [--marker E]         marker-based chunking + 500/100 splits
+      |  detect                     run the detector battery
+      |""".stripMargin
+
+  private def init(ctx: Ctx): Unit = {
+    new java.io.File(ctx.store).mkdirs()
+    println(s"initialized store at ${ctx.store}")
+  }
+
+  private def load(ctx: Ctx, args: Seq[String]): Unit = {
+    val stable = args.contains("--stable-ids")
+    val path = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse(sys.error("load requires a path"))
+    val events = TraceEvents.load(ctx.spark, path, stableIds = stable).cache()
+    ctx.write(events, "events")
+    val metrics = DerivedTables.eventMetrics(events)
+    ctx.write(metrics, "event_metrics")
+    ctx.write(DerivedTables.eventsWide(events), "events_wide")
+    ctx.write(DerivedTables.processes(events), "processes")
+    ctx.write(DerivedTables.processRoles(events), "process_roles")
+    ctx.write(DerivedTables.metricBaselines(metrics, minCount = 5),
+      "metric_baselines")
+    println(s"loaded ${events.count()} events from $path into ${ctx.store}")
+  }
+
+  private def parse(ctx: Ctx, args: Seq[String]): Unit = {
+    val limit = opt(args, "--limit").map(_.toInt).getOrElse(10)
+    val path = args.filterNot(_.startsWith("--"))
+      .filterNot(a => opt(args, "--limit").contains(a)).headOption
+      .getOrElse(sys.error("parse requires a path"))
+    TraceEvents.load(ctx.spark, path).show(limit, truncate = false)
+  }
+
+  private def query(ctx: Ctx, args: Seq[String]): Unit = {
+    ctx.registerAll()
+    ctx.spark.sql(args.mkString(" ")).show(50, truncate = false)
+  }
+
+  private def stats(ctx: Ctx): Unit = {
+    val events = ctx.read("events").cache()
+    println(s"events: ${events.count()}")
+    println("— severity distribution —")
+    GlobalScanner.severityCounts(events).show()
+    println("— top event types —")
+    GlobalScanner.eventHistogram(events, 5).show(truncate = false)
+    println("— top roles —")
+    events.filter(col("role").isNotNull).groupBy("role")
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc).show(10)
+    println("— time span —")
+    GlobalScanner.timeSpan(events).show(truncate = false)
+  }
+
+  private def export(ctx: Ctx, args: Seq[String]): Unit = {
+    val fmt = opt(args, "--format").getOrElse("csv")
+    val positional = positionals(args, Set("--format"))
+    val (sql, out) = (positional(0), positional(1))
+    ctx.registerAll()
+    val df = ctx.spark.sql(sql).coalesce(1)
+    fmt match {
+      case "csv" => df.write.mode("overwrite").option("header", "true").csv(out)
+      case "json" => df.write.mode("overwrite").json(out)
+      case "parquet" => df.write.mode("overwrite").parquet(out)
+      case other => sys.error(s"unsupported format $other")
+    }
+    println(s"exported to $out ($fmt)")
+  }
+
+  private def rollup(ctx: Ctx, args: Seq[String]): Unit = {
+    val interval = opt(args, "--interval").map(_.toInt).getOrElse(60)
+    val metrics = ctx.read("event_metrics")
+    ctx.write(DerivedTables.rollups(metrics, interval), s"rollups_${interval}s")
+    println(s"created rollups_${interval}s")
+  }
+
+  private def chunk(ctx: Ctx, args: Seq[String]): Unit = {
+    val marker = opt(args, "--marker").getOrElse("MasterRecoveryState")
+    val chunks = Chunker.chunkByMarker(ctx.read("events"), marker)
+    ctx.write(chunks, "chunks")
+    ctx.write(Chunker.splitChunks(chunks), "chunk_pieces")
+    println(s"wrote ${chunks.count()} chunks")
+    chunks.select("chunk_id", "start_event_id", "end_event_id", "n_events",
+      "chunk_type").show()
+  }
+
+  private def detect(ctx: Ctx): Unit = {
+    val events = ctx.read("events").cache()
+    val metrics = DerivedTables.eventMetrics(events)
+    val baselines = DerivedTables.metricBaselines(metrics, minCount = 5)
+    val battery = Seq(
+      "storage_pressure" -> Detectors.storagePressureAnomalies(events, baselines),
+      "ratekeeper_throttling" -> Detectors.ratekeeperThrottling(events),
+      "missing_tlogs" -> Detectors.missingTlogs(events),
+      "recovery_loop" -> Detectors.recoveryLoops(events),
+      "coordination_loss" -> Detectors.coordinationLoss(events),
+      "zscore_hotspots" -> Detectors.zscoreHotspots(events),
+      "baseline_window_anomalies" ->
+        Detectors.baselineWindowAnomalies(metrics, baselines))
+    battery.foreach { case (name, df) =>
+      Detectors.summary(df).withColumn("detector", lit(name))
+        .select("detector", "detected", "count", "first_ts", "last_ts")
+        .show(truncate = false)
+    }
+    println("— rollback analysis —")
+    GlobalScanner.rollbackStatus(events).show(truncate = false)
+    println("— timeline —")
+    TimelineBuilder.build(events).show(truncate = false)
+  }
+
+  private def opt(args: Seq[String], flag: String): Option[String] = {
+    val i = args.indexOf(flag)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  private def positionals(args: Seq[String], flags: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      if (flags.contains(args(i))) i += 2 else { out += args(i); i += 1 }
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the batch semantics (SURVEY.md §2.9):
+  * the reference is batch-only, but its rollups/sessionization/anomaly
+  * shapes are streaming-native — tumbling windows, session windows, and
+  * keyed running state. The same column logic is shared with the batch
+  * operators; only the source/sink differ.
+  */
+object StreamingOps {
+
+  /** Tumbling metric rollups over a (streaming) metrics frame:
+    * groupBy(window(ts, Ns), role, metric) agg n/avg/max — the streaming
+    * twin of DerivedTables.rollups. With `watermark` set, late rows beyond
+    * it are dropped and windows finalize in append mode. */
+  def rollupStream(metrics: DataFrame, intervalSeconds: Int = 60,
+      watermark: String = "2 minutes"): DataFrame =
+    metrics
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), s"$intervalSeconds seconds").getField("start")
+          .as("window_start"),
+        col("role"), col("metric_name"))
+      .agg(count(lit(1)).as("n"), avg(col("metric_value")).as("avg"),
+        max(col("metric_value")).as("max"))
+
+  /** Session windows per key with a gap — the streaming twin of the
+    * gaps-and-islands episode clustering (W5). */
+  def sessionStream(events: DataFrame, keyCol: String,
+      gapSeconds: Int = 60, watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(col("severity")).as("max_severity"))
+      .select(col(keyCol),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"),
+        col("max_severity"))
+
+  case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)
+  case class MetricState(n: Long, mean: Double, m2: Double)
+  case class Flagged(metric: String, ts: java.sql.Timestamp, value: Double,
+      zscore: Double)
+
+  /** Keyed running anomaly gate: per metric key, maintain Welford
+    * (count/mean/M2) state across triggers and emit points whose z-score
+    * against the state-so-far exceeds the threshold — the streaming twin
+    * of the per-event z-score gate, with true incremental state instead
+    * of a global recompute. */
+  def runningAnomalyGate(points: Dataset[MetricPoint],
+      zThreshold: Double = 3.0, minSamples: Long = 3): Dataset[Flagged] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (metric: String, rows: Iterator[MetricPoint],
+            state: GroupState[MetricState]) => {
+          var s = state.getOption.getOrElse(MetricState(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Flagged]
+          rows.foreach { p =>
+            if (s.n >= minSamples && s.m2 > 0) {
+              val variance = s.m2 / (s.n - 1)
+              val std = math.sqrt(variance)
+              if (std > 0) {
+                val z = math.abs((p.value - s.mean) / std)
+                if (z > zThreshold) out += Flagged(metric, p.ts, p.value, z)
+              }
+            }
+            // Welford update AFTER scoring: each point is judged against
+            // the history before it (streaming semantics).
+            val n1 = s.n + 1
+            val delta = p.value - s.mean
+            val mean1 = s.mean + delta / n1
+            s = MetricState(n1, mean1, s.m2 + delta * (p.value - mean1))
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+}

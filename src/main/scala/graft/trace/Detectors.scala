@@ -14,13 +14,20 @@ object Detectors {
 
   private def f(k: String): Column = element_at(col("fields"), k)
 
-  /** detected/count/first_ts/last_ts summary of an anomaly stream. */
-  def summary(anomalies: DataFrame): DataFrame =
+  /** detected/count/first_ts/last_ts summary of an anomaly stream —
+    * bucket-shaped detectors report their epoch bucket as the timestamp. */
+  def summary(anomalies: DataFrame): DataFrame = {
+    val t =
+      if (anomalies.columns.contains("ts")) col("ts")
+      else if (anomalies.columns.contains("bucket"))
+        timestamp_seconds(col("bucket"))
+      else lit(null).cast("timestamp")
     anomalies.agg(
       (count(lit(1)) > 0).as("detected"),
       count(lit(1)).as("count"),
-      min(col("ts")).as("first_ts"),
-      max(col("ts")).as("last_ts"))
+      min(t).as("first_ts"),
+      max(t).as("last_ts"))
+  }
 
   /** Attach a baseline (mean/stddev) per role with 'ALL' fallback —
     * left-join on role then left-join the single 'ALL' row on a constant
@@ -145,19 +152,18 @@ object Detectors {
         coalesce(col("role"), lit("ALL")).as("role"), col("metric_name"))
       .agg(avg(col("metric_value")).as("mean_val"), count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minSamples)
-    val b = baselines.select(col("metric_name"), col("role").as("b_role"),
+    val b = baselines.select(col("metric_name").as("bm"),
+      col("role").as("b_role"),
       col("mean").as("b_mean"), col("stddev").as("b_std"))
     val bAll = baselines.filter(col("role") === "ALL")
-      .select(col("metric_name"), col("mean").as("all_mean"),
+      .select(col("metric_name").as("am"), col("mean").as("all_mean"),
         col("stddev").as("all_std"))
     bucketed
       .join(broadcast(b),
-        bucketed("metric_name") === b("metric_name") &&
-          col("role") === col("b_role"), "left")
-      .drop(b("metric_name"))
-      .join(broadcast(bAll),
-        bucketed("metric_name") === bAll("metric_name"), "left")
-      .drop(bAll("metric_name"))
+        col("metric_name") === col("bm") && col("role") === col("b_role"),
+        "left")
+      .join(broadcast(bAll), col("metric_name") === col("am"), "left")
+      .drop("bm", "b_role", "am")
       .withColumn("base_mean", coalesce(col("b_mean"), col("all_mean")))
       .withColumn("base_std", coalesce(col("b_std"), col("all_std")))
       .withColumn("zscore",
