@@ -330,6 +330,37 @@ object EventAnalytics {
         .orderBy("k_bucket")
     },
 
+    // ---- F5: context window around an anchor timestamp -------------------
+    sql("ev_context_window",
+      """SELECT event_id, event_type, value
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' - INTERVAL 600 SECOND
+        |             AND TIMESTAMP '2024-01-02 00:00:00' + INTERVAL 600 SECOND
+        |ORDER BY event_id
+        |LIMIT 200""") { (s, dir) =>
+      val anchor = lit("2024-01-02 00:00:00").cast("timestamp")
+      ev(s, dir)
+        .filter(col("ts").between(anchor - expr("INTERVAL 600 SECONDS"),
+          anchor + expr("INTERVAL 600 SECONDS")))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(200)
+    },
+
+    // ---- F4: recent similar events (LIKE + recency top-k) ----------------
+    sql("ev_similar_recent",
+      """SELECT event_id, event_type, value
+        |FROM events
+        |WHERE event_type LIKE '%err%'
+        |ORDER BY event_id DESC
+        |LIMIT 10""") { (s, dir) =>
+      ev(s, dir)
+        .filter(col("event_type").like("%err%"))
+        .select("event_id", "event_type", "value")
+        .orderBy(col("event_id").desc)
+        .limit(10)
+    },
+
     // ---- F1-F4 composite: conjunctive filter + LIKE + top-k --------------
     sql("ev_filter_search",
       """SELECT event_id, user_id, event_type, value

@@ -98,6 +98,37 @@ object Chunker {
     split(text, 0)
   }
 
+  /** Forced-recovery chunking (forced_recovery/chunk_logs.py:26-69): each
+    * chunk runs from a trigger event to the first MasterRecoveryState
+    * StatusCode=14 (fully_recovered) after it, flagged complete/incomplete,
+    * carrying the trigger's Comment. Events before the first trigger are
+    * outside any chunk. */
+  def forcedRecoveryChunks(events: DataFrame,
+      isTrigger: Column): DataFrame = {
+    val w = Window.orderBy("event_id")
+    val isEnd = col("event") === "MasterRecoveryState" &&
+      element_at(col("fields"), "StatusCode") === "14"
+    val grouped = events
+      .withColumn("is_trigger", when(isTrigger, 1).otherwise(0))
+      .withColumn("chunk_id", sum(col("is_trigger"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("chunk_id") >= 1)
+      .withColumn("end_id",
+        min(when(isEnd, col("event_id")))
+          .over(Window.partitionBy("chunk_id")))
+      .filter(col("end_id").isNull || col("event_id") <= col("end_id"))
+    grouped
+      .groupBy("chunk_id")
+      .agg(
+        min(col("ts")).as("start_time"),
+        max(col("ts")).as("end_time"),
+        count(lit(1)).as("event_count"),
+        max(col("end_id")).isNotNull.as("complete"),
+        max(when(col("is_trigger") === 1,
+          element_at(col("fields"), "Comment"))).as("start_comment"))
+      .orderBy("chunk_id")
+  }
+
   private val splitUdf =
     udf((s: String, size: Int, overlap: Int) =>
       if (s == null) Seq.empty[String] else splitText(s, size, overlap))

@@ -59,6 +59,31 @@ object TraceReader {
   /** Format dispatch (S4): `.xml` suffix → XML, else JSON/plaintext. */
   def read(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".xml")) xml(spark, path) else jsonLines(spark, path)
+
+  /** Normalized-EventModel re-loader (S5, tools/parser.py:91-126): a JSON
+    * array of already-normalized events with ISO timestamps and
+    * raw_json/fields_json as either nested objects or stringified JSON —
+    * a StringType schema captures both forms (objects arrive as their
+    * JSON text), then from_json rebuilds the maps. */
+  def normalizedJson(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", StringType),
+      StructField("severity", IntegerType), StructField("event", StringType),
+      StructField("process", StringType), StructField("role", StringType),
+      StructField("pid", IntegerType), StructField("machine_id", StringType),
+      StructField("address", StringType), StructField("trace_file", StringType),
+      StructField("src_line", IntegerType), StructField("raw_json", StringType),
+      StructField("fields_json", StringType)))
+    val mapType = MapType(StringType, StringType)
+    spark.read.schema(schema).option("multiLine", "true").json(path)
+      .withColumn("ts",
+        to_timestamp(regexp_replace(col("ts"), "Z$", "")))
+      .withColumn("fields",
+        coalesce(from_json(col("fields_json"), mapType), map()))
+      .withColumn("raw",
+        coalesce(from_json(col("raw_json"), mapType), map()))
+      .drop("raw_json", "fields_json")
+  }
 }
 
 /** Normalization of attribute bags into the typed event schema
