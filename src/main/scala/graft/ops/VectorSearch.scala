@@ -40,25 +40,35 @@ object VectorSearch {
         bucketId(col(vecCol), hyperplanes(dim, bits, seed + t)))
     }
 
+  /** (table_index, bucket) pairs exploded to one row per table — bucket
+    * joins across ALL tables become a single equi-join on (tbl, bucket)
+    * instead of `tables` separate self-joins (one shuffle, not N). */
+  def explodedBuckets(df: DataFrame, vecCol: String, dim: Int, bits: Int,
+      tables: Int, seed: Long): DataFrame =
+    withBuckets(df, vecCol, dim, bits, tables, seed)
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), col(s"bucket_t$t").as("bucket"))): _*)))
+      .withColumn("tbl", col("tb.tbl"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb" +: (0 until tables).map(t => s"bucket_t$t"): _*)
+
   /** ANN top-k: candidates = same bucket in any table, re-ranked by exact
     * cosine. Recall grows with `tables`, cost shrinks with `bits`. */
   def annCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 10, bits: Int = 10,
       tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val c = withBuckets(corpus, vecCol, dim, bits, tables, seed)
+    val c = explodedBuckets(corpus, vecCol, dim, bits, tables, seed)
       .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
-    val q = withBuckets(queries, vecCol, dim, bits, tables, seed)
+    val q = explodedBuckets(queries, vecCol, dim, bits, tables, seed)
       .withColumn("qnrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
-      .select(Seq(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        col("qnrm")) ++ (0 until tables).map(t =>
-        col(s"bucket_t$t").as(s"qbucket_t$t")): _*)
-    // union of per-table bucket joins, deduped on (query, candidate)
-    val candidates = (0 until tables).map { t =>
-      c.join(q, col(s"bucket_t$t") === col(s"qbucket_t$t") &&
-        col(idCol) =!= col("query_id"))
-        .select(col("query_id"), col("qvec"), col("qnrm"),
-          col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("nrm"))
-    }.reduce(_ unionAll _).dropDuplicates("query_id", "neighbor_id")
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col("qnrm"), col("tbl"), col("bucket"))
+    val candidates = c
+      .join(q, Seq("tbl", "bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates

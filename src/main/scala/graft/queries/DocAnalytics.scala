@@ -214,18 +214,22 @@ object DocAnalytics {
         min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
       val sig = sh.groupBy("doc_id")
         .agg(minCols.head, minCols.tail: _*)
-      val banded = sig.select(
-        col("doc_id") +: (0 until 4).map(k =>
-          md5(concat(col(s"m${4 * k}"), col(s"m${4 * k + 1}"),
-            col(s"m${4 * k + 2}"), col(s"m${4 * k + 3}"))).as(s"b$k")): _*)
-        .cache()
-      val pairs = (0 until 4).map { k =>
-        val a = banded.select(col("doc_id").as("doc_a"), col(s"b$k").as("bh"))
-        val b = banded.select(col("doc_id").as("doc_b"), col(s"b$k").as("bh"))
-        a.join(b, "bh").filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-      }.reduce(_ union _).distinct()
-      pairs.orderBy("doc_a", "doc_b")
+      // explode (band_index, band_hash) so all 4 band joins collapse into
+      // one equi-join on (band, hash) — a single shuffle at any scale
+      val banded = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            md5(concat(col(s"m${4 * k}"), col(s"m${4 * k + 1}"),
+              col(s"m${4 * k + 2}"), col(s"m${4 * k + 3}"))).as("bh"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+        .cache() // tiny (docs × 4 rows); both sides of the self-join reuse it
+      val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+      a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
