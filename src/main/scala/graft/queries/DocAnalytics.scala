@@ -162,7 +162,11 @@ object DocAnalytics {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
         |ORDER BY doc_a, doc_b""") { (s, dir) =>
-      val sh = shingled(s, dir).cache()
+      // join on xxhash64(shingle) — same pair counts (64-bit collisions
+      // negligible), ~3× narrower shuffle than the raw shingle strings
+      val sh = shingled(s, dir)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        .cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))

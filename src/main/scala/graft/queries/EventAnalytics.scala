@@ -330,6 +330,25 @@ object EventAnalytics {
         .orderBy("k_bucket")
     },
 
+    // ---- A6/A16: exact interpolated percentiles per type -----------------
+    // Spark `percentile` and DuckDB `quantile_cont` both linearly
+    // interpolate over the sorted values; rounded to 6dp to absorb any
+    // last-ulp interpolation differences.
+    sql("ev_percentiles",
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"))
+        .orderBy("event_type")
+    },
+
     // ---- F5: context window around an anchor timestamp -------------------
     sql("ev_context_window",
       """SELECT event_id, event_type, value

@@ -187,6 +187,46 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ---- TPC-H Q17 shape: per-key scalar aggregate feeding a filter ------
+    sql("q11_small_quantity_revenue",
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS half_avg
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity < half_avg""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey").as("pk"))
+        .agg((lit(0.5) * (sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)))).as("half_avg"))
+      li.join(pa, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+    },
+
+    // ---- ranking + offset windows together -------------------------------
+    sql("q12_price_rank_lag",
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS size_rank,
+        |  LAG(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS prev_price
+        |FROM part
+        |WHERE p_size <= 10
+        |ORDER BY p_brand, p_partkey""") { (s, dir) =>
+      val bySize = Window.partitionBy("p_brand").orderBy("p_size")
+      val byKey = Window.partitionBy("p_brand").orderBy("p_partkey")
+      t(s, dir, "part")
+        .filter(col("p_size") <= 10)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          dense_rank().over(bySize).as("size_rank"),
+          lag(col("p_retailprice"), 1).over(byKey).as("prev_price"))
+        .orderBy("p_brand", "p_partkey")
+    },
+
     // ---- 4-way join: lineitem⋈orders (shuffle) + 2 broadcast dims --------
     sql("q10_volume_by_region",
       """SELECT r_name,
