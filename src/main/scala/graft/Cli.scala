@@ -14,17 +14,19 @@ import graft.trace._
   */
 object Cli {
 
-  val Tables = Seq("events", "event_metrics", "events_wide", "processes",
-    "process_roles")
-
   case class Ctx(spark: SparkSession, store: String) {
     def path(t: String) = s"$store/$t"
     def read(t: String): DataFrame = spark.read.parquet(path(t))
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(path(t))
-    def registerAll(): Unit = Tables.foreach { t =>
-      if (new java.io.File(path(t)).exists())
-        read(t).createOrReplaceTempView(t)
+    /** Register every materialized table in the store as a view — whatever
+      * load/rollup/chunk wrote (events, event_metrics, metric_baselines,
+      * rollups_{N}s, chunks, ...), so `query`/`export` SQL can reach it. */
+    def registerAll(): Unit = {
+      val dirs = Option(new java.io.File(store).listFiles()).getOrElse(Array())
+      dirs.filter(d => d.isDirectory &&
+          new java.io.File(d, "_SUCCESS").exists())
+        .foreach(d => read(d.getName).createOrReplaceTempView(d.getName))
     }
   }
 
@@ -101,8 +103,7 @@ object Cli {
 
   private def parse(ctx: Ctx, args: Seq[String]): Unit = {
     val limit = opt(args, "--limit").map(_.toInt).getOrElse(10)
-    val path = args.filterNot(_.startsWith("--"))
-      .filterNot(a => opt(args, "--limit").contains(a)).headOption
+    val path = positionals(args, Set("--limit")).headOption
       .getOrElse(sys.error("parse requires a path"))
     TraceEvents.load(ctx.spark, path).show(limit, truncate = false)
   }

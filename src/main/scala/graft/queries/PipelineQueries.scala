@@ -38,8 +38,10 @@ object PipelineQueries {
 
     // ---- BPE-ish token accounting per source, full oracle ----------------
     sql("doc_bpe_tokens",
+      // NB: DuckDB single-quoted literals do not process backslash escapes
+      // — the pattern goes in verbatim, exactly as Spark's regex sees it.
       s"""SELECT source,
-        |  SUM(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern.replace("\\", "\\\\")}'))) AS total_bpeish_tokens,
+        |  SUM(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) AS total_bpeish_tokens,
         |  SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS total_estimate
         |FROM documents
         |GROUP BY source
@@ -71,9 +73,14 @@ object PipelineQueries {
         .filter(col("sig_a") <= col("sig_b"))
         .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
         .filter(col("hamming") <= 3)
+      // docs attach to either signature side — normalize pair orientation
+      // with least/greatest so id order never fights signature order
       a.join(nearSigs, "sig_a").join(b, "sig_b")
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "hamming")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+          col("hamming"))
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 

@@ -31,8 +31,6 @@ object Chunker {
       .withColumn("chunk_id",
         coalesce(sum(col("is_marker"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-    val maxMarker = marked.agg(max(
-      when(col("is_marker") === 1, col("chunk_id"))).as("last_closed"))
     marked
       .groupBy("chunk_id")
       .agg(
@@ -43,10 +41,9 @@ object Chunker {
         concat_ws("\n", transform(
           array_sort(collect_list(struct(col("event_id"), col("line")))),
           s => s.getField("line"))).as("chunk_content"))
-      .crossJoin(broadcast(maxMarker))
       .withColumn("chunk_type",
         when(col("has_marker") === 1, "pre-recovery").otherwise("final_chunk"))
-      .drop("has_marker", "last_closed")
+      .drop("has_marker")
       .orderBy("chunk_id")
   }
 

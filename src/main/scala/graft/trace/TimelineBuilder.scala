@@ -39,10 +39,10 @@ object TimelineBuilder {
       .agg(min(col("ts")).as("first_recovery_ts"))
 
     def rel(c: Column): Column =
-      when(c.isNotNull, concat(lit("+"),
-        format_number(
-          (unix_timestamp(c) - unix_timestamp(col("start_ts"))).cast("double"),
-          1), lit("s")))
+      // format_string, not format_number: no thousands separators — the
+      // reference renders f"+{x:.1f}s" (timeline_builder.py:46-48)
+      when(c.isNotNull, format_string("+%.1fs",
+        (unix_timestamp(c) - unix_timestamp(col("start_ts"))).cast("double")))
 
     start
       .crossJoin(firstSevere).crossJoin(lag100k).crossJoin(lag1m)

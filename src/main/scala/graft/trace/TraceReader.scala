@@ -25,9 +25,11 @@ object TraceReader {
   private val attrPattern = """([\w.]+)="([^"]*)""""
 
   /** Provenance: file + a read-order id. monotonically_increasing_id on a
-    * fresh text scan ascends with (partition, row) and text partitions
-    * follow (file, offset) — so sorting by it reproduces file/line order
-    * without any shuffle. */
+    * fresh text scan ascends with (partition, row); within a single split
+    * that is line order. NOTE Spark packs splits by size (descending), not
+    * by file name — so read_order alone is only file-ordered for
+    * single-split files; cross-file ordering must come from (src_file,
+    * event time), which normalize() uses for stable ids. */
   private def withProvenance(lines: DataFrame): DataFrame =
     lines
       .withColumn("src_file", input_file_name())
@@ -105,17 +107,24 @@ object TraceEvents {
 
   /** attrs bag → typed envelope + `fields` payload map + original bag.
     *
-    * event_id is assigned per file/line order via the reader's read_order.
-    * `stableIds=false` (default) uses read_order directly — unique and
-    * order-consistent with the input, no shuffle: the 100 TB path.
-    * `stableIds=true` mirrors the reference's contiguous 1-based ids
-    * (tools/storage.py:88) via a global row_number — one sort, used for
-    * parity tests. */
+    * event_id assignment:
+    *  - `stableIds=false` (default): read_order as-is — unique, no
+    *    shuffle, line-ordered within each split: the 100 TB path where
+    *    ids only need uniqueness (ties broken by ts downstream).
+    *  - `stableIds=true`: contiguous 1-based ids like the reference
+    *    (tools/storage.py:88) via one global sort on (src_file, intra-file
+    *    Time, read_order). File name ordering matches FDB rollover naming
+    *    (zero-padded sequence parts); the fractional-seconds Time attr
+    *    orders lines within a file even when Spark's size-sorted split
+    *    packing scatters a file across partitions. */
   def normalize(bags: DataFrame, stableIds: Boolean = false): DataFrame = {
     val withId =
       if (stableIds)
         bags.withColumn("event_id",
-          row_number().over(Window.orderBy("read_order")).cast("long"))
+          row_number().over(Window.orderBy(
+            col("src_file"),
+            element_at(col("attrs"), "Time").cast("double").asc_nulls_last,
+            col("read_order"))).cast("long"))
       else bags.withColumn("event_id", col("read_order"))
     withId.select(
       col("event_id"),
