@@ -29,6 +29,10 @@ object TextAnalysis {
 
     def detect(text: String): String = {
       if (text == null || text.isEmpty) return "unknown"
+      // CJK scripts identify by character range, not stopwords
+      val cjk = text.count(c =>
+        Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)
+      if (cjk * 4 >= text.length) return "zh"
       val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
       if (toks.isEmpty) return "unknown"
       val scores = Profiles.map { case (lang, (stops, chars)) =>

@@ -330,6 +330,29 @@ object EventAnalytics {
         .orderBy("k_bucket")
     },
 
+    // ---- skew pattern: salted two-phase aggregation ----------------------
+    // Same result as a plain GROUP BY (the oracle), but the heavy phase
+    // aggregates on (user_id, salt) so one hot user spreads over 8
+    // reducers before the cheap final combine — the standard mitigation
+    // when a key dominates the stream.
+    sql("ev_salted_user_totals",
+      """SELECT user_id, SUM(n) AS n_events,
+        |  CAST(SUM(sum_dec) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT user_id, event_id % 8 AS salt, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+        |  FROM events GROUP BY 1, 2)
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), (col("event_id") % 8).as("salt"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_dec"))
+        .groupBy("user_id")
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sum_dec")).cast("double").as("total_value"))
+        .orderBy("user_id")
+    },
+
     // ---- A6/A16: exact interpolated percentiles per type -----------------
     // Spark `percentile` and DuckDB `quantile_cont` both linearly
     // interpolate over the sorted values; rounded to 6dp to absorb any
