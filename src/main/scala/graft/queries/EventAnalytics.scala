@@ -330,6 +330,28 @@ object EventAnalytics {
         .orderBy("k_bucket")
     },
 
+    // ---- EWMA via the native running-frame window function ---------------
+    // ewma_t = 0.3·x_t + 0.7·ewma_{t−1} per user in event order; the
+    // oracle folds the same recurrence with list_reduce. (EWMA is promised
+    // but unimplemented in the reference — parity-plus.)
+    sql("ev_ewma_by_user",
+      """SELECT user_id, n_events, ROUND(ewma, 6) AS ewma FROM (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list_reduce(list(value ORDER BY event_id),
+        |                (acc, x) -> 0.3*x + 0.7*acc) AS ewma
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""") { (s, dir) =>
+      graft.functions.Ewma.register(s)
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          graft.functions.Ewma.ewma(col("value"), 0.3).over(w).as("e"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(max_by(col("e"), col("event_id")), 6).as("ewma"))
+        .orderBy("user_id")
+    },
+
     // ---- skew pattern: salted two-phase aggregation ----------------------
     // Same result as a plain GROUP BY (the oracle), but the heavy phase
     // aggregates on (user_id, salt) so one hot user spreads over 8
