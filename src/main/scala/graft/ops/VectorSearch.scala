@@ -57,10 +57,15 @@ object VectorSearch {
   def annCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 10, bits: Int = 10,
       tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val c = explodedBuckets(corpus, vecCol, dim, bits, tables, seed)
-      .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
-    val q = explodedBuckets(queries, vecCol, dim, bits, tables, seed)
-      .withColumn("qnrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+    // norms BEFORE the bucket explode — once per vector, not once per table
+    val c = explodedBuckets(
+      corpus.withColumn("nrm",
+        sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol)))),
+      vecCol, dim, bits, tables, seed)
+    val q = explodedBuckets(
+      queries.withColumn("qnrm",
+        sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol)))),
+      vecCol, dim, bits, tables, seed)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         col("qnrm"), col("tbl"), col("bucket"))
     val candidates = c

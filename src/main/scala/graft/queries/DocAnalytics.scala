@@ -29,7 +29,6 @@ object DocAnalytics {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("w", split(col("text"), " "))
-      .withColumn("n_shingles", greatest(size(col("w")) - 2, lit(1)))
       .select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"

@@ -223,8 +223,8 @@ object EventAnalytics {
     },
 
     // ---- W1: sequential drop detection, partitioned by user --------------
-    // "value < half of the previous value for the same user" — the lag
-    // carries the immediately preceding row per user in event order.
+    // flag rows collapsing below 10% of the previous value for the same
+    // user — the lag carries the immediately preceding row in event order.
     sql("ev_value_drops",
       """SELECT user_id, event_id, value, prev_value FROM (
         |  SELECT user_id, event_id, value,

@@ -62,13 +62,15 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("sig"))
       val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      // 16-bit signature space → group by signature first (exact-match
-      // buckets), then near pairs via bucket×bucket Hamming join on the
-      // distinct signatures (bounded by distinct signatures — bounded at any corpus size).
-      val sigCounts = sigs.groupBy("sig")
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
-      val sa = sigCounts.select(col("sig").as("sig_a"), col("n").as("na"))
-      val sb = sigCounts.select(col("sig").as("sig_b"), col("n").as("nb"))
+      // Hamming join over DISTINCT 32-bit signatures. NOTE this is only
+      // cheap while distinct signatures ≪ corpus (duplicate-heavy data);
+      // at general 100 TB scale the banding trick applies here too —
+      // split the signature into 4 bytes, bucket-join on any equal byte
+      // (Hamming ≤3 ⇒ ≥1 byte equal) — see doc_minhash_lsh for the
+      // pattern. Kept direct here as the verification form.
+      val distinctSigs = sigs.select("sig").distinct()
+      val sa = distinctSigs.select(col("sig").as("sig_a"))
+      val sb = distinctSigs.select(col("sig").as("sig_b"))
       val nearSigs = sa.crossJoin(sb)
         .filter(col("sig_a") <= col("sig_b"))
         .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))

@@ -26,17 +26,12 @@ object QueryDef {
     QueryDef(name, run, None)
 
   // ---- cross-engine determinism helpers ------------------------------------
-
-  /** Exact sum: accumulate as decimal (exact for 2-dp inputs), emit double.
-    * Both engines produce the identical double. Mirror in DuckDB with
-    * CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE). */
-  def dsum(c: Column): Column = sum(c.cast("decimal(27,6)")).cast("double")
-
-  /** Exact mean: exact decimal sum divided by count, all in double at the
-    * end — deterministic across engines. DuckDB mirror:
-    * CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(x). */
-  def davg(c: Column): Column =
-    sum(c.cast("decimal(27,6)")).cast("double") / count(c)
+  // Float aggregates: accumulate as DECIMAL(18,2) (exact for the 2-dp
+  // testdata) and cast the RESULT to double — both engines produce the
+  // identical double, order-independently. The query suites inline
+  // `c.cast("decimal(18,2)")` ↔ `CAST(x AS DECIMAL(18,2))`; keep any new
+  // query on that same pattern. Stddev/z-scores: compute from exact power
+  // sums (see EventAnalytics.stddevFromSums), never stddev_samp.
 
   /** Timestamp floored to whole epoch seconds as BIGINT. The events table
     * has nanosecond timestamps which Spark truncates to micros but DuckDB

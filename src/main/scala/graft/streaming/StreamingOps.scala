@@ -20,12 +20,14 @@ object StreamingOps {
       watermark: String = "2 minutes"): DataFrame =
     metrics
       .withWatermark("ts", watermark)
-      .groupBy(
-        window(col("ts"), s"$intervalSeconds seconds").getField("start")
-          .as("window_start"),
+      // group by the window STRUCT (it carries the event-time/watermark
+      // metadata append mode needs); project .start only afterwards
+      .groupBy(window(col("ts"), s"$intervalSeconds seconds"),
         col("role"), col("metric_name"))
       .agg(count(lit(1)).as("n"), avg(col("metric_value")).as("avg"),
         max(col("metric_value")).as("max"))
+      .select(col("window.start").as("window_start"), col("role"),
+        col("metric_name"), col("n"), col("avg"), col("max"))
 
   /** Session windows per key with a gap — the streaming twin of the
     * gaps-and-islands episode clustering (W5). */

@@ -130,8 +130,9 @@ object Chunker {
     udf((s: String, size: Int, overlap: Int) =>
       if (s == null) Seq.empty[String] else splitText(s, size, overlap))
 
-  /** Explode chunk rows into ≤chunkSize character sub-chunks with overlap
-    * and a global chunk index (chunker.py:46-56). */
+  /** Explode chunk rows into ≤chunkSize character sub-chunks with overlap,
+    * a per-parent piece index, and the reference's GLOBAL chunk_index over
+    * the full split output (chunker.py:46-56). */
   def splitChunks(chunks: DataFrame, chunkSize: Int = 500,
       overlap: Int = 100): DataFrame =
     chunks
@@ -141,4 +142,6 @@ object Chunker {
           lit(overlap))).as(Seq("piece_index", "content")))
       .withColumn("chunk_uid",
         concat(col("chunk_id"), lit("-"), col("piece_index")))
+      .withColumn("chunk_index",
+        row_number().over(Window.orderBy("chunk_id", "piece_index")) - 1)
 }

@@ -13,6 +13,12 @@ object GlobalScanner {
 
   private def f(k: String): Column = element_at(col("fields"), k)
 
+  /** Guarded integral cast: malformed payload values (torn rollover
+    * lines) become null instead of aborting the query under Spark 4's
+    * ANSI-default CAST. */
+  private def tryLong(c: Column): Column =
+    when(c.rlike("^[+-]?\\d+$"), c.cast("long"))
+
   /** Epoch-floored bucket (FLOOR(EXTRACT(EPOCH ...)/N)*N). */
   def bucket(c: Column, seconds: Int): Column =
     (floor(unix_timestamp(c) / seconds) * seconds).cast("long")
@@ -96,8 +102,8 @@ object GlobalScanner {
   def versionDrops(events: DataFrame): DataFrame = {
     val w = Window.orderBy("ts", "event_id")
     val versioned = events
-      .withColumn("cv", f("CommittedVersion").cast("long"))
-      .withColumn("dv", f("DurableVersion").cast("long"))
+      .withColumn("cv", tryLong(f("CommittedVersion")))
+      .withColumn("dv", tryLong(f("DurableVersion")))
       .filter(col("cv").isNotNull || col("dv").isNotNull)
       .select(col("ts"), col("event_id"), col("event"), col("cv"), col("dv"))
       .withColumn("prev_cv", prevNonNull(col("cv"), w))
@@ -124,7 +130,7 @@ object GlobalScanner {
   def versionResets(events: DataFrame): DataFrame = {
     val w = Window.orderBy("ts", "event_id")
     events
-      .withColumn("cv", f("CommittedVersion").cast("long"))
+      .withColumn("cv", tryLong(f("CommittedVersion")))
       .filter(col("cv").isNotNull)
       .select(col("ts"), col("event_id"), col("event"), col("cv"))
       .withColumn("prev_cv", prevNonNull(col("cv"), w))
@@ -139,7 +145,7 @@ object GlobalScanner {
     val w = Window.orderBy("ts", "event_id")
     events
       .filter(col("event") === "RecoveryState")
-      .withColumn("rv", f("RecoveryVersion").cast("long"))
+      .withColumn("rv", tryLong(f("RecoveryVersion")))
       .filter(col("rv").isNotNull)
       .select(col("ts"), col("event_id"), col("event"), col("rv"))
       .withColumn("prev_rv", prevNonNull(col("rv"), w))

@@ -98,7 +98,11 @@ object Investigation {
       .withColumn("rk", row_number().over(w))
     val tops = typed.filter(col("rk") <= topTypes)
       .groupBy("bucket")
-      .agg(concat_ws(",", collect_list(col("event"))).as("top_events"))
+      // collect_list order is unspecified — sort by rank before joining
+      // so top_events is deterministic and count-descending
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("rk"), col("event")))),
+        s => s.getField("event"))).as("top_events"))
     events.filter(col("ts").isNotNull)
       .groupBy(GlobalScanner.bucket(col("ts"), intervalSeconds).as("bucket"))
       .agg(count(lit(1)).as("n_events"),

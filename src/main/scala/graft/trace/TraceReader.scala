@@ -123,7 +123,12 @@ object TraceEvents {
         bags.withColumn("event_id",
           row_number().over(Window.orderBy(
             col("src_file"),
-            element_at(col("attrs"), "Time").cast("double").asc_nulls_last,
+            // numeric-guarded: a torn Time token must not abort the load
+            // under ANSI-default CAST — it just sorts last in its file
+            when(element_at(col("attrs"), "Time")
+                .rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+              element_at(col("attrs"), "Time").cast("double"))
+              .asc_nulls_last,
             col("read_order"))).cast("long"))
       else bags.withColumn("event_id", col("read_order"))
     withId.select(

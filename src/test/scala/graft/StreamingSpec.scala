@@ -47,6 +47,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 3)
   }
 
+  test("rollup stream finalizes windows in append mode via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String, Double)]
+    val metrics = input.toDF().toDF("ts", "role", "metric_name", "metric_value")
+    val q = StreamingOps.rollupStream(metrics, 60, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("rollup_append")
+      .outputMode(OutputMode.Append).start()
+    input.addData((ts("2025-01-01 00:00:10"), "SS", "Lag", 100.0))
+    q.processAllAvailable()
+    // window not finalized yet — watermark hasn't passed its end
+    assert(spark.table("rollup_append").count() === 0)
+    // an event 10 minutes later advances the watermark past the window
+    input.addData((ts("2025-01-01 00:10:00"), "SS", "Lag", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("rollup_append").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n") === 1L)
+    assert(out(0).getAs[Timestamp]("window_start").toString
+      .startsWith("2025-01-01 00:00:00"))
+  }
+
   test("session windows cluster by gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Int)]
