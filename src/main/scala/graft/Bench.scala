@@ -10,16 +10,26 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
 
     def exec(name: String): Long =
-      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => -1L }
+      try {
+        val n = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.toRdd.count()
+        // some queries cache intermediates; drop them so 60+ queries in
+        // one JVM don't accumulate storage memory and skew later timings
+        spark.catalog.clearCache()
+        n
+      } catch { case _: Throwable => -1L }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(exec) // warm-up: codegen + JIT + file listing
-    val results = names.map { name =>
+    def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       exec(name)
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    // two timed passes, report the per-query minimum — local-mode wall
+    // times on shared hardware are noisy and min is the robust statistic
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
