@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication library for document corpora: exact, normalized
+  * fingerprint, word-shingle Jaccard, and MinHash-LSH. All hashing is
+  * md5/xxhash based — deterministic under any partitioning and
+  * reproducible across engines. The registered doc_* queries are thin
+  * wrappers over these.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per doc; short docs yield one shingle
+    * of the whole text. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
+        ))).as("shingle"))
+
+  /** Exact dedup: groups by content hash, keeps the minimum id as the
+    * representative. Returns (content_hash, n_docs, keep_id). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Whitespace/case-normalized fingerprint groups. */
+  def fingerprintGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+      .as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"),
+        max(col(idCol)).as("last_id"))
+
+  /** Exact pairwise shingle-Jaccard ≥ threshold. The shingle self-join
+    * keys on xxhash64 (narrow shuffle); the verification path — at broad
+    * scale run minhashCandidates first and verify only candidates. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: `hashes` md5-seeded min-hashes per doc. */
+  def minhashSignatures(sh: DataFrame, hashes: Int = 16): DataFrame = {
+    val minCols = (0 until hashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH banding of signatures: rows → (doc_id, band, band_hash). */
+  def bands(sig: DataFrame, bandCount: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array((0 until bandCount).map { k =>
+        val cols = (0 until rowsPerBand)
+          .map(r => col(s"m${rowsPerBand * k + r}"))
+        struct(lit(k).as("band"), md5(concat(cols: _*)).as("bh"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket. One
+    * equi-join on (band, hash) — the 100 TB dedup path. */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", hashes: Int = 16, bandCount: Int = 4):
+      DataFrame = {
+    val banded = bands(
+      minhashSignatures(shingles(docs, idCol, textCol), hashes),
+      bandCount, hashes / bandCount).cache()
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** End-to-end near-dup dedup at scale: LSH candidates, exact-Jaccard
+    * verification of candidates only, then keep-min representatives.
+    * Returns the deduplicated corpus. */
+  def nearDedup(docs: DataFrame, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol)
+    val sh = shingles(docs, idCol, textCol)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val verified = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+        >= threshold)
+    // drop the higher id of every verified pair
+    docs.join(verified.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+}

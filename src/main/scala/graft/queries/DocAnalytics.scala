@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -24,17 +23,7 @@ object DocAnalytics {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Word 3-gram shingles, distinct, as in the dedup literature; short
-    * docs (<3 words) yield one shingle of the whole text. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
-        ))).as("shingle"))
-
-  /** DuckDB twin of `shingled` as a CTE body. */
+  /** DuckDB twin of graft.ops.Dedup.shingles as a CTE body. */
   private val shingleSql =
     """SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, greatest(len(w)-1, 2)),
@@ -118,10 +107,7 @@ object DocAnalytics {
         |FROM documents
         |GROUP BY 1
         |ORDER BY content_hash""") { (s, dir) =>
-      docs(s, dir)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
-        .orderBy("content_hash")
+      graft.ops.Dedup.exactGroups(docs(s, dir)).orderBy("content_hash")
     },
 
     // ---- normalized fingerprint dedup (whitespace/case-insensitive) ------
@@ -132,11 +118,7 @@ object DocAnalytics {
         |GROUP BY 1
         |HAVING COUNT(*) > 1 OR MIN(doc_id) % 50 = 0
         |ORDER BY fingerprint""") { (s, dir) =>
-      docs(s, dir)
-        .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
-          .as("fingerprint"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
-          max(col("doc_id")).as("last_id"))
+      graft.ops.Dedup.fingerprintGroups(docs(s, dir))
         .filter(col("n_docs") > 1 || col("keep_id") % 50 === 0)
         .orderBy("fingerprint")
     },
@@ -161,27 +143,7 @@ object DocAnalytics {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
         |ORDER BY doc_a, doc_b""") { (s, dir) =>
-      // join on xxhash64(shingle) — same pair counts (64-bit collisions
-      // negligible), ~3× narrower shuffle than the raw shingle strings
-      val sh = shingled(s, dir)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-        .cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val common = a.join(b, Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard",
-          col("c").cast("double") / (col("na") + col("nb") - col("c")))
-        .filter(col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "jaccard")
+      graft.ops.Dedup.jaccardPairs(docs(s, dir), 0.8)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -212,26 +174,7 @@ object DocAnalytics {
         |)
         |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
-      val sh = shingled(s, dir)
-      val minCols = (0 until 16).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
-      val sig = sh.groupBy("doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-      // explode (band_index, band_hash) so all 4 band joins collapse into
-      // one equi-join on (band, hash) — a single shuffle at any scale
-      val banded = sig.select(col("doc_id"),
-        explode(array((0 until 4).map(k =>
-          struct(lit(k).as("band"),
-            md5(concat(col(s"m${4 * k}"), col(s"m${4 * k + 1}"),
-              col(s"m${4 * k + 2}"), col(s"m${4 * k + 3}"))).as("bh"))): _*))
-          .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-        .cache() // tiny (docs × 4 rows); both sides of the self-join reuse it
-      val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
-      a.join(b, Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      graft.ops.Dedup.minhashCandidates(docs(s, dir))
         .orderBy("doc_a", "doc_b")
     }
   )

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** End-to-end near-dedup on the documents fixture + the extensions
+  * entry point. */
+class DedupSpec extends SparkSpec {
+
+  test("nearDedup removes exactly the verified near-duplicates") {
+    val docs = Tables(spark, sf(""), "documents").cache()
+    val n = docs.count()
+    val pairs = Dedup.jaccardPairs(docs, 0.8).cache()
+    val dupIds = pairs.select(col("doc_b")).distinct().count()
+    assert(pairs.count() > 0) // the generator plants near-dups at every sf
+    val deduped = Dedup.nearDedup(docs, 0.8)
+    assert(deduped.count() === n - dupIds)
+    // representatives (min ids of each pair) survive
+    val keepIds = pairs.agg(min(col("doc_a"))).first().getLong(0)
+    assert(deduped.filter(col("doc_id") === keepIds).count() === 1)
+  }
+
+  test("LSH candidates cover all true Jaccard pairs (recall 1.0 here)") {
+    val docs = Tables(spark, sf(""), "documents")
+    val truth = Dedup.jaccardPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cands),
+      s"missed: ${(truth -- cands).take(5)}")
+  }
+
+  test("GraftExtensions registers native functions at session build") {
+    spark.sparkContext // ensure the shared context exists first
+    // getOrCreate would hand back the active session (whose extensions are
+    // fixed); clear it so a NEW session is built over the same context
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions: the conf-based form (spark.sql.extensions) is only
+    // read when the SparkContext itself is created, which the shared
+    // suite context already was
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val r = s2.sql(
+        """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+          |       rolling_hash('abc') AS h""".stripMargin).first()
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getLong(1) === graft.functions.RollingHash.hash("abc"))
+      val e = s2.sql(
+        "SELECT graft_ewma(x, 0.5) OVER (ORDER BY i) AS e FROM VALUES (1, 2.0), (2, 4.0) AS t(i, x)")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(e === Seq(2.0, 3.0))
+    } finally {
+      // restore the shared suite session (do NOT stop the context)
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
