@@ -36,6 +36,13 @@ class StoreSpec extends SparkSpec {
     assert(narrow.count() < ranged.count())
   }
 
+  test("driver contract: entry returns rows; every query has a runner") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.nonEmpty)
+    // every oracle key corresponds to a registered query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("langid: CJK routing") {
     import graft.ops.TextAnalysis
     assert(TextAnalysis.LangId.detect("今天天气很好我们去公园散步吧") === "zh")
