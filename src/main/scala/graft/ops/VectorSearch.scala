@@ -85,6 +85,92 @@ object VectorSearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  // ---- IVF (inverted-file) variant ---------------------------------------
+
+  /** Deterministic k-means coarse quantizer: seeds are the k corpus
+    * vectors with the smallest xxhash64(id) (reproducible "random"
+    * sample), refined by `iters` Lloyd steps. Centroids are collected to
+    * the driver each step — k×dim doubles, intentionally tiny — and
+    * broadcast back for assignment. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 2): Array[(Int, Array[Double])] = {
+    import org.apache.spark.sql.Row
+    var centroids: Array[(Int, Array[Double])] = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(k)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Double](0).toArray
+      }
+    (1 to iters).foreach { _ =>
+      val assigned = assign(corpus, vecCol, centroids)
+      val next = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), expr("transform(pm, s -> s.m)").as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      if (next.nonEmpty) centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment via a broadcast literal centroid array —
+    * no shuffle of the corpus. */
+  private def assign(df: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(lit(cid).as("cid"),
+        GraftFunctions.dotProduct(col(vecCol),
+          array(c.map(lit(_)): _*)).as("d"))
+    }
+    // pick the centroid with max dot product (cosine order for
+    // near-unit-norm centroids)
+    df.withColumn("best",
+        aggregate(array(scored: _*),
+          struct(lit(-1).as("cid"), lit(Double.MinValue).as("d")),
+          (acc, s) => when(s.getField("d") > acc.getField("d"), s)
+            .otherwise(acc)))
+      .withColumn("cid", col("best.cid"))
+      .drop("best")
+  }
+
+  /** IVF ANN: assign corpus once, probe the `nprobe` nearest cells per
+    * query, exact-rerank only those cells' members. Candidate volume ≈
+    * nprobe/k of the corpus instead of all of it. */
+  def ivfCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nCells: Int = 16, nprobe: Int = 3,
+      iters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val indexed = assign(corpus, vecCol, centroids)
+      .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+    // per query: nprobe nearest centroids
+    val probeScores = centroids.map { case (cid, c) =>
+      struct((GraftFunctions.dotProduct(col(vecCol),
+        array(c.map(lit(_)): _*)) * -1).as("negd"), lit(cid).as("cid"))
+    }
+    val probed = queries
+      .withColumn("qnrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+      .withColumn("probe",
+        slice(array_sort(array(probeScores: _*)), 1, nprobe))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col("qnrm"), explode(expr("transform(probe, s -> s.cid)")).as("cid"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(probed, Seq("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine",
+        GraftFunctions.dotProduct(col("qvec"), col(vecCol)) /
+          (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact brute-force cosine top-k (broadcast query set). */
   def bruteForceCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 10): DataFrame = {

@@ -117,6 +117,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF ANN: coarse-quantizer cells + nprobe re-rank ----------------
+    noOracle("emb_ann_ivf") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.ivfCosine(v, v.filter(col("vec_id") < 5), "vec_id", "e",
+        k = 10, nCells = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- multimodal metadata (stubbed decode), full oracle on plumbing ---
     sql("mm_media_meta",
       """SELECT kind, COUNT(*) AS n_media,

@@ -33,6 +33,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN: high recall on clustered vectors with 3/16 cells probed") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(2)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian() * 5))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "e").cache()
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = VectorSearch.bruteForceCosine(df, queries, "vec_id", "e", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorSearch.ivfCosine(df, queries, "vec_id", "e",
+      k = 10, nCells = 16, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall too low")
+  }
+
   test("SimHash: near-identical texts land within small Hamming distance") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and once"
