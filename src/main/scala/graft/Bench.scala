@@ -10,21 +10,20 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
 
     def exec(name: String): Long =
-      try {
-        val n = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.toRdd.count()
-        // some queries cache intermediates; drop them so 60+ queries in
-        // one JVM don't accumulate storage memory and skew later timings
-        spark.catalog.clearCache()
-        n
-      } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => -1L }
 
+    // some queries cache intermediates; drop them between queries so 60+
+    // queries in one JVM don't accumulate storage memory — but OUTSIDE
+    // the timed window, so teardown cost isn't billed to the next query
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(exec) // warm-up: codegen + JIT + file listing
+    names.foreach { n => exec(n); spark.catalog.clearCache() } // warm-up
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       exec(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     // two timed passes, report the per-query minimum — local-mode wall
     // times on shared hardware are noisy and min is the robust statistic

@@ -48,16 +48,22 @@ case class Ewma(child: Expression, alpha: Double)
 }
 
 object Ewma {
+  /** Shared builder (per-session registry AND GraftExtensions): arity
+    * checked, alpha must be a literal. */
+  val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"graft_ewma expects (value, alpha), got ${exprs.length} arguments")
+    val alpha = exprs(1) match {
+      case Literal(v, _) => v.toString.toDouble
+      case other => throw new IllegalArgumentException(
+        s"graft_ewma alpha must be a literal, got $other")
+    }
+    Ewma(exprs.head, alpha)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ewma", exprs => {
-        val alpha = exprs(1) match {
-          case Literal(v, _) => v.toString.toDouble
-          case other => throw new IllegalArgumentException(
-            s"graft_ewma alpha must be a literal, got $other")
-        }
-        Ewma(exprs.head, alpha)
-      }, "built-in")
+      "graft_ewma", builder, "built-in")
 
   /** Column API — requires register(spark); use with
     * .over(Window.partitionBy(...).orderBy(...)). */

@@ -66,9 +66,17 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration + Column-level API for graft native functions. */
 object GraftFunctions {
+  /** Shared builder (per-session registry AND GraftExtensions). */
+  val dotBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = exprs => {
+    require(exprs.length == 2,
+      s"graft_dot expects (a, b), got ${exprs.length} arguments")
+    DotProduct(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot", dotBuilder, "built-in")
 
   /** Requires register(spark) on the session first. */
   def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * md5/xxhash based — deterministic under any partitioning and
   * reproducible across engines. The registered doc_* queries are thin
   * wrappers over these.
+  *
+  * Caching contract: jaccardPairs / minhashCandidates / nearDedup cache
+  * the shingle frame for their internal self-joins and leave it cached
+  * for plan reuse within the action; call `spark.catalog.clearCache()`
+  * (or unpersist) when a long-lived session is done with a corpus.
   */
 object Dedup {
 
@@ -37,6 +42,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"),
         max(col(idCol)).as("last_id"))
 
+  /** Shared Jaccard verification: pair shingle-intersection counts +
+    * per-doc sizes → jaccard. `candidates` (doc_a, doc_b) restricts the
+    * pair space (the LSH path); None means all colliding pairs. The
+    * shingle frame must carry (doc_id, shingle). */
+  private def jaccardOf(sh: DataFrame,
+      candidates: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = (candidates match {
+      case Some(c) => c.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
+      case None => a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    }).groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+  }
+
   /** Exact pairwise shingle-Jaccard ≥ threshold. The shingle self-join
     * keys on xxhash64 (narrow shuffle); the verification path — at broad
     * scale run minhashCandidates first and verify only candidates. */
@@ -45,19 +72,7 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    jaccardOf(sh, None)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -79,13 +94,9 @@ object Dedup {
       }: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
-  /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket. One
-    * equi-join on (band, hash) — the 100 TB dedup path. */
-  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", hashes: Int = 16, bandCount: Int = 4):
-      DataFrame = {
-    val banded = bands(
-      minhashSignatures(shingles(docs, idCol, textCol), hashes),
+  private def candidatesFrom(sh: DataFrame, hashes: Int,
+      bandCount: Int): DataFrame = {
+    val banded = bands(minhashSignatures(sh, hashes),
       bandCount, hashes / bandCount).cache()
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
@@ -94,26 +105,25 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket. One
+    * equi-join on (band, hash) — the 100 TB dedup path. */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", hashes: Int = 16, bandCount: Int = 4):
+      DataFrame =
+    candidatesFrom(shingles(docs, idCol, textCol), hashes, bandCount)
+
   /** End-to-end near-dup dedup at scale: LSH candidates, exact-Jaccard
     * verification of candidates only, then keep-min representatives.
-    * Returns the deduplicated corpus. */
+    * Shingles are computed once and shared by both phases. Returns the
+    * deduplicated corpus. */
   def nearDedup(docs: DataFrame, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol)
-    val sh = shingles(docs, idCol, textCol)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val verified = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
-        >= threshold)
+    val shStr = shingles(docs, idCol, textCol).cache()
+    val cands = candidatesFrom(shStr, hashes = 16, bandCount = 4)
+    val shHashed = shStr.select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle"))
+    val verified = jaccardOf(shHashed, Some(cands))
+      .filter(col("jaccard") >= threshold)
     // drop the higher id of every verified pair
     docs.join(verified.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")

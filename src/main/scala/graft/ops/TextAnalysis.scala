@@ -29,10 +29,22 @@ object TextAnalysis {
 
     def detect(text: String): String = {
       if (text == null || text.isEmpty) return "unknown"
-      // CJK scripts identify by character range, not stopwords
-      val cjk = text.count(c =>
-        Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)
-      if (cjk * 4 >= text.length) return "zh"
+      // CJK scripts identify by character range, not stopwords; kana
+      // presence routes Japanese (kanji-heavy but not Chinese) to "ja"
+      var han = 0; var kana = 0
+      var ci = 0
+      while (ci < text.length) {
+        val cp = text.codePointAt(ci)
+        Character.UnicodeScript.of(cp) match {
+          case Character.UnicodeScript.HAN => han += 1
+          case Character.UnicodeScript.HIRAGANA |
+               Character.UnicodeScript.KATAKANA => kana += 1
+          case _ =>
+        }
+        ci += Character.charCount(cp)
+      }
+      if (kana > 0 && (han + kana) * 4 >= text.length) return "ja"
+      if (han * 4 >= text.length) return "zh"
       val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
       if (toks.isEmpty) return "unknown"
       val scores = Profiles.map { case (lang, (stops, chars)) =>

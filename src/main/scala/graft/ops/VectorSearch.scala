@@ -107,7 +107,11 @@ object VectorSearch {
       val assigned = assign(corpus, vecCol, centroids)
       val next = assigned
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        // exact decimal mean — shuffle-merge-order independent, so
+        // centroids (and downstream IVF output) are run-to-run stable
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))

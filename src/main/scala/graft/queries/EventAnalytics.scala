@@ -337,7 +337,8 @@ object EventAnalytics {
     sql("ev_ewma_by_user",
       """SELECT user_id, n_events, ROUND(ewma, 6) AS ewma FROM (
         |  SELECT user_id, COUNT(*) AS n_events,
-        |    list_reduce(list(value ORDER BY event_id),
+        |    list_reduce(list(value ORDER BY event_id)
+        |                  FILTER (WHERE value IS NOT NULL),
         |                (acc, x) -> 0.3*x + 0.7*acc) AS ewma
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""") { (s, dir) =>

@@ -20,8 +20,11 @@ object Store {
   def writeEvents(events: DataFrame, dir: String): Unit =
     events
       .withColumn("event_date", to_date(col("ts")))
+      // leading event_date satisfies the partitioned-write's required
+      // ordering directly — otherwise Spark inserts its own sort on
+      // event_date alone, which need not preserve the ts order
       .repartition(col("event_date"))
-      .sortWithinPartitions("ts")
+      .sortWithinPartitions("event_date", "ts")
       .write.mode("overwrite")
       .partitionBy("event_date")
       .parquet(dir)

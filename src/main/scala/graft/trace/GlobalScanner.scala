@@ -15,9 +15,10 @@ object GlobalScanner {
 
   /** Guarded integral cast: malformed payload values (torn rollover
     * lines) become null instead of aborting the query under Spark 4's
-    * ANSI-default CAST. */
+    * ANSI-default CAST. Length-bounded so an overlong digit string can't
+    * overflow the cast either (18 digits < Long.MaxValue). */
   private def tryLong(c: Column): Column =
-    when(c.rlike("^[+-]?\\d+$"), c.cast("long"))
+    when(c.rlike("^[+-]?\\d{1,18}$"), c.cast("long"))
 
   /** Epoch-floored bucket (FLOOR(EXTRACT(EPOCH ...)/N)*N). */
   def bucket(c: Column, seconds: Int): Column =

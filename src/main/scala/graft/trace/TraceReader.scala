@@ -101,9 +101,11 @@ object TraceEvents {
 
   /** Lenient integer parse: non-numeric → null (the reference's
     * int(obj[...]) raises and aborts the event; we degrade to null per
-    * FIXTURES.md §7 — documented divergence in favor of robustness). */
+    * FIXTURES.md §7 — documented divergence in favor of robustness).
+    * Length-bounded so an overlong digit string can't overflow the
+    * ANSI cast (9 digits < Int.MaxValue). */
   private def toInt(c: Column): Column =
-    when(c.rlike("^[+-]?\\d+$"), c.cast("int")).otherwise(lit(null))
+    when(c.rlike("^[+-]?\\d{1,9}$"), c.cast("int")).otherwise(lit(null))
 
   /** attrs bag → typed envelope + `fields` payload map + original bag.
     *
