@@ -287,13 +287,12 @@ object EventAnalytics {
         |      OVER (ORDER BY event_id) AS sec2
         |  FROM events WHERE event_type = 'error')
         |WHERE sec2 IS NOT NULL AND sec - sec2 <= 60""") { (s, dir) =>
-      // Single ordered pass over the (small, pre-filtered) error stream;
-      // at cluster scale this would partition by a tenant/shard key.
-      val w = Window.orderBy("event_id")
-      ev(s, dir)
-        .filter(col("event_type") === "error")
-        .select(epochSec(col("ts")).as("sec"),
-          lag(epochSec(col("ts")), 2).over(w).as("sec2"))
+      // distributed global lag over the pre-filtered error stream
+      graft.ops.ScanOps.lagK(
+        ev(s, dir)
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), epochSec(col("ts")).as("sec")),
+        Seq("event_id"), "sec", "sec2", 2)
         .filter(col("sec2").isNotNull && col("sec") - col("sec2") <= 60)
         .agg(count(lit(1)).as("n_bursts"))
     },

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.ScanOps
+
 /** RAG chunking (tools/chunker.py): split the ordered event stream into
   * chunks that each END at a MasterRecoveryState marker (inclusive), with
   * trailing events as a final chunk; then character-split chunk text with
@@ -17,20 +19,19 @@ object Chunker {
   def chunkByMarker(events: DataFrame,
       markerEvent: String = "MasterRecoveryState",
       contentCol: Column = null): DataFrame = {
-    val w = Window.orderBy("event_id")
     val content =
       if (contentCol != null) contentCol
       else to_json(struct(col("event_id"), col("ts"), col("severity"),
         col("event"), col("fields")))
-    val marked = events
-      .withColumn("line", content)
-      .withColumn("is_marker",
-        when(col("event") === markerEvent, 1).otherwise(0))
-      // markers strictly BEFORE this row = the chunk this row belongs to
-      // (so each marker row closes chunk N and the next row opens N+1)
-      .withColumn("chunk_id",
-        coalesce(sum(col("is_marker"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    // markers strictly BEFORE this row = the chunk this row belongs to
+    // (so each marker row closes chunk N and the next row opens N+1);
+    // a distributed running count — the stream never hits one partition
+    val marked = ScanOps.runningSum(
+      events
+        .withColumn("line", content)
+        .withColumn("is_marker",
+          when(col("event") === markerEvent, 1).otherwise(0)),
+      Seq("event_id"), col("is_marker"), "chunk_id")
     marked
       .groupBy("chunk_id")
       .agg(
@@ -102,13 +103,11 @@ object Chunker {
     * outside any chunk. */
   def forcedRecoveryChunks(events: DataFrame,
       isTrigger: Column): DataFrame = {
-    val w = Window.orderBy("event_id")
     val isEnd = col("event") === "MasterRecoveryState" &&
       element_at(col("fields"), "StatusCode") === "14"
-    val grouped = events
-      .withColumn("is_trigger", when(isTrigger, 1).otherwise(0))
-      .withColumn("chunk_id", sum(col("is_trigger"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val grouped = ScanOps.runningSum(
+      events.withColumn("is_trigger", when(isTrigger, 1).otherwise(0)),
+      Seq("event_id"), col("is_trigger"), "chunk_id", inclusive = true)
       .filter(col("chunk_id") >= 1)
       .withColumn("end_id",
         min(when(isEnd, col("event_id")))
@@ -135,13 +134,14 @@ object Chunker {
     * the full split output (chunker.py:46-56). */
   def splitChunks(chunks: DataFrame, chunkSize: Int = 500,
       overlap: Int = 100): DataFrame =
-    chunks
-      .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
-        col("chunk_type"),
-        posexplode(splitUdf(col("chunk_content"), lit(chunkSize),
-          lit(overlap))).as(Seq("piece_index", "content")))
-      .withColumn("chunk_uid",
-        concat(col("chunk_id"), lit("-"), col("piece_index")))
-      .withColumn("chunk_index",
-        row_number().over(Window.orderBy("chunk_id", "piece_index")) - 1)
+    ScanOps.rowNumber(
+      chunks
+        .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
+          col("chunk_type"),
+          posexplode(splitUdf(col("chunk_content"), lit(chunkSize),
+            lit(overlap))).as(Seq("piece_index", "content")))
+        .withColumn("chunk_uid",
+          concat(col("chunk_id"), lit("-"), col("piece_index"))),
+      Seq("chunk_id", "piece_index"), "chunk_index")
+      .withColumn("chunk_index", col("chunk_index") - 1)
 }

@@ -94,14 +94,16 @@ object Detectors {
     * i-th, over the time-ordered recovery stream. */
   def recoveryLoops(events: DataFrame, threshold: Int = 3,
       windowSeconds: Int = 60): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
-    events
+    val recov = events
       .filter(col("event").like("%MasterRecoveryState%") &&
         col("ts").isNotNull)
       .select(col("ts"), col("event_id"))
-      .withColumn("nth_later", lead(col("ts"), threshold - 1).over(w))
-      .filter(col("nth_later").isNotNull &&
-        unix_timestamp(col("nth_later")) - unix_timestamp(col("ts")) <= windowSeconds)
+    val stepped =
+      if (threshold <= 1) recov.withColumn("nth_later", col("ts"))
+      else graft.ops.ScanOps.leadK(recov, Seq("ts", "event_id"), "ts",
+        "nth_later", threshold - 1)
+    stepped.filter(col("nth_later").isNotNull &&
+      unix_timestamp(col("nth_later")) - unix_timestamp(col("ts")) <= windowSeconds)
   }
 
   /** coordination_loss (detectors.py:206-231): Coordinator events whose

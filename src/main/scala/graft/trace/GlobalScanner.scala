@@ -1,14 +1,16 @@
 package graft.trace
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.ops.ScanOps
 
 /** Cluster-wide scans: stats report, heatmaps, recovery episodes, rollback
   * analysis (tools/investigation_tools/global_scanner.py). Sequential
-  * carried-state scans become window functions: "previous non-null value"
-  * is last(col, ignoreNulls) over an unbounded-preceding frame — one sort
-  * per query instead of a driver loop. */
+  * carried-state scans become distributed scans (graft.ops.ScanOps):
+  * "previous non-null value" / episode numbering run as range-partitioned
+  * windows with boundary carry — one parallel sort per query instead of a
+  * driver loop or a single-partition window. */
 object GlobalScanner {
 
   private def f(k: String): Column = element_at(col("fields"), k)
@@ -64,15 +66,16 @@ object GlobalScanner {
     * lookup is a range join of the (few) episodes against events. */
   def recoveryEpisodes(events: DataFrame, gapSeconds: Int = 60,
       severityWindow: Int = 30): DataFrame = {
-    val w = Window.orderBy("ts", "event_id")
-    val recov = events
-      .filter(col("event") === "MasterRecoveryState" && col("ts").isNotNull)
-      .select(col("ts"), col("event_id"))
+    val marked = ScanOps.lagK(
+      events
+        .filter(col("event") === "MasterRecoveryState" && col("ts").isNotNull)
+        .select(col("ts"), col("event_id")),
+      Seq("ts", "event_id"), "ts", "prev_ts")
       .withColumn("gap_s",
-        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
       .withColumn("is_new", when(col("gap_s") > gapSeconds, 1).otherwise(0))
-      .withColumn("episode",
-        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val recov = ScanOps.runningSum(marked, Seq("ts", "event_id"),
+      col("is_new"), "episode", inclusive = true)
     val episodes = recov.groupBy("episode")
       .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
       .withColumn("duration_seconds",
@@ -89,26 +92,21 @@ object GlobalScanner {
 
   // ---- rollback analysis (W1-W4): carried non-null previous value --------
 
-  private def prevNonNull(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    last(c, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-
   /** Version drops: current CommittedVersion/DurableVersion below the last
     * non-null one (global_scanner.py:273-323). Emits one row per drop with
     * the same fields the reference reports.
     *
-    * Scale note: a single global sort by ts — semantically inherent (the
-    * version sequence is cluster-wide). For 100 TB, partition by trace
-    * epoch first; within the test corpus one pass is exact. */
+    * The version sequence is cluster-wide, so the carry is over a global ts
+    * order — ScanOps.prevNonNull keeps it distributed (range partitions +
+    * boundary carry) instead of a single-partition window. */
   def versionDrops(events: DataFrame): DataFrame = {
-    val w = Window.orderBy("ts", "event_id")
-    val versioned = events
-      .withColumn("cv", tryLong(f("CommittedVersion")))
-      .withColumn("dv", tryLong(f("DurableVersion")))
-      .filter(col("cv").isNotNull || col("dv").isNotNull)
-      .select(col("ts"), col("event_id"), col("event"), col("cv"), col("dv"))
-      .withColumn("prev_cv", prevNonNull(col("cv"), w))
-      .withColumn("prev_dv", prevNonNull(col("dv"), w))
+    val versioned = ScanOps.prevNonNull(
+      events
+        .withColumn("cv", tryLong(f("CommittedVersion")))
+        .withColumn("dv", tryLong(f("DurableVersion")))
+        .filter(col("cv").isNotNull || col("dv").isNotNull)
+        .select(col("ts"), col("event_id"), col("event"), col("cv"), col("dv")),
+      Seq("ts", "event_id"), Seq("cv" -> "prev_cv", "dv" -> "prev_dv"))
     val cvDrops = versioned
       .filter(col("cv").isNotNull && col("prev_cv").isNotNull &&
         col("cv") < col("prev_cv"))
@@ -128,34 +126,32 @@ object GlobalScanner {
 
   /** Version resets: previous > 1M and current < 1M
     * (global_scanner.py:325-354). */
-  def versionResets(events: DataFrame): DataFrame = {
-    val w = Window.orderBy("ts", "event_id")
-    events
-      .withColumn("cv", tryLong(f("CommittedVersion")))
-      .filter(col("cv").isNotNull)
-      .select(col("ts"), col("event_id"), col("event"), col("cv"))
-      .withColumn("prev_cv", prevNonNull(col("cv"), w))
+  def versionResets(events: DataFrame): DataFrame =
+    ScanOps.prevNonNull(
+      events
+        .withColumn("cv", tryLong(f("CommittedVersion")))
+        .filter(col("cv").isNotNull)
+        .select(col("ts"), col("event_id"), col("event"), col("cv")),
+      Seq("ts", "event_id"), Seq("cv" -> "prev_cv"))
       .filter(col("prev_cv") > 1000000L && col("cv") < 1000000L)
       .select(col("ts"), col("event_id"), col("event"),
         col("prev_cv").as("prev_version"), col("cv").as("new_version"))
-  }
 
   /** RecoveryVersion regressions on RecoveryState events
     * (global_scanner.py:356-385). */
-  def recoveryResets(events: DataFrame): DataFrame = {
-    val w = Window.orderBy("ts", "event_id")
-    events
-      .filter(col("event") === "RecoveryState")
-      .withColumn("rv", tryLong(f("RecoveryVersion")))
-      .filter(col("rv").isNotNull)
-      .select(col("ts"), col("event_id"), col("event"), col("rv"))
-      .withColumn("prev_rv", prevNonNull(col("rv"), w))
+  def recoveryResets(events: DataFrame): DataFrame =
+    ScanOps.prevNonNull(
+      events
+        .filter(col("event") === "RecoveryState")
+        .withColumn("rv", tryLong(f("RecoveryVersion")))
+        .filter(col("rv").isNotNull)
+        .select(col("ts"), col("event_id"), col("event"), col("rv")),
+      Seq("ts", "event_id"), Seq("rv" -> "prev_rv"))
       .filter(col("prev_rv").isNotNull && col("rv") < col("prev_rv"))
       .select(col("ts"), col("event_id"), col("event"),
         col("prev_rv").as("prev_recovery_version"),
         col("rv").as("new_recovery_version"),
         (col("prev_rv") - col("rv")).as("drop_amount"))
-  }
 
   /** Rollback status aggregation (global_scanner.py:388-401). */
   def rollbackStatus(events: DataFrame): DataFrame = {

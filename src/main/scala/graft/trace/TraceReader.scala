@@ -122,16 +122,18 @@ object TraceEvents {
   def normalize(bags: DataFrame, stableIds: Boolean = false): DataFrame = {
     val withId =
       if (stableIds)
-        bags.withColumn("event_id",
-          row_number().over(Window.orderBy(
-            col("src_file"),
+        graft.ops.ScanOps.rowNumber(
+          bags.withColumn("__sort_time",
             // numeric-guarded: a torn Time token must not abort the load
             // under ANSI-default CAST — it just sorts last in its file
-            when(element_at(col("attrs"), "Time")
-                .rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
-              element_at(col("attrs"), "Time").cast("double"))
-              .asc_nulls_last,
-            col("read_order"))).cast("long"))
+            // (null → +Inf sentinel = nulls-last)
+            coalesce(
+              when(element_at(col("attrs"), "Time")
+                  .rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+                element_at(col("attrs"), "Time").cast("double")),
+              lit(Double.PositiveInfinity))),
+          Seq("src_file", "__sort_time", "read_order"), "event_id")
+          .drop("__sort_time")
       else bags.withColumn("event_id", col("read_order"))
     withId.select(
       col("event_id"),

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScanOps
+
+/** ScanOps must reproduce single-partition Window.orderBy results exactly
+  * while staying distributed (input forced across 8 range partitions).
+  * Data includes nulls, runs of equal sort keys resolved by a unique
+  * tiebreaker, and partitions whose every value is null (so carries must
+  * cross more than one boundary).
+  */
+class ScanOpsSpec extends SparkSpec {
+
+  // 2,000 rows, deterministic: id unique, key has heavy ties, v is ~40% null
+  private lazy val df: DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (1 to 2000).map { i =>
+      val v: Option[Long] =
+        if (rng.nextDouble() < 0.4) None else Some(rng.nextInt(1000).toLong)
+      val mark = if (rng.nextDouble() < 0.02) 1 else 0
+      (i.toLong, i / 7, v, mark)
+    }.toDF("id", "key", "v", "mark").repartition(16)
+  }
+
+  private def rows(d: DataFrame, cols: String*): Seq[Seq[Any]] =
+    d.select(cols.map(col): _*).collect().toSeq
+      .map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long])
+
+  test("runningSum matches single-partition window (exclusive + inclusive)") {
+    val w = Window.orderBy("key", "id")
+    val expectedEx = df.withColumn("rs",
+      coalesce(sum(col("mark")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val gotEx = ScanOps.runningSum(df, Seq("key", "id"), col("mark"), "rs",
+      inclusive = false, numPartitions = 8)
+    assert(rows(gotEx, "id", "rs") === rows(expectedEx, "id", "rs"))
+
+    val expectedIn = df.withColumn("rs",
+      sum(col("mark")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val gotIn = ScanOps.runningSum(df, Seq("key", "id"), col("mark"), "rs",
+      inclusive = true, numPartitions = 8)
+    assert(rows(gotIn, "id", "rs") === rows(expectedIn, "id", "rs"))
+  }
+
+  test("rowNumber matches single-partition window") {
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy("key", "id")).cast("long"))
+    val got = ScanOps.rowNumber(df, Seq("key", "id"), "rn", numPartitions = 8)
+    assert(rows(got, "id", "rn") === rows(expected, "id", "rn"))
+  }
+
+  test("prevNonNull matches single-partition window, carries across empty partitions") {
+    val w = Window.orderBy("key", "id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df.withColumn("pv",
+      last(col("v"), ignoreNulls = true).over(w))
+    val got = ScanOps.prevNonNull(df, Seq("key", "id"), Seq("v" -> "pv"),
+      numPartitions = 8)
+    assert(rows(got, "id", "pv") === rows(expected, "id", "pv"))
+
+    // all-null high range: the carry must cross the final partitions intact
+    val sparse = df.withColumn("v",
+      when(col("id") > 200, lit(null).cast("long")).otherwise(col("v")))
+    val expectedSparse = sparse.withColumn("pv",
+      last(col("v"), ignoreNulls = true).over(w))
+    val gotSparse = ScanOps.prevNonNull(sparse, Seq("key", "id"),
+      Seq("v" -> "pv"), numPartitions = 8)
+    assert(rows(gotSparse, "id", "pv") === rows(expectedSparse, "id", "pv"))
+  }
+
+  test("lagK and leadK match single-partition windows across boundaries") {
+    val w = Window.orderBy("key", "id")
+    for (k <- Seq(1, 2, 5)) {
+      val expectedLag = df.withColumn("lv", lag(col("v"), k).over(w))
+      val gotLag = ScanOps.lagK(df, Seq("key", "id"), "v", "lv", k,
+        numPartitions = 8)
+      assert(rows(gotLag, "id", "lv") === rows(expectedLag, "id", "lv"),
+        s"lag($k)")
+
+      val expectedLead = df.withColumn("lv", lead(col("v"), k).over(w))
+      val gotLead = ScanOps.leadK(df, Seq("key", "id"), "v", "lv", k,
+        numPartitions = 8)
+      assert(rows(gotLead, "id", "lv") === rows(expectedLead, "id", "lv"),
+        s"lead($k)")
+    }
+  }
+
+  test("lagK seeds reach back through partitions smaller than k") {
+    import spark.implicits._
+    // 12 rows over 8 partitions: most partitions hold 1-2 rows < k=5
+    val tiny = (1 to 12).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartition(4)
+    val expected = tiny.withColumn("p",
+      lag(col("s"), 5).over(Window.orderBy("id")))
+    val got = ScanOps.lagK(tiny, Seq("id"), "s", "p", 5, numPartitions = 8)
+    assert(rows(got, "id", "p") === rows(expected, "id", "p"))
+  }
+
+  test("plan stays distributed: no whole-input single-partition window") {
+    val got = ScanOps.runningSum(df, Seq("key", "id"), col("mark"), "rs",
+      numPartitions = 8)
+    // every window over the main input must be partitioned by the scan pid;
+    // unpartitioned windows may only sit above the tiny per-partition
+    // aggregate (one row per partition)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__scan_pid"), plan)
+  }
+}
