@@ -153,15 +153,42 @@ object GlobalScanner {
         col("rv").as("new_recovery_version"),
         (col("prev_rv") - col("rv")).as("drop_amount"))
 
-  /** Rollback status aggregation (global_scanner.py:388-401). */
+  /** Rollback status aggregation (global_scanner.py:388-401).
+    *
+    * Fused: the three carried-state scans behind W1-W3 share one sorted
+    * pass. `prevNonNull` ignores nulls, so computing prev_cv/prev_dv/
+    * prev_rv over the union frame (any of the three fields present) yields
+    * exactly the per-field carries of the individual scans — one range
+    * exchange instead of three full scans of events. */
   def rollbackStatus(events: DataFrame): DataFrame = {
-    val drops = versionDrops(events)
-      .agg(count(lit(1)).as("num_drops"),
-        coalesce(max(col("drop_amount")), lit(0L)).as("max_drop"))
-    val resets = versionResets(events).agg(count(lit(1)).as("num_resets"))
-    val recResets = recoveryResets(events)
-      .agg(count(lit(1)).as("num_recovery_resets"))
-    drops.crossJoin(resets).crossJoin(recResets)
+    val versioned = ScanOps.prevNonNull(
+      events
+        .withColumn("cv", tryLong(f("CommittedVersion")))
+        .withColumn("dv", tryLong(f("DurableVersion")))
+        .withColumn("rv", when(col("event") === "RecoveryState",
+          tryLong(f("RecoveryVersion"))))
+        .filter(col("cv").isNotNull || col("dv").isNotNull ||
+          col("rv").isNotNull)
+        .select(col("ts"), col("event_id"),
+          col("cv"), col("dv"), col("rv")),
+      Seq("ts", "event_id"),
+      Seq("cv" -> "prev_cv", "dv" -> "prev_dv", "rv" -> "prev_rv"))
+    val cvDrop = col("cv").isNotNull && col("prev_cv").isNotNull &&
+      col("cv") < col("prev_cv")
+    val dvDrop = col("dv").isNotNull && col("prev_dv").isNotNull &&
+      col("dv") < col("prev_dv")
+    val reset = col("cv").isNotNull &&
+      col("prev_cv") > 1000000L && col("cv") < 1000000L
+    val rvReset = col("rv").isNotNull && col("prev_rv").isNotNull &&
+      col("rv") < col("prev_rv")
+    versioned.agg(
+      (count(when(cvDrop, 1)) + count(when(dvDrop, 1))).as("num_drops"),
+      coalesce(greatest(
+        max(when(cvDrop, col("prev_cv") - col("cv"))),
+        max(when(dvDrop, col("prev_dv") - col("dv")))), lit(0L))
+        .as("max_drop"),
+      count(when(reset, 1)).as("num_resets"),
+      count(when(rvReset, 1)).as("num_recovery_resets"))
       .withColumn("detected",
         col("num_drops") > 0 || col("num_resets") > 0 ||
           col("num_recovery_resets") > 0)

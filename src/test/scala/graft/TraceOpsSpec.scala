@@ -48,6 +48,27 @@ class TraceOpsSpec extends SparkSpec {
     assert(resets(0).getAs[Long]("new_version") === 900L)
   }
 
+  test("rollbackStatus: fused scan equals compositional W1-W4") {
+    val ev = mkEvents(Seq(
+      (1L, "2025-01-01 00:00:01", "C", 10, Map("CommittedVersion" -> "5000000")),
+      (2L, "2025-01-01 00:00:02", "C", 10, Map("DurableVersion" -> "4000000")),
+      (3L, "2025-01-01 00:00:03", "RecoveryState", 10, Map("RecoveryVersion" -> "300")),
+      (4L, "2025-01-01 00:00:04", "C", 10, Map("CommittedVersion" -> "900")),     // drop + reset
+      (5L, "2025-01-01 00:00:05", "C", 10, Map("DurableVersion" -> "3999999")),   // dv drop
+      (6L, "2025-01-01 00:00:06", "RecoveryState", 10, Map("RecoveryVersion" -> "200")), // rv reset
+      (7L, "2025-01-01 00:00:07", "NotRecovery", 10, Map("RecoveryVersion" -> "100"))))  // ignored
+    val fused = GlobalScanner.rollbackStatus(ev).collect()(0)
+    val drops = GlobalScanner.versionDrops(ev).collect()
+    val maxDrop = drops.map(_.getAs[Long]("drop_amount")).max
+    assert(fused.getAs[Long]("num_drops") === drops.length.toLong)
+    assert(fused.getAs[Long]("max_drop") === maxDrop)
+    assert(fused.getAs[Long]("num_resets") ===
+      GlobalScanner.versionResets(ev).count())
+    assert(fused.getAs[Long]("num_recovery_resets") ===
+      GlobalScanner.recoveryResets(ev).count())
+    assert(fused.getAs[Boolean]("detected"))
+  }
+
   test("recoveryEpisodes: gap sessionization with ±30s severity (W5)") {
     val ev = mkEvents(Seq(
       (1L, "2025-01-01 00:00:00", "MasterRecoveryState", 10, Map.empty[String, String]),
