@@ -25,6 +25,24 @@ object TraceQueries {
   private def jsonEvents(s: SparkSession): DataFrame =
     TraceEvents.load(s, JsonFixture, stableIds = true)
 
+  /** The 5-detector battery as one summary frame (detector, detected,
+    * count, first_ts, last_ts). */
+  private def batterySummaries(ev: DataFrame): DataFrame = {
+    val metrics = DerivedTables.eventMetrics(ev)
+    val baselines = DerivedTables.metricBaselines(metrics, minCount = 3)
+    Seq(
+      "storage_pressure" ->
+        Detectors.storagePressureAnomalies(ev, baselines),
+      "ratekeeper_throttling" -> Detectors.ratekeeperThrottling(ev),
+      "missing_tlogs" -> Detectors.missingTlogs(ev),
+      "recovery_loop" -> Detectors.recoveryLoops(ev),
+      "coordination_loss" -> Detectors.coordinationLoss(ev))
+      .map { case (name, d) =>
+        Detectors.summary(d).withColumn("detector", lit(name))
+          .select("detector", "detected", "count", "first_ts", "last_ts")
+      }.reduce(_ unionAll _)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- S2 ingest + A1 severity report, full oracle ---------------------
@@ -125,20 +143,30 @@ object TraceQueries {
     },
 
     noOracle("trace_detector_battery") { (s, _) =>
-      val ev = xmlEvents(s).cache()
-      val metrics = DerivedTables.eventMetrics(ev)
-      val baselines = DerivedTables.metricBaselines(metrics, minCount = 3)
-      val dets = Seq(
-        "storage_pressure" ->
-          Detectors.storagePressureAnomalies(ev, baselines),
-        "ratekeeper_throttling" -> Detectors.ratekeeperThrottling(ev),
-        "missing_tlogs" -> Detectors.missingTlogs(ev),
-        "recovery_loop" -> Detectors.recoveryLoops(ev),
-        "coordination_loss" -> Detectors.coordinationLoss(ev))
-      dets.map { case (name, d) =>
-        Detectors.summary(d).withColumn("detector", lit(name))
-          .select("detector", "detected", "count", "first_ts", "last_ts")
-      }.reduce(_ unionAll _)
+      batterySummaries(xmlEvents(s).cache())
+    },
+
+    // ---- §2.10.8 agentic RCA, stubbed at the model call ------------------
+    // Phase A evidence (detector battery) → prompt → partition-batched
+    // inference (graft.ops.LlmBoundary, deterministic stub client) →
+    // JSON-block hypothesis extraction. The reference's loop shape with
+    // the network boundary swapped for the stub.
+    noOracle("trace_rca_stub") { (s, _) =>
+      import s.implicits._
+      import graft.ops.LlmBoundary
+      val battery = batterySummaries(xmlEvents(s).cache())
+      val prompt = battery
+        .agg(concat(
+          lit("Diagnose the FDB failure. Detector evidence:\n"),
+          array_join(array_sort(collect_list(to_json(struct(
+            col("detector"), col("detected"), col("count"))))), "\n"))
+          .as("prompt"))
+        .select(lit(1L).as("request_id"), col("prompt"))
+        .as[LlmBoundary.LlmRequest]
+      LlmBoundary.hypothesis(
+        LlmBoundary.infer(prompt, new LlmBoundary.StubClient).toDF())
+        .select("request_id", "hypothesis", "confidence", "attempts",
+          "prompt_chars")
     }
   )
 }

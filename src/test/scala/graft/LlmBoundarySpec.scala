@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LlmBoundary
+import graft.ops.LlmBoundary._
+
+/** The LLM inference boundary: batch shaping, truncation accounting,
+  * retry/backoff, JSON-block extraction (SURVEY.md §2.8, §2.10.8 —
+  * data-side surface only; the client is a deterministic stub). */
+class LlmBoundarySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("stub inference: deterministic, one response per request") {
+    val reqs = (1L to 20L).map(i => LlmRequest(i, s"analyze event $i")).toDS()
+    val out1 = infer(reqs, new StubClient, batchSize = 4).collect().sortBy(_.request_id)
+    val out2 = infer(reqs, new StubClient, batchSize = 7).collect().sortBy(_.request_id)
+    assert(out1.length === 20)
+    // batch size must not change answers
+    assert(out1.map(r => (r.request_id, r.response)).toSeq ===
+      out2.map(r => (r.request_id, r.response)).toSeq)
+    assert(out1.forall(_.attempts === 1))
+    assert(out1.forall(!_.truncated))
+  }
+
+  test("context cap: over-budget prompts truncated and flagged") {
+    val reqs = Seq(
+      LlmRequest(1L, "x" * 50),
+      LlmRequest(2L, "y" * 500)).toDS()
+    val out = infer(reqs, new StubClient, maxPromptChars = 100)
+      .collect().sortBy(_.request_id)
+    assert(out(0).prompt_chars === 50 && !out(0).truncated)
+    assert(out(1).prompt_chars === 100 && out(1).truncated)
+  }
+
+  test("retry: transient failures backed off then succeed, attempts recorded") {
+    FlakyStubClient.calls.set(0)
+    val reqs = Seq(LlmRequest(1L, "p")).toDS().repartition(1)
+    val out = infer(reqs, new FlakyStubClient(2), batchSize = 8,
+      maxAttempts = 5, baseBackoffMs = 1).collect()
+    assert(out.head.attempts === 3)
+  }
+
+  test("retry: exhausted attempts surface the failure") {
+    FlakyStubClient.calls.set(0)
+    val reqs = Seq(LlmRequest(1L, "p")).toDS().repartition(1)
+    val e = intercept[Exception] {
+      infer(reqs, new FlakyStubClient(Int.MaxValue), maxAttempts = 2,
+        baseBackoffMs = 1).collect()
+    }
+    assert(e.getMessage.contains("after 2 attempts") ||
+      Option(e.getCause).exists(_.getMessage.contains("after 2 attempts")))
+  }
+
+  test("json block extraction: fenced block preferred, brace fallback") {
+    val df = Seq(
+      ("""text ```json {"hypothesis": "a", "confidence": 0.9} ``` end"""),
+      ("""no fence {"hypothesis": "b", "confidence": 0.5} trailing"""),
+      ("""nothing parseable""")).toDF("response")
+    val parsed = LlmBoundary.hypothesis(df).collect()
+    assert(parsed(0).getAs[String]("hypothesis") === "a")
+    assert(parsed(0).getAs[Double]("confidence") === 0.9)
+    assert(parsed(1).getAs[String]("hypothesis") === "b")
+    assert(parsed(2).getAs[String]("hypothesis") === null)
+  }
+}
