@@ -175,9 +175,12 @@ object VectorSearch {
       .filter(col("rank") <= k)
   }
 
-  /** Exact brute-force cosine top-k (broadcast query set). */
+  /** Exact brute-force cosine top-k (broadcast query set).
+    * `excludeSelf` drops neighbor_id == query_id matches — right for
+    * corpus-vs-corpus dedup, wrong for external query sets whose ids
+    * merely collide with corpus ids. */
   def bruteForceCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10): DataFrame = {
+      vecCol: String, k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus
       .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
     val q = queries
@@ -186,7 +189,7 @@ object VectorSearch {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("query_id"))
+      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .withColumn("cosine",
         GraftFunctions.dotProduct(col("qvec"), col(vecCol)) /
           (col("qnrm") * col("nrm")))

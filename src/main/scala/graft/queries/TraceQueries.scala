@@ -167,6 +167,22 @@ object TraceQueries {
         LlmBoundary.infer(prompt, new LlmBoundary.StubClient).toDF())
         .select("request_id", "hypothesis", "confidence", "attempts",
           "prompt_chars")
+    },
+
+    // ---- RAG retrieval, data side (chunk → embed → top-k) ----------------
+    // The reference's Vertex retrieve (rag_client.py:74-107) re-expressed
+    // as an in-engine index: marker chunks embedded (stub hash encoder)
+    // and probed by cosine top-k. Deterministic, rows-only checked.
+    noOracle("trace_rag_retrieve") { (s, _) =>
+      import graft.ops.Rag
+      graft.functions.GraftFunctions.register(s)
+      val idx = Rag.index(Chunker.chunkByMarker(xmlEvents(s)))
+      val questions = s.createDataFrame(Seq(
+        (1L, "storage server durability lag spike"),
+        (2L, "master recovery state transition"))).toDF("query_id", "query_text")
+      Rag.retrieve(idx, questions, k = 3)
+        .select("query_id", "rank", "chunk_id", "cosine")
+        .orderBy("query_id", "rank")
     }
   )
 }
