@@ -27,6 +27,21 @@ object Dedup {
           "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
         ))).as("shingle"))
 
+  /** Skew guard for shingle joins at scale: drop shingles present in more
+    * than `maxDocs` documents. A boilerplate phrase shared by n docs
+    * produces n² join rows while contributing almost nothing to any
+    * pair's Jaccard — at corpus scale one hot shingle can dominate the
+    * whole shuffle. Off by default in the exact/oracle paths; turn it on
+    * (typical cap: 1000) when running nearDedup over web-scale corpora.
+    * MinHash signatures are computed BEFORE any cap, so candidate recall
+    * is unaffected; only verification pair volume shrinks. */
+  def capShingleFrequency(sh: DataFrame, maxDocs: Int): DataFrame = {
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("shingle"))
+    sh.join(freq, Seq("shingle"), "left_anti")
+  }
+
   /** Exact dedup: groups by content hash, keeps the minimum id as the
     * representative. Returns (content_hash, n_docs, keep_id). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id",
@@ -117,10 +132,12 @@ object Dedup {
     * Shingles are computed once and shared by both phases. Returns the
     * deduplicated corpus. */
   def nearDedup(docs: DataFrame, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     val shStr = shingles(docs, idCol, textCol).cache()
     val cands = candidatesFrom(shStr, hashes = 16, bandCount = 4)
-    val shHashed = shStr.select(col("doc_id"),
+    val shCapped = maxShingleFreq.fold(shStr)(capShingleFrequency(shStr, _))
+    val shHashed = shCapped.select(col("doc_id"),
       xxhash64(col("shingle")).as("shingle"))
     val verified = jaccardOf(shHashed, Some(cands))
       .filter(col("jaccard") >= threshold)

@@ -43,6 +43,21 @@ object StreamingOps {
         col("session_window.end").as("end"), col("n_events"),
         col("max_severity"))
 
+  /** Streaming exact dedup on content hash: first occurrence of each
+    * fingerprint passes, later duplicates are dropped. State is bounded
+    * by the watermark — a fingerprint's dedup state expires once no
+    * older-than-watermark duplicate can arrive, which is what makes
+    * continuous corpus ingest (the 100 TB training-data path) feasible:
+    * unbounded dedup state is recoverable from the batch table, the
+    * stream only guards the recent horizon. */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fingerprint",
+        md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)
   case class MetricState(n: Long, mean: Double, m2: Double)
   case class Flagged(metric: String, ts: java.sql.Timestamp, value: Double,

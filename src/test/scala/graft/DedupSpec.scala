@@ -33,6 +33,27 @@ class DedupSpec extends SparkSpec {
       s"missed: ${(truth -- cands).take(5)}")
   }
 
+  test("shingle frequency cap removes hot shingles, keeps planted dups") {
+    import spark.implicits._
+    val docs = Tables(spark, sf(""), "documents")
+    val sh = Dedup.shingles(docs)
+    // cap at the observed max doc-frequency → no-op
+    val maxFreq = sh.groupBy("shingle").count()
+      .agg(max(col("count"))).first().getLong(0).toInt
+    assert(Dedup.capShingleFrequency(sh, maxFreq).count() === sh.count())
+    // a tight cap strictly shrinks the shingle set
+    val capped = Dedup.capShingleFrequency(sh, 5)
+    assert(capped.count() < sh.count())
+    // planted near-dups share mostly doc-unique shingles, so dedup with
+    // the skew guard on still removes the same documents here
+    val base = Dedup.nearDedup(docs, 0.8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val guarded = Dedup.nearDedup(docs, 0.8,
+      maxShingleFreq = Some(maxFreq)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(guarded === base)
+  }
+
   test("GraftExtensions registers native functions at session build") {
     spark.sparkContext // ensure the shared context exists first
     // getOrCreate would hand back the active session (whose extensions are

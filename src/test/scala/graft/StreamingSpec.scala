@@ -112,4 +112,25 @@ class StreamingSpec extends SparkSpec {
     assert(flagged(0).value === 10000.0)
     assert(flagged(0).zscore > 3.0)
   }
+
+  test("streaming dedup passes first occurrence, drops later duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.dedupStream(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts("2025-01-01 00:00:01"), 1L, "alpha beta"),
+      (ts("2025-01-01 00:00:02"), 2L, "  Alpha   BETA "), // normalized dup
+      (ts("2025-01-01 00:00:03"), 3L, "gamma delta"))
+    q.processAllAvailable()
+    // a duplicate in a LATER batch is caught by carried state
+    input.addData((ts("2025-01-01 00:00:10"), 4L, "gamma delta"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(out === Set(1L, 3L))
+  }
 }
