@@ -155,15 +155,18 @@ object Relational {
 
     // ---- running-sum window partitioned by a scalable key ----------------
     sql("q8_running_qty_by_supplier",
+      // l_quantity as the last sort key: the synthetic generator emits
+      // duplicate (orderkey, linenumber) pairs, and without a total order
+      // the running sum at tied rows is engine-dependent
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -249,6 +252,80 @@ object Relational {
         .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
           .cast("double").as("revenue"))
         .orderBy("r_name")
+    },
+
+    // ---- TPC-H Q13 shape: LEFT OUTER join + two-level aggregation --------
+    sql("q13_customer_order_counts",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- set operations: UNION / INTERSECT / EXCEPT ----------------------
+    sql("q14_nation_set_ops",
+      """SELECT
+        |  (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000
+        |                         UNION SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000
+        |                         INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000
+        |                         EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)) AS n_except""") { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("k"))
+      c.union(sup).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(c.intersect(sup).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(c.except(sup).agg(count(lit(1)).as("n_except")))
+    },
+
+    // ---- ROLLUP grouping sets with exact-decimal sums --------------------
+    sql("q15_rollup_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- FULL OUTER join of two aggregates -------------------------------
+    sql("q16_balance_bucket_full_outer",
+      """SELECT COALESCE(cb.bucket, sb.bucket) AS bucket,
+        |  cb.n_customers, sb.n_suppliers
+        |FROM (SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket, COUNT(*) AS n_customers
+        |      FROM customer GROUP BY 1) cb
+        |FULL OUTER JOIN
+        |     (SELECT CAST(FLOOR(s_acctbal / 1000) AS BIGINT) AS bucket, COUNT(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) sb
+        |ON cb.bucket = sb.bucket
+        |ORDER BY 1""") { (s, dir) =>
+      val cb = t(s, dir, "customer")
+        .groupBy(floor(col("c_acctbal") / 1000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sb = t(s, dir, "supplier")
+        .groupBy(floor(col("s_acctbal") / 1000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cb.join(sb, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_customers"), col("n_suppliers"))
+        .orderBy("bucket")
     }
   )
 }
