@@ -36,6 +36,48 @@ class StoreSpec extends SparkSpec {
     assert(narrow.count() < ranged.count())
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    // managed tables land in the default warehouse dir; drop leftovers
+    // from any prior aborted run before writing, and again at the end
+    def cleanup(): Unit = Seq("orders_b", "lineitem_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), tbl)
+      if (loc.exists())
+        scala.reflect.io.Directory(loc).deleteRecursively()
+    }
+    cleanup()
+    val orders = Tables(spark, sf(""), "orders")
+    val lineitem = Tables(spark, sf(""), "lineitem")
+    Store.writeBucketed(orders, spark, "orders_b", "o_orderkey", 8)
+    Store.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      spark, "lineitem_b", "o_orderkey", 8)
+    // broadcast suppressed so the co-located sort-merge path is exercised
+    val joined = spark.table("orders_b").hint("merge")
+      .join(spark.table("lineitem_b"), "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val baseline = orders.hint("merge")
+      .join(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    joined.collect()
+    baseline.collect()
+    val bucketedShuffles = Store.shuffleExchanges(joined)
+    val plainShuffles = Store.shuffleExchanges(baseline)
+    assert(bucketedShuffles < plainShuffles,
+      s"bucketed=$bucketedShuffles plain=$plainShuffles")
+    // the join itself is exchange-free: only the final groupBy shuffles
+    assert(bucketedShuffles <= 1)
+    // same answer either way
+    assert(joined.collect().map(_.toSeq).toSet ===
+      baseline.collect().map(_.toSeq).toSet)
+    cleanup()
+  }
+
   test("driver contract: entry returns rows; every query has a runner") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.queries.nonEmpty)
