@@ -439,6 +439,34 @@ object EventAnalytics {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy(col("value").desc, col("event_id"))
         .limit(50)
+    },
+
+    // ---- as-of join: per error, the user's latest signup at-or-before ----
+    // Spark lacks the operator; graft.ops.AsOfJoin runs it as one keyed
+    // window over the tagged union (no per-row probing, no broadcast).
+    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    sql("ev_asof_last_signup",
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'error'),
+        |s AS (SELECT user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_id, e.sec,
+        |  s.sec AS signup_sec, s.signup_value
+        |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.sec >= s.sec
+        |ORDER BY e.event_id""") { (s, dir) =>
+      val errors = ev(s, dir).filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("sec"))
+      val signups = ev(s, dir).filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), epochSec(col("ts")).as("sec"))
+        .agg(max(dec(col("value"))).cast("double").as("signup_value"))
+      graft.ops.AsOfJoin.backward(errors, signups, Seq("user_id"), "sec",
+        Seq("signup_value"), prefix = "signup_")
+        .select(col("user_id"), col("event_id"), col("sec"),
+          col("signup_sec"), col("signup_signup_value").as("signup_value"))
+        .orderBy("event_id")
     }
   )
 }
