@@ -35,18 +35,21 @@ object AsOfJoin {
       tolerance: Option[Long] = None): DataFrame = {
     require(!payloadCols.contains(ordCol),
       s"$ordCol is always delivered; list only extra payload columns")
+    // the whole right payload travels as ONE struct so a right row with a
+    // NULL payload column still supersedes older rows — per-column
+    // carries would pair the newest ord with a stale non-null payload
     val rTagged = right
-      .select((keyCols :+ ordCol).map(col) ++
-        (ordCol +: payloadCols).map(c => col(c).as(s"__p_$c")): _*)
+      .select((keyCols :+ ordCol).map(col) :+
+        struct((ordCol +: payloadCols).map(col): _*).as("__p"): _*)
       .withColumn("__side", lit(0))
     val lTagged = left.withColumn("__side", lit(1))
     val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(ordCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = (ordCol +: payloadCols).foldLeft(u) { (d, c) =>
-      d.withColumn(prefix + c,
-        last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    val carried = (ordCol +: payloadCols).foldLeft(
+      u.withColumn("__pc", last(col("__p"), ignoreNulls = true).over(w))) {
+      (d, c) => d.withColumn(prefix + c, col("__pc").getField(c))
     }
     val inRange: Column = tolerance match {
       case Some(t) =>
@@ -58,6 +61,6 @@ object AsOfJoin {
     (ordCol +: payloadCols).foldLeft(
       carried.filter(col("__side") === 1)) { (d, c) =>
       d.withColumn(prefix + c, when(inRange, col(prefix + c)))
-    }.drop("__side" +: (ordCol +: payloadCols).map(c => s"__p_$c"): _*)
+    }.drop("__side", "__p", "__pc")
   }
 }

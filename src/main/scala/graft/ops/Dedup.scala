@@ -49,11 +49,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Whitespace/case-normalized content fingerprint — the single
+    * definition batch and streaming dedup share. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
   /** Whitespace/case-normalized fingerprint groups. */
   def fingerprintGroups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.groupBy(md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
-      .as("fingerprint"))
+    docs.groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"),
         max(col(idCol)).as("last_id"))
 

@@ -95,7 +95,13 @@ object LlmBoundary {
         var out: Seq[String] = null
         while (out == null) {
           attempt += 1
-          try out = client.complete(prompts)
+          try {
+            val got = client.complete(prompts)
+            // a short batch would silently drop/misattribute rows below
+            require(got.length == prompts.length,
+              s"client returned ${got.length} responses for ${prompts.length} prompts")
+            out = got
+          }
           catch {
             case e: Exception if attempt < maxAttempts =>
               Thread.sleep(baseBackoffMs * (1L << (attempt - 1)))
@@ -114,8 +120,10 @@ object LlmBoundary {
   }
 
   /** JSON-block extraction (investigation_agent.py:820-829): the first
-    * fenced ```json block, else the first brace-to-brace span — as a
-    * column expression, so parsing model output stays relational. */
+    * fenced ```json block, else the first-`{`-to-last-`}` span (the
+    * reference's exact fallback rule — greedy on purpose, so nested
+    * braces survive) — as a column expression, so parsing model output
+    * stays relational. */
   def jsonBlock(response: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(
       nullif(regexp_extract(response, "(?s)```json\\s*(\\{.*?\\})\\s*```", 1), lit("")),

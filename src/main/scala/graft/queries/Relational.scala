@@ -164,14 +164,17 @@ object Relational {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { (s, dir) =>
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""") { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        // running_qty as final key: duplicate (suppkey, orderkey,
+        // linenumber) rows exist in the data and differ only in their
+        // running value — without it the output order isn't total
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     },
 
     // ---- exact distinct aggregation --------------------------------------
@@ -303,7 +306,10 @@ object Relational {
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")
+        // subtotal rows are NULL-keyed; DuckDB's ASC default is nulls
+        // LAST, Spark's is nulls first — align explicitly
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)
     },
 
     // ---- FULL OUTER join of two aggregates -------------------------------

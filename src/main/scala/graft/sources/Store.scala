@@ -48,7 +48,7 @@ object Store {
     * subsequent join, the decisive layout for repeated fact⋈fact joins
     * at 100 TB (e.g. events ⋈ event_metrics on event_id, lineitem ⋈
     * orders on the order key). */
-  def writeBucketed(df: DataFrame, spark: SparkSession, table: String,
+  def writeBucketed(df: DataFrame, table: String,
       key: String, buckets: Int = 32): Unit =
     df.write.mode("overwrite")
       .bucketBy(buckets, key)

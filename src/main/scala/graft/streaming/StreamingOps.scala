@@ -54,8 +54,7 @@ object StreamingOps {
       watermark: String = "10 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .withColumn("fingerprint",
-        md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+      .withColumn("fingerprint", graft.ops.Dedup.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("fingerprint")
 
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)

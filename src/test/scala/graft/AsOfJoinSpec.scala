@@ -43,6 +43,18 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 50L, None)))
   }
 
+  test("matched right row with NULL payload supersedes older non-null rows") {
+    val l = Seq((1L, 10L)).toDF("k", "ord")
+    val r = Seq((1L, 5L, Option(100.0)), (1L, 8L, Option.empty[Double]))
+      .toDF("k", "ord", "v")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ord", Seq("v"))
+      .collect().head
+    // DuckDB ASOF semantics: the ord=8 row wins even though its payload
+    // is NULL — the payload must not leak from the stale ord=5 row
+    assert(out.getAs[Long]("asof_ord") === 8L)
+    assert(out.getAs[Any]("asof_v") === null)
+  }
+
   test("matches naive range-join ground truth on random data") {
     val rnd = new scala.util.Random(7)
     val l = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))

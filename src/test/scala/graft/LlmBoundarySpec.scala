@@ -53,6 +53,18 @@ class LlmBoundarySpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("after 2 attempts")))
   }
 
+  test("short response batch fails loudly instead of dropping rows") {
+    val shortClient = new LlmClient {
+      def complete(prompts: Seq[String]): Seq[String] = prompts.tail.map(_ => "ok")
+    }
+    val reqs = Seq(LlmRequest(1L, "a"), LlmRequest(2L, "b")).toDS().repartition(1)
+    val e = intercept[Exception] {
+      infer(reqs, shortClient, maxAttempts = 2, baseBackoffMs = 1).collect()
+    }
+    assert(e.getMessage.contains("responses") ||
+      Option(e.getCause).exists(_.getMessage.contains("responses")))
+  }
+
   test("json block extraction: fenced block preferred, brace fallback") {
     val df = Seq(
       ("""text ```json {"hypothesis": "a", "confidence": 0.9} ``` end"""),

@@ -50,10 +50,10 @@ class StoreSpec extends SparkSpec {
     cleanup()
     val orders = Tables(spark, sf(""), "orders")
     val lineitem = Tables(spark, sf(""), "lineitem")
-    Store.writeBucketed(orders, spark, "orders_b", "o_orderkey", 8)
+    Store.writeBucketed(orders, "orders_b", "o_orderkey", 8)
     Store.writeBucketed(
       lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-      spark, "lineitem_b", "o_orderkey", 8)
+      "lineitem_b", "o_orderkey", 8)
     // broadcast suppressed so the co-located sort-merge path is exercised
     val joined = spark.table("orders_b").hint("merge")
       .join(spark.table("lineitem_b"), "o_orderkey")
