@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("graft_ewma"),
       info("graft_ewma"), Ewma.builder))
+    ext.injectFunction((FunctionIdentifier("graft_md5_seeds"),
+      info("graft_md5_seeds"), graft.functions.TextFunctions.md5SeedsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash"), graft.functions.MinHashAgg.builder))
   }
 }

@@ -51,6 +51,72 @@ object RollingHash {
   }
 }
 
+/** All `n` seeded md5 hex digests of a string in ONE pass:
+  * element i == md5(concat('i|', input)) — byte-for-byte the form the
+  * DuckDB oracle computes — but with a single reused MessageDigest, the
+  * input's UTF-8 bytes extracted once, cached seed-prefix bytes, and a
+  * branch-free hex encode. The per-seed `md5(concat(...))` plan this
+  * replaces pays a digest lookup + UTF8String concat allocation + hex
+  * string build per seed per row; on MinHash signatures (16 seeds ×
+  * every shingle occurrence in the corpus) that is the dominant cost of
+  * the whole dedup pipeline. */
+case class Md5Seeds(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"md5_seeds seed count must be positive, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_seeds expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Seeds.all(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Seeds.all($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5Seeds {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val Hex = "0123456789abcdef".getBytes("US-ASCII")
+  // seed prefixes "0|".."63|" precomputed; beyond that, built on the fly
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(i => s"$i|".getBytes("UTF-8"))
+
+  /** Shared by interpreted + generated code paths. */
+  def all(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val in = s.getBytes
+    val md = digest.get()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(if (i < prefixes.length) prefixes(i)
+        else s"$i|".getBytes("UTF-8"))
+      md.update(in)
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = Hex((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = Hex(d(j) & 0xf)
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** 32-bit SimHash over token n-grams (bigrams of whitespace tokens), using
   * the first 4 md5 bytes of each feature as per-bit votes: bit b of the
   * signature is 1 iff more features have bit b set than not. Deterministic
@@ -94,12 +160,30 @@ object SimHash {
 }
 
 object TextFunctions {
+  /** Shared builder (per-session registry AND GraftExtensions). */
+  val md5SeedsBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"graft_md5_seeds expects (text, n), got ${exprs.length} arguments")
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_md5_seeds n must be a literal, got $other")
+    }
+    Md5Seeds(exprs.head, n)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_seeds", md5SeedsBuilder, "built-in")
     spark.udf.register("simhash32", SimHash.simhashUdf)
   }
 
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash32(c: Column): Column = SimHash.simhashUdf(c)
+  /** Requires register(spark) on the session first. */
+  def md5Seeds(c: Column, n: Int): Column =
+    call_function("graft_md5_seeds", c, org.apache.spark.sql.functions.lit(n))
 }

@@ -96,11 +96,17 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signatures: `hashes` md5-seeded min-hashes per doc. */
+  /** MinHash signatures: `hashes` md5-seeded min-hashes per doc, as one
+    * native MinHashAgg aggregate (value-identical to the per-seed
+    * `min(md5('i|' || shingle))` the DuckDB oracle computes — see
+    * MinHashAgg's scaladoc for why the fused byte-level form is the
+    * fast one). Columns come out as m0..m{hashes-1} for bands(). */
   def minhashSignatures(sh: DataFrame, hashes: Int = 16): DataFrame = {
-    val minCols = (0 until hashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    graft.functions.MinHashAgg.register(sh.sparkSession)
+    sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("shingle"), hashes).as("__sig"))
+      .select(col("doc_id") +: (0 until hashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** LSH banding of signatures: rows → (doc_id, band, band_hash). */

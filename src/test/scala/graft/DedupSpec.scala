@@ -54,6 +54,29 @@ class DedupSpec extends SparkSpec {
     assert(guarded === base)
   }
 
+  test("MinHashAgg signature == per-seed min(md5(concat)) reference form") {
+    val docs = Tables(spark, sf(""), "documents")
+    val sh = Dedup.shingles(docs)
+    val refCols = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
+    val ref = sh.groupBy("doc_id").agg(refCols.head, refCols.tail: _*)
+      .orderBy("doc_id").collect()
+    val fast = Dedup.minhashSignatures(sh).orderBy("doc_id").collect()
+    assert(fast.length === ref.length)
+    fast.zip(ref).foreach { case (f, r) => assert(f === r) }
+  }
+
+  test("Md5Seeds element i == md5('i|' || s), including empty string") {
+    import spark.implicits._
+    graft.functions.TextFunctions.register(spark)
+    val df = Seq("the quick brown fox", "", "héllo ünïcode é").toDF("s")
+    val got = df.select(
+      graft.functions.TextFunctions.md5Seeds(col("s"), 3).as("hs"),
+      array((0 until 3).map(i => md5(concat(lit(s"$i|"), col("s")))): _*)
+        .as("ref")).collect()
+    got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("GraftExtensions registers native functions at session build") {
     spark.sparkContext // ensure the shared context exists first
     // getOrCreate would hand back the active session (whose extensions are
