@@ -26,21 +26,26 @@ object TraceQueries {
     TraceEvents.load(s, JsonFixture, stableIds = true)
 
   /** The 5-detector battery as one summary frame (detector, detected,
-    * count, first_ts, last_ts). */
+    * count, first_ts, last_ts). The three stateless predicate detectors
+    * share ONE conditional-aggregation scan (Detectors.predicateSummaries);
+    * the two stateful ones (baseline z-scores, recovery loop windows) keep
+    * their own subtrees. Ordered by detector name so output is total. */
   private def batterySummaries(ev: DataFrame): DataFrame = {
     val metrics = DerivedTables.eventMetrics(ev)
     val baselines = DerivedTables.metricBaselines(metrics, minCount = 3)
-    Seq(
+    val stateful = Seq(
       "storage_pressure" ->
         Detectors.storagePressureAnomalies(ev, baselines),
-      "ratekeeper_throttling" -> Detectors.ratekeeperThrottling(ev),
-      "missing_tlogs" -> Detectors.missingTlogs(ev),
-      "recovery_loop" -> Detectors.recoveryLoops(ev),
-      "coordination_loss" -> Detectors.coordinationLoss(ev))
+      "recovery_loop" -> Detectors.recoveryLoops(ev))
       .map { case (name, d) =>
         Detectors.summary(d).withColumn("detector", lit(name))
           .select("detector", "detected", "count", "first_ts", "last_ts")
       }.reduce(_ unionAll _)
+    val fused = Detectors.predicateSummaries(ev, Seq(
+      "ratekeeper_throttling" -> Detectors.ratekeeperThrottlingPred,
+      "missing_tlogs" -> Detectors.missingTlogsPred,
+      "coordination_loss" -> Detectors.coordinationLossPred))
+    stateful.unionAll(fused).orderBy("detector")
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -71,22 +71,26 @@ object Detectors {
       .select("ts", "event_id", "role", "lag", "zscore")
   }
 
-  /** ratekeeper_throttling (detectors.py:126-149). */
+  /** ratekeeper_throttling (detectors.py:126-149) as a row predicate —
+    * exposed so detector batteries can fuse several stateless detectors
+    * into ONE conditional-aggregation scan of the events table. */
+  val ratekeeperThrottlingPred: Column =
+    (col("event").like("%Ratekeeper%") || col("event").like("%Throttle%")) &&
+      (lower(col("event")).contains("throttle") ||
+        exists(map_keys(col("fields")), k => lower(k).contains("throttle")))
+
   def ratekeeperThrottling(events: DataFrame): DataFrame =
-    events
-      .filter(col("event").like("%Ratekeeper%") ||
-        col("event").like("%Throttle%"))
-      .filter(lower(col("event")).contains("throttle") ||
-        exists(map_keys(col("fields")),
-          k => lower(k).contains("throttle")))
+    events.filter(ratekeeperThrottlingPred)
       .select("ts", "event_id", "event", "severity")
 
-  /** missing_tlogs (detectors.py:152-173). */
+  /** missing_tlogs (detectors.py:152-173) as a row predicate. */
+  val missingTlogsPred: Column =
+    col("event").like("%TLog%") &&
+      (col("event").like("%Missing%") || col("event").like("%Failed%") ||
+        col("event").like("%Error%"))
+
   def missingTlogs(events: DataFrame): DataFrame =
-    events
-      .filter(col("event").like("%TLog%") &&
-        (col("event").like("%Missing%") || col("event").like("%Failed%") ||
-          col("event").like("%Error%")))
+    events.filter(missingTlogsPred)
       .select("ts", "event_id", "event", "severity")
 
   /** recovery_loop (detectors.py:176-203): count positions where the
@@ -107,15 +111,41 @@ object Detectors {
   }
 
   /** coordination_loss (detectors.py:206-231): Coordinator events whose
-    * name or stringified payload mentions fail/lost. */
-  def coordinationLoss(events: DataFrame): DataFrame =
-    events
-      .filter(col("event").like("%Coordinator%"))
-      .filter(lower(col("event")).contains("fail") ||
+    * name or stringified payload mentions fail/lost — as a row predicate. */
+  val coordinationLossPred: Column =
+    col("event").like("%Coordinator%") &&
+      (lower(col("event")).contains("fail") ||
         lower(col("event")).contains("lost") ||
         lower(to_json(col("fields"))).contains("fail") ||
         lower(to_json(col("fields"))).contains("lost"))
+
+  def coordinationLoss(events: DataFrame): DataFrame =
+    events.filter(coordinationLossPred)
       .select("ts", "event_id", "event")
+
+  /** Several stateless detectors in ONE scan: per-predicate conditional
+    * aggregates (count / first / last over when(pred)) computed side by
+    * side, then pivoted to one summary row per detector — same rows as
+    * `summary(events.filter(pred))` per detector, minus N−1 full passes
+    * over the events table. The battery queries use this for every
+    * detector that is a pure row predicate; stateful detectors (baseline
+    * z-scores, recovery loops) keep their own subtrees. */
+  def predicateSummaries(events: DataFrame,
+      preds: Seq[(String, Column)]): DataFrame = {
+    val aggs = preds.flatMap { case (name, p) => Seq(
+      count(when(p, 1)).as(s"__c_$name"),
+      min(when(p, col("ts"))).as(s"__f_$name"),
+      max(when(p, col("ts"))).as(s"__l_$name")) }
+    events.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(preds.map { case (name, _) =>
+        struct(lit(name).as("detector"),
+          (col(s"__c_$name") > 0).as("detected"),
+          col(s"__c_$name").as("count"),
+          col(s"__f_$name").as("first_ts"),
+          col(s"__l_$name").as("last_ts"))
+      }: _*)).as("d"))
+      .select("d.*")
+  }
 
   /** zscore_hotspots (detectors.py:234-285): buckets whose event count is
     * min_z sample-stddevs above the mean bucket count. */

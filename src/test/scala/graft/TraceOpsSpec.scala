@@ -208,4 +208,41 @@ class TraceOpsSpec extends SparkSpec {
     val hs = Detectors.zscoreHotspots(events, bucketSeconds = 1, minZ = 0.0)
     assert(hs.count() >= 0)
   }
+
+  test("fused predicate battery == per-detector summaries") {
+    // synthetic rows make every predicate fire at least once; the XML
+    // fixture (appended) exercises the all-zero detectors too
+    val synthetic = mkEvents(Seq(
+      (9001L, "2025-01-01 00:00:01", "RkUpdateThrottle", 20,
+        Map.empty[String, String]),
+      (9002L, "2025-01-01 00:00:02", "TLogFailed", 30,
+        Map.empty[String, String]),
+      (9003L, "2025-01-01 00:00:03", "CoordinatorsLost", 30,
+        Map.empty[String, String])))
+    val events = TraceEvents.load(spark, RefXml, stableIds = true)
+      .select("event_id", "event", "severity", "fields", "ts", "role")
+      .unionByName(synthetic
+        .select("event_id", "event", "severity", "fields", "ts", "role"))
+      .cache()
+    val preds = Seq(
+      "ratekeeper_throttling" -> Detectors.ratekeeperThrottlingPred,
+      "missing_tlogs" -> Detectors.missingTlogsPred,
+      "coordination_loss" -> Detectors.coordinationLossPred)
+    val fused = Detectors.predicateSummaries(events, preds)
+      .collect().map(r => r.getAs[String]("detector") -> r).toMap
+    val separate = Seq(
+      "ratekeeper_throttling" -> Detectors.ratekeeperThrottling(events),
+      "missing_tlogs" -> Detectors.missingTlogs(events),
+      "coordination_loss" -> Detectors.coordinationLoss(events))
+    separate.foreach { case (name, d) =>
+      val s = Detectors.summary(d).first()
+      val f = fused(name)
+      assert(f.getAs[Boolean]("detected") === s.getAs[Boolean]("detected"), name)
+      assert(f.getAs[Long]("count") === s.getAs[Long]("count"), name)
+      assert(f.getAs[Any]("first_ts") === s.getAs[Any]("first_ts"), name)
+      assert(f.getAs[Any]("last_ts") === s.getAs[Any]("last_ts"), name)
+    }
+    // at least one detector fires on the fixture so the test is not vacuous
+    assert(fused.values.exists(_.getAs[Boolean]("detected")))
+  }
 }
