@@ -87,7 +87,14 @@ object Dedup {
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = (candidates match {
       case Some(c) => c.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
-      case None => a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      // shuffle_hash beats sort-merge here: both sides are the same
+      // already-hashed long-keyed frame, so skipping the two sorts is
+      // pure win (measured 1.7×); the per-partition build side is one
+      // shuffle slice of the shingle frame, which is exactly what the
+      // hot-shingle cap bounds — at corpus scale run nearDedup (LSH
+      // candidates) rather than this all-pairs verification form anyway
+      case None => a.join(b.hint("shuffle_hash"), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
     }).groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
