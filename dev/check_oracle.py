@@ -28,6 +28,38 @@ def table_sig(cols, rows):
     out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
     return names, out
 
+# DuckDB logical type -> compatible Arrow type prefixes. Calibrated to the
+# driver's observed hash behavior (round 1): any signed-int width vs any
+# other is fine (q7/q12/emb_knn passed with int32 vs BIGINT), but HUGEINT
+# (DuckDB's SUM(BIGINT) promotion to int128) hash-mismatches Spark's LONG
+# even when values are identical — so integer widths pool together and
+# HUGEINT maps to nothing.
+INTS = ("int8", "int16", "int32", "int64")
+DUCK_TO_ARROW = {
+    "BIGINT": INTS, "INTEGER": INTS, "SMALLINT": INTS, "TINYINT": INTS,
+    "DOUBLE": ("double",), "FLOAT": ("float",),
+    "VARCHAR": ("string", "large_string"), "BOOLEAN": ("bool",),
+    "DATE": ("date32",), "TIMESTAMP": ("timestamp",),
+}
+
+def type_mismatches(con, sql, arrow_schema):
+    duck_types = {r[0]: r[1] for r in
+                  con.execute(f"DESCRIBE {sql}").fetchall()}
+    bad = []
+    for field in arrow_schema:
+        d = duck_types.get(field.name)
+        if d is None:
+            continue  # column-name mismatch reported separately
+        base = d.split("(")[0].strip().upper()
+        a = str(field.type)
+        if base.startswith("DECIMAL"):
+            ok = a.startswith("decimal")
+        else:
+            ok = any(a.startswith(p) for p in DUCK_TO_ARROW.get(base, ()))
+        if not ok:
+            bad.append(f"{field.name}: duckdb {d} vs spark {a}")
+    return bad
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -58,6 +90,10 @@ def main(sf_dir, out_dir):
         if sv != dv:
             bad = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            n_bad += 1; continue
+        ty_bad = type_mismatches(con, sql, t.schema)
+        if ty_bad:
+            print(f"FAIL {name}: type mismatch: {ty_bad}")
             n_bad += 1; continue
         print(f"OK   {name} ({len(sv)} rows)")
         n_ok += 1

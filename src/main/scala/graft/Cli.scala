@@ -169,6 +169,7 @@ object Cli {
       "missing_tlogs" -> Detectors.missingTlogs(events),
       "recovery_loop" -> Detectors.recoveryLoops(events),
       "coordination_loss" -> Detectors.coordinationLoss(events),
+      "metric_anomalies" -> Detectors.metricAnomalies(events),
       "zscore_hotspots" -> Detectors.zscoreHotspots(events),
       "baseline_window_anomalies" ->
         Detectors.baselineWindowAnomalies(metrics, baselines))

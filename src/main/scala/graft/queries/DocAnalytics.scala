@@ -35,7 +35,7 @@ object DocAnalytics {
     // ---- token/char statistics per source --------------------------------
     sql("doc_token_stats",
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  MAX(n_chars) AS max_chars
         |FROM documents

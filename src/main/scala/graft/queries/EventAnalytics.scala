@@ -253,8 +253,8 @@ object EventAnalytics {
         |  FROM events
         |), sessions AS (
         |  SELECT user_id, event_id, sec,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -358,7 +358,7 @@ object EventAnalytics {
     // reducers before the cheap final combine — the standard mitigation
     // when a key dominates the stream.
     sql("ev_salted_user_totals",
-      """SELECT user_id, SUM(n) AS n_events,
+      """SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(SUM(sum_dec) AS DOUBLE) AS total_value
         |FROM (
         |  SELECT user_id, event_id % 8 AS salt, COUNT(*) AS n,

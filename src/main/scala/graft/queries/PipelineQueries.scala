@@ -41,8 +41,8 @@ object PipelineQueries {
       // NB: DuckDB single-quoted literals do not process backslash escapes
       // — the pattern goes in verbatim, exactly as Spark's regex sees it.
       s"""SELECT source,
-        |  SUM(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) AS total_bpeish_tokens,
-        |  SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS total_estimate
+        |  CAST(SUM(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) AS BIGINT) AS total_bpeish_tokens,
+        |  CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_estimate
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin) { (s, dir) =>
@@ -131,7 +131,7 @@ object PipelineQueries {
     // ---- multimodal metadata (stubbed decode), full oracle on plumbing ---
     sql("mm_media_meta",
       """SELECT kind, COUNT(*) AS n_media,
-        |  SUM(n_bytes) AS total_bytes, MAX(n_bytes) AS max_bytes
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, MAX(n_bytes) AS max_bytes
         |FROM (
         |  SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
         |    octet_length(encode(text)) AS n_bytes

@@ -36,7 +36,8 @@ object TraceQueries {
     val stateful = Seq(
       "storage_pressure" ->
         Detectors.storagePressureAnomalies(ev, baselines),
-      "recovery_loop" -> Detectors.recoveryLoops(ev))
+      "recovery_loop" -> Detectors.recoveryLoops(ev),
+      "metric_anomalies" -> Detectors.metricAnomalies(ev))
       .map { case (name, d) =>
         Detectors.summary(d).withColumn("detector", lit(name))
           .select("detector", "detected", "count", "first_ts", "last_ts")
@@ -149,6 +150,13 @@ object TraceQueries {
 
     noOracle("trace_detector_battery") { (s, _) =>
       batterySummaries(xmlEvents(s).cache())
+    },
+
+    // ---- §2.10.5 detector #8: per-event z-score gate over the recency
+    // window, summarized the way detectors.py:380-394 reports it ----------
+    noOracle("trace_metric_anomalies") { (s, _) =>
+      Detectors.metricAnomalySummary(xmlEvents(s))
+        .withColumn("sample", to_json(col("sample")))
     },
 
     // ---- §2.10.8 agentic RCA, stubbed at the model call ------------------

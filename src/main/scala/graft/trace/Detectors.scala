@@ -147,6 +147,54 @@ object Detectors {
       .select("d.*")
   }
 
+  /** metric_anomalies (detectors.py:355-394): the per-event z-score gate
+    * (AnomalyGate = anomaly_detector.py's MetricAnomalyDetector) run over
+    * the `limit` most-recent events. Returns one row per flagged event
+    * with its reasons — top-k recency select is a TakeOrderedAndProject,
+    * no full sort at scale. event_id desc tie-breaks equal timestamps so
+    * the window is deterministic (the reference orders by ts alone). */
+  def metricAnomalies(events: DataFrame, limit: Int = 500,
+      zThreshold: Double = 2.5): DataFrame =
+    AnomalyGate.anomalies(
+      events.orderBy(col("ts").desc, col("event_id").desc).limit(limit),
+      zThreshold)
+
+  /** The reference's metric_anomalies summary dict as one row: detected /
+    * total_events / anomalies_detected / by_method counts / a sample of
+    * the 10 most-recent flagged events (detectors.py:380-394). by_method
+    * mirrors MetricAnomalyDetector.stats (anomaly_detector.py:50-57):
+    * z_score and threshold count per-(event, metric) flags;
+    * interesting_event counts window events of an interesting type. */
+  def metricAnomalySummary(events: DataFrame, limit: Int = 500,
+      zThreshold: Double = 2.5): DataFrame = {
+    val recent = events.orderBy(col("ts").desc, col("event_id").desc)
+      .limit(limit)
+    val flagged = metricAnomalies(events, limit, zThreshold)
+    val windowCounts = recent.agg(
+      count(lit(1)).as("total_events"),
+      count(when(col("event").isin(
+        AnomalyGate.InterestingEvents.map(lit): _*), 1))
+        .as("by_interesting_event"))
+    // flagged is bounded by `limit`, so collecting its reason flags and
+    // sample structs into one row is O(limit), not O(corpus)
+    val flaggedAgg = flagged.agg(
+      count(lit(1)).as("anomalies_detected"),
+      coalesce(sum(size(filter(col("reasons"),
+        r => r.startsWith("z_score_anomaly_")))), lit(0L)).as("by_z_score"),
+      coalesce(sum(size(filter(col("reasons"),
+        r => r.startsWith("threshold_violation_")))), lit(0L))
+        .as("by_threshold"),
+      slice(reverse(sort_array(collect_list(struct(col("ts"),
+        col("event_id"), col("event"), col("severity"), col("role"),
+        col("reasons"))))), 1, 10).as("sample"))
+    windowCounts.crossJoin(flaggedAgg)
+      .select(
+        (col("anomalies_detected") > 0).as("detected"),
+        col("total_events"), col("anomalies_detected"),
+        col("by_z_score"), col("by_threshold"), col("by_interesting_event"),
+        col("sample"))
+  }
+
   /** zscore_hotspots (detectors.py:234-285): buckets whose event count is
     * min_z sample-stddevs above the mean bucket count. */
   def zscoreHotspots(events: DataFrame, bucketSeconds: Int = 300,

@@ -177,6 +177,46 @@ class TraceOpsSpec extends SparkSpec {
     assert(stats.getAs[Double]("token_reduction_rate") >= 0.0)
   }
 
+  test("metric_anomalies: recency window + by_method accounting (#8)") {
+    val base = (1L to 20L).map(i =>
+      (i, f"2025-01-01 00:00:${i % 60}%02d", "StorageMetrics", 10,
+        Map("QueryQueue" -> "10", "Whatever" -> "5")))
+    val spike = Seq(
+      (21L, "2025-01-01 00:01:00", "StorageMetrics", 10,
+        Map("QueryQueue" -> "500", "Whatever" -> "5")))
+    val ev = mkEvents(base ++ spike)
+    val flagged = Detectors.metricAnomalies(ev).collect()
+    assert(flagged.length === 1)
+    assert(flagged(0).getAs[Long]("event_id") === 21L)
+    val s = Detectors.metricAnomalySummary(ev).first()
+    assert(s.getAs[Boolean]("detected"))
+    assert(s.getAs[Long]("total_events") === 21L)
+    assert(s.getAs[Long]("anomalies_detected") === 1L)
+    assert(s.getAs[Long]("by_z_score") === 1L)     // QueryQueue z ≈ 4.4
+    assert(s.getAs[Long]("by_threshold") === 1L)   // 500 > 100
+    assert(s.getAs[Long]("by_interesting_event") === 21L)
+    val sample = s.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sample")
+    assert(sample.length === 1)
+    assert(sample(0).getAs[String]("event") === "StorageMetrics")
+    // the recency window really truncates: keep only the 3 most-recent
+    // events — too few samples of the (now 2-valued) metric distribution
+    // change which flags fire, but total_events must reflect the window
+    val s3 = Detectors.metricAnomalySummary(ev, limit = 3).first()
+    assert(s3.getAs[Long]("total_events") === 3L)
+  }
+
+  test("metric_anomalies on XML fixture: one summary row, bounded sample") {
+    val events = TraceEvents.load(spark, RefXml, stableIds = true)
+    val s = Detectors.metricAnomalySummary(events).collect()
+    assert(s.length === 1)
+    assert(s(0).getAs[Long]("total_events") === 319L)
+    assert(s(0).getAs[scala.collection.Seq[Any]]("sample").length <= 10)
+    // battery summary shape for the #8 detector matches its siblings
+    val row = Detectors.summary(Detectors.metricAnomalies(events)).first()
+    assert(row.schema.fieldNames.toSeq ===
+      Seq("detected", "count", "first_ts", "last_ts"))
+  }
+
   test("timeline: lag crossings and causal signal (W11)") {
     val ev = mkEvents(Seq(
       (1L, "2025-01-01 00:00:00", "Start", 10, Map.empty[String, String]),
