@@ -25,6 +25,81 @@ object TraceQueries {
   private def jsonEvents(s: SparkSession): DataFrame =
     TraceEvents.load(s, JsonFixture, stableIds = true)
 
+  // ---- DuckDB oracle building blocks for the fixture parse ----------------
+  // The oracles re-derive the whole pipeline (parse → normalize → derive)
+  // in a second engine, so every fragment below mirrors one Scala function
+  // by construction — TraceReader/TraceEvents for the parse, PyNum for the
+  // numeric semantics.
+
+  /** Raw fixture lines (one VARCHAR column, no delimiting). */
+  private def duckLines(path: String): String =
+    s"read_csv('$path', header=false, columns={'line':'VARCHAR'}, delim='', quote='')"
+
+  /** TraceEvents.MandatoryFields as a SQL IN-list (payload exclusion). */
+  private val duckMandatory: String = TraceEvents.MandatoryFields
+    .map(k => s"'$k'").mkString("(", ",", ")")
+
+  /** DerivedTables.ExcludedBaselineMetrics as a SQL IN-list. */
+  private val duckExcludedBaseline: String = DerivedTables
+    .ExcludedBaselineMetrics.toSeq.sorted.map(k => s"'$k'").mkString("(", ",", ")")
+
+  /** PyNum.safeFloat over a VARCHAR expression: max-of-tokens with the
+    * -1/inf/nan rules, whole-string fallback (tools/storage.py:144-174). */
+  private def duckSafeFloat(v: String): String = {
+    val toks =
+      s"""list_filter(regexp_split_to_array($v, '\\s+'),
+         |  p -> p <> '' AND lower(p) NOT IN ('inf','nan'))""".stripMargin
+    val nums =
+      s"list_filter(list_transform($toks, p -> TRY_CAST(p AS DOUBLE)), x -> x IS NOT NULL)"
+    val cleaned = s"list_filter($nums, x -> x <> -1.0)"
+    s"""(CASE WHEN $v IS NULL THEN NULL
+       | WHEN len($nums) > 0 THEN
+       |   (CASE WHEN len($cleaned) > 0 THEN list_max($cleaned)
+       |    ELSE list_max($nums) END)
+       | ELSE TRY_CAST($v AS DOUBLE) END)""".stripMargin
+  }
+
+  /** PyNum.parseNumeric over a VARCHAR expression named raw_v: strict
+    * multi-token parse (tools/anomaly_detector.py:169-184). */
+  private val duckParseNumeric: String = {
+    val kept =
+      """list_filter(regexp_split_to_array(raw_v, '\s+'),
+        |  p -> p <> '' AND p <> '-1' AND p <> 'inf')""".stripMargin
+    s"""CASE WHEN raw_v IS NULL THEN NULL
+       | WHEN contains(raw_v, ' ') THEN (
+       |   CASE WHEN len($kept) = 0
+       |     OR len(list_filter(list_transform($kept,
+       |          p -> TRY_CAST(p AS DOUBLE)), x -> x IS NULL)) > 0 THEN NULL
+       |   ELSE list_max(list_transform($kept, p -> TRY_CAST(p AS DOUBLE)))
+       |   END)
+       | ELSE TRY_CAST(raw_v AS DOUBLE) END""".stripMargin
+  }
+
+  /** 7-significant-digit scientific rendering — makes the float-compare
+    * tolerance explicit on both engines. Spark twin: format_string("%.6e").
+    * Java's and C's %.6e print identically for finite doubles; order-
+    * dependent last-ulp differences in mean/stddev sums vanish at 1e-7
+    * relative granularity. */
+  private def duckSci(v: String): String = s"printf('%.6e', $v)"
+
+  /** DuckDB twin of DerivedTables.exactMean: exact DECIMAL(30,10)
+    * accumulation cast to double — bit-identical across engines, where a
+    * double sum carries order-dependent ulps and FORMATTED renderings
+    * diverge on exact .5 ties (Java rounds half-up, C half-even). */
+  private def duckAvgExact(v: String): String =
+    s"""CASE WHEN MAX(ABS($v)) < 1e18
+       | THEN CAST(SUM(CASE WHEN ABS($v) < 1e18 THEN CAST($v AS DECIMAL(30,10)) END) AS DOUBLE) / COUNT(*)
+       | ELSE AVG($v) END""".stripMargin
+  private def sci(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // C-style non-finite renderings: Java's Formatter says "Infinity"/"NaN",
+    // C's printf (DuckDB) says "inf"/"nan". Window sums over the fixture's
+    // ±1.8e308 sentinel values do overflow to -inf, so this branch is live.
+    when(c.isNull, lit(null).cast("string"))
+      .when(isnan(c), lit("nan"))
+      .when(c === Double.PositiveInfinity, lit("inf"))
+      .when(c === Double.NegativeInfinity, lit("-inf"))
+      .otherwise(format_string("%.6e", c))
+
   /** The 5-detector battery as one summary frame (detector, detected,
     * count, first_ts, last_ts). The three stateless predicate detectors
     * share ONE conditional-aggregation scan (Detectors.predicateSummaries);
@@ -98,8 +173,44 @@ object TraceQueries {
         .orderBy("state_code")
     },
 
-    // ---- rows-only summaries of the full pipeline ------------------------
-    noOracle("trace_rollback_status") { (s, _) =>
+    // ---- W1-W4 rollback analysis, full oracle ----------------------------
+    // The carried non-null scan (ScanOps.prevNonNull over (ts, Time, line))
+    // re-derived as DuckDB LAG(IGNORE NULLS) over the same total order.
+    // Counts CAST to BIGINT: DuckDB window SUM/aggregates otherwise promote.
+    sql("trace_rollback_status",
+      s"""WITH raw AS (
+        |  SELECT CAST(line::JSON AS MAP(VARCHAR,VARCHAR)) AS m,
+        |    row_number() OVER () AS rn
+        |  FROM ${duckLines(JsonFixture)} WHERE trim(line) <> ''
+        |), base AS (
+        |  SELECT strptime(m['DateTime'][1], '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    COALESCE(TRY_CAST(m['Time'][1] AS DOUBLE), 1e308) AS tattr, rn,
+        |    CASE WHEN regexp_matches(COALESCE(m['CommittedVersion'][1], ''), '^[+-]?\\d{1,18}$$') THEN CAST(m['CommittedVersion'][1] AS BIGINT) END AS cv,
+        |    CASE WHEN regexp_matches(COALESCE(m['DurableVersion'][1], ''), '^[+-]?\\d{1,18}$$') THEN CAST(m['DurableVersion'][1] AS BIGINT) END AS dv,
+        |    CASE WHEN m['Type'][1] = 'RecoveryState' AND regexp_matches(COALESCE(m['RecoveryVersion'][1], ''), '^[+-]?\\d{1,18}$$') THEN CAST(m['RecoveryVersion'][1] AS BIGINT) END AS rv
+        |  FROM raw
+        |), f AS (
+        |  SELECT * FROM base WHERE cv IS NOT NULL OR dv IS NOT NULL OR rv IS NOT NULL
+        |), w AS (
+        |  SELECT cv, dv, rv,
+        |    LAG(cv IGNORE NULLS) OVER (ORDER BY ts, tattr, rn) AS prev_cv,
+        |    LAG(dv IGNORE NULLS) OVER (ORDER BY ts, tattr, rn) AS prev_dv,
+        |    LAG(rv IGNORE NULLS) OVER (ORDER BY ts, tattr, rn) AS prev_rv
+        |  FROM f
+        |)
+        |SELECT
+        |  CAST(COUNT(*) FILTER (cv IS NOT NULL AND prev_cv IS NOT NULL AND cv < prev_cv)
+        |     + COUNT(*) FILTER (dv IS NOT NULL AND prev_dv IS NOT NULL AND dv < prev_dv) AS BIGINT) AS num_drops,
+        |  CAST(COALESCE(GREATEST(
+        |    MAX(prev_cv - cv) FILTER (cv IS NOT NULL AND prev_cv IS NOT NULL AND cv < prev_cv),
+        |    MAX(prev_dv - dv) FILTER (dv IS NOT NULL AND prev_dv IS NOT NULL AND dv < prev_dv)), 0) AS BIGINT) AS max_drop,
+        |  CAST(COUNT(*) FILTER (cv IS NOT NULL AND prev_cv > 1000000 AND cv < 1000000) AS BIGINT) AS num_resets,
+        |  CAST(COUNT(*) FILTER (rv IS NOT NULL AND prev_rv IS NOT NULL AND rv < prev_rv) AS BIGINT) AS num_recovery_resets,
+        |  (COUNT(*) FILTER (cv IS NOT NULL AND prev_cv IS NOT NULL AND cv < prev_cv)
+        |   + COUNT(*) FILTER (dv IS NOT NULL AND prev_dv IS NOT NULL AND dv < prev_dv) > 0
+        |   OR COUNT(*) FILTER (cv IS NOT NULL AND prev_cv > 1000000 AND cv < 1000000) > 0
+        |   OR COUNT(*) FILTER (rv IS NOT NULL AND prev_rv IS NOT NULL AND rv < prev_rv) > 0) AS detected
+        |FROM w""") { (s, _) =>
       GlobalScanner.rollbackStatus(jsonEvents(s))
     },
 
@@ -109,7 +220,48 @@ object TraceQueries {
         .select("recovery_id", "state_code", "state_name", "cause")
     },
 
-    noOracle("trace_events_wide_coverage") { (s, _) =>
+    // ---- §2.4 events_wide coalescing coverage, full oracle ---------------
+    // The whole safe_float + precedence-chain + Mean-falsiness machinery
+    // (DerivedTables.eventsWide) re-derived in DuckDB; integer counts make
+    // the comparison float-hash-proof.
+    sql("trace_events_wide_coverage", {
+      def m(k: String) = s"m['$k'][1]"
+      def has(k: String) = s"list_contains(map_keys(m), '$k')"
+      def sfk(k: String) = duckSafeFloat(m(k))
+      def chain(keys: String*): String =
+        keys.foldRight("CAST(NULL AS DOUBLE)") { (k, rest) =>
+          s"(CASE WHEN ${has(k)} THEN ${sfk(k)} ELSE $rest END)"
+        }
+      val grv =
+        s"""(CASE WHEN ${has("Mean")} AND ${has("P95")} THEN
+           |  (CASE WHEN ${sfk("Mean")} IS NULL OR ${sfk("Mean")} = 0.0
+           |   THEN CAST(NULL AS DOUBLE) ELSE ${sfk("Mean")} * 1000.0 END)
+           | ELSE ${chain("GRVLatency", "grvLatency")} END)""".stripMargin
+      val dur =
+        s"""(CASE WHEN ${has("DurableLag")} THEN ${sfk("DurableLag")}
+           | WHEN ${has("DurabilityLag")} THEN ${sfk("DurabilityLag")}
+           | WHEN ${has("WorstStorageServerDurabilityLag")} THEN ${sfk("WorstStorageServerDurabilityLag")}
+           | WHEN ${has("DurableVersion")} AND ${has("Version")}
+           |   THEN (${sfk("Version")} - ${sfk("DurableVersion")}) / 1e5
+           | ELSE CAST(NULL AS DOUBLE) END)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT CAST(line::JSON AS MAP(VARCHAR,VARCHAR)) AS m
+        |  FROM ${duckLines(JsonFixture)} WHERE trim(line) <> ''
+        |), wide AS (
+        |  SELECT $grv AS grv_latency_ms,
+        |    ${chain("Committed", "Mutations", "TxnCommitIn", "TxnRequestIn")} AS txn_volume,
+        |    ${chain("BytesInput", "QueueSize", "WorstStorageServerQueue", "WorstTLogQueue")} AS queue_bytes,
+        |    $dur AS durability_lag_s,
+        |    ${sfk("DiskQueue")} AS disk_queue_bytes,
+        |    ${sfk("Ops")} AS kv_ops
+        |  FROM raw
+        |)
+        |SELECT COUNT(*) AS n_events, COUNT(grv_latency_ms) AS n_grv,
+        |  COUNT(txn_volume) AS n_txn, COUNT(queue_bytes) AS n_queue,
+        |  COUNT(durability_lag_s) AS n_durability,
+        |  COUNT(disk_queue_bytes) AS n_disk, COUNT(kv_ops) AS n_kv
+        |FROM wide"""
+    }) { (s, _) =>
       val wide = DerivedTables.eventsWide(jsonEvents(s))
       wide.agg(
         count(lit(1)).as("n_events"),
@@ -121,31 +273,206 @@ object TraceQueries {
         count(col("kv_ops")).as("n_kv"))
     },
 
-    noOracle("trace_metric_baselines") { (s, _) =>
+    // ---- A5/A6 metric baselines, full oracle -----------------------------
+    // event_metrics EAV (explode payload, py_float) + per-(metric, role)
+    // stats, re-derived from the raw JSON in DuckDB. mean is exact
+    // (decimal accumulation — see exactMean); stddev/p95 are order-
+    // dependent float reductions → rendered at 7 significant digits on
+    // both engines; min/max/count are exact.
+    sql("trace_metric_baselines",
+      s"""WITH ev AS (
+        |  SELECT CAST(line::JSON AS MAP(VARCHAR,VARCHAR)) AS m
+        |  FROM ${duckLines(JsonFixture)} WHERE trim(line) <> ''
+        |), eav AS (
+        |  SELECT m['Roles'][1] AS role,
+        |    unnest(map_keys(m)) AS metric_name,
+        |    TRY_CAST(unnest(map_values(m)) AS DOUBLE) AS v
+        |  FROM ev
+        |)
+        |SELECT metric_name, COALESCE(role, 'ALL') AS role,
+        |  ${duckAvgExact("v")} AS mean,
+        |  ${duckSci("STDDEV_SAMP(v)")} AS stddev,
+        |  ${duckSci("QUANTILE_CONT(v, 0.95)")} AS p95,
+        |  MIN(v) AS "min", MAX(v) AS "max", COUNT(*) AS "count"
+        |FROM eav
+        |WHERE v IS NOT NULL AND NOT isnan(v)
+        |  AND v NOT IN ('inf'::DOUBLE, '-inf'::DOUBLE) AND abs(v) < 1e308
+        |  AND metric_name NOT IN $duckMandatory
+        |  AND metric_name NOT IN $duckExcludedBaseline
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 5
+        |ORDER BY "count" DESC, metric_name, role
+        |LIMIT 500""") { (s, _) =>
       DerivedTables.metricBaselines(
         DerivedTables.eventMetrics(jsonEvents(s)), minCount = 5)
-        .drop("updated_at")
+        .select(col("metric_name"), col("role"),
+          col("mean"), sci(col("stddev")).as("stddev"),
+          sci(col("p95")).as("p95"), col("min"), col("max"), col("count"))
         .orderBy(col("count").desc, col("metric_name"), col("role"))
     },
 
-    noOracle("trace_rollups_60s") { (s, _) =>
+    // ---- A7 tumbling rollups, full oracle --------------------------------
+    // window_start emitted as epoch seconds (BIGINT) on both engines; avg
+    // exact via decimal accumulation, n/max exact. p95 stays in the operator
+    // (DerivedTables.rollups, spec-tested; its semantic is oracle-proven in
+    // trace_metric_baselines/ev_percentiles) but is omitted from this
+    // registered projection: interpolating between two ~6-digit decimals at
+    // f=0.95 frequently produces exactly-tied decimals, where the engines'
+    // different interpolation orders flip the last rendered digit.
+    sql("trace_rollups_60s",
+      s"""WITH ev AS (
+        |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    nullif(regexp_extract(line, ' Roles="([^"]*)"', 1), '') AS role,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 1) AS ks,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 2) AS vs
+        |  FROM ${duckLines(XmlFixture)} WHERE line LIKE '%<Event %'
+        |), eav AS (
+        |  SELECT ts, role, unnest(ks) AS metric_name,
+        |    TRY_CAST(unnest(vs) AS DOUBLE) AS v
+        |  FROM ev
+        |)
+        |SELECT CAST(date_part('epoch', time_bucket(INTERVAL 60 SECONDS, ts)) AS BIGINT) AS window_start,
+        |  role, metric_name, COUNT(*) AS n,
+        |  ${duckAvgExact("v")} AS avg, MAX(v) AS max
+        |FROM eav
+        |WHERE v IS NOT NULL AND ts IS NOT NULL
+        |  AND metric_name NOT IN $duckMandatory
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""") { (s, _) =>
       DerivedTables.rollups(DerivedTables.eventMetrics(xmlEvents(s)), 60)
+        .select(QueryDef.epochSec(col("window_start")).as("window_start"),
+          col("role"), col("metric_name"), col("n"),
+          col("avg"), col("max"))
         .orderBy("window_start", "role", "metric_name")
     },
 
-    noOracle("trace_anomaly_gate") { (s, _) =>
+    // ---- §2.10.4 anomaly-gate token accounting, full oracle --------------
+    // parse_numeric + per-metric z-gate re-derived in DuckDB; all outputs
+    // are counts or exact integer ratios. The z>threshold comparisons
+    // tolerate last-ulp mean/stddev differences unless a z lands within
+    // ~1e-13 of the threshold (not the case on the fixture).
+    sql("trace_anomaly_gate", {
+      val inter = AnomalyGate.InterestingEvents
+        .map(e => s"'$e'").mkString("(", ",", ")")
+      s"""WITH ev AS (
+        |  SELECT row_number() OVER () AS rid,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 1) AS ks,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 2) AS vs
+        |  FROM ${duckLines(XmlFixture)} WHERE line LIKE '%<Event %'
+        |), n_inter AS (
+        |  SELECT COUNT(*) AS n FROM ev WHERE event IN $inter
+        |), interesting AS (
+        |  SELECT * FROM ev WHERE (SELECT n FROM n_inter) = 0 OR event IN $inter
+        |), vals0 AS (
+        |  SELECT rid, unnest(ks) AS metric, unnest(vs) AS raw_v FROM interesting
+        |), vals AS (
+        |  SELECT rid, metric, $duckParseNumeric AS v FROM vals0
+        |  WHERE metric NOT IN $duckMandatory
+        |), vals_pos AS (
+        |  SELECT * FROM vals WHERE v IS NOT NULL AND v > 0
+        |), stats AS (
+        |  SELECT metric, AVG(v) AS mean, STDDEV_SAMP(v) AS stdev
+        |  FROM vals_pos GROUP BY metric
+        |  HAVING COUNT(*) >= 3 AND STDDEV_SAMP(v) IS NOT NULL
+        |), reasons AS (
+        |  SELECT vp.rid,
+        |    CASE WHEN s.stdev IS NOT NULL AND s.stdev <> 0.0
+        |      THEN abs((vp.v - s.mean)/s.stdev) END AS z,
+        |    (vp.metric = 'Max' AND vp.v > 1.0) OR (vp.metric = 'P99' AND vp.v > 0.5)
+        |      OR (vp.metric = 'P95' AND vp.v > 0.3)
+        |      OR (vp.metric = 'QueryQueue' AND vp.v > 100.0) AS thr
+        |  FROM vals_pos vp LEFT JOIN stats s USING (metric)
+        |), flagged AS (
+        |  SELECT DISTINCT rid FROM reasons WHERE z > 1.5 OR thr
+        |), counts AS (
+        |  SELECT (SELECT COUNT(*) FROM ev) AS total_events,
+        |         (SELECT COUNT(*) FROM flagged) AS anomalies_detected
+        |)
+        |SELECT total_events, anomalies_detected,
+        |  total_events - anomalies_detected AS filtered_events,
+        |  CASE WHEN total_events > 0 THEN CAST(total_events - anomalies_detected AS DOUBLE) / total_events ELSE 0.0 END AS filter_rate,
+        |  total_events * 200 AS total_tokens_without_filter,
+        |  anomalies_detected * 200 AS total_tokens_with_filter,
+        |  total_events * 200 - anomalies_detected * 200 AS tokens_saved,
+        |  CASE WHEN total_events > 0 THEN CAST(total_events * 200 - anomalies_detected * 200 AS DOUBLE) / (total_events * 200) ELSE 0.0 END AS token_reduction_rate
+        |FROM counts"""
+    }) { (s, _) =>
       val ev = xmlEvents(s)
       AnomalyGate.stats(ev, AnomalyGate.anomalies(ev))
     },
 
-    noOracle("trace_chunks") { (s, _) =>
+    // ---- W7 marker chunking, full oracle ---------------------------------
+    // Stable event ids = row_number over (Time attr, line order); chunk id
+    // = running marker count over strictly-preceding rows. CAST: DuckDB
+    // windowed SUM promotes to HUGEINT.
+    sql("trace_chunks",
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    CASE WHEN regexp_extract(line, ' Type="([^"]*)"', 1) = 'MasterRecoveryState' THEN 1 ELSE 0 END AS is_marker
+        |  FROM raw WHERE line LIKE '%<Event %'
+        |), marked AS (
+        |  SELECT event_id, is_marker,
+        |    CAST(COALESCE(SUM(is_marker) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+        |  FROM ev
+        |)
+        |SELECT chunk_id, MIN(event_id) AS start_event_id,
+        |  MAX(event_id) AS end_event_id, COUNT(*) AS n_events,
+        |  CASE WHEN MAX(is_marker) = 1 THEN 'pre-recovery' ELSE 'final_chunk' END AS chunk_type
+        |FROM marked GROUP BY chunk_id ORDER BY chunk_id""") { (s, _) =>
       Chunker.chunkByMarker(xmlEvents(s))
         .select("chunk_id", "start_event_id", "end_event_id", "n_events",
           "chunk_type")
     },
 
-    noOracle("trace_timeline") { (s, _) =>
-      TimelineBuilder.build(xmlEvents(s))
+    // ---- W11 timeline narrative, full oracle -----------------------------
+    // Every "first X" is a filtered min — deterministic. Timestamps emitted
+    // as epoch seconds; relative offsets as the reference's "+X.Xs" strings.
+    sql("trace_timeline",
+      s"""WITH ev AS (
+        |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(regexp_extract(line, 'Severity="([^"]*)"', 1) AS INTEGER) AS severity,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    TRY_CAST(COALESCE(
+        |      nullif(regexp_extract(line, ' VersionLag="([^"]*)"', 1), ''),
+        |      nullif(regexp_extract(line, ' versionLag="([^"]*)"', 1), ''),
+        |      nullif(regexp_extract(line, ' VersionLagValue="([^"]*)"', 1), ''),
+        |      nullif(regexp_extract(line, ' Lag="([^"]*)"', 1), ''),
+        |      nullif(regexp_extract(line, ' lag="([^"]*)"', 1), '')) AS DOUBLE) AS lag_v
+        |  FROM ${duckLines(XmlFixture)} WHERE line LIKE '%<Event %'
+        |), agg AS (
+        |  SELECT MIN(ts) AS start_ts,
+        |    MIN(ts) FILTER (COALESCE(severity, 0) >= 30) AS first_severe_ts,
+        |    MIN(ts) FILTER (lag_v > 100000) AS first_lag_100k_ts,
+        |    MIN(ts) FILTER (lag_v > 1000000) AS first_lag_1m_ts,
+        |    MIN(ts) FILTER (event LIKE '%Recovery%') AS first_recovery_ts
+        |  FROM ev WHERE ts IS NOT NULL
+        |)
+        |SELECT CAST(date_part('epoch', start_ts) AS BIGINT) AS start_sec,
+        |  CAST(date_part('epoch', first_severe_ts) AS BIGINT) AS first_severe_sec,
+        |  CAST(date_part('epoch', first_lag_100k_ts) AS BIGINT) AS first_lag_100k_sec,
+        |  CAST(date_part('epoch', first_lag_1m_ts) AS BIGINT) AS first_lag_1m_sec,
+        |  CAST(date_part('epoch', first_recovery_ts) AS BIGINT) AS first_recovery_sec,
+        |  CASE WHEN first_lag_100k_ts IS NOT NULL AND first_recovery_ts IS NOT NULL AND first_lag_100k_ts <= first_recovery_ts
+        |       THEN 'storage_pressure_precedes_recovery'
+        |       WHEN first_recovery_ts IS NOT NULL THEN 'recovery_precedes_storage_pressure' END AS root_cause_signal,
+        |  CASE WHEN first_severe_ts IS NOT NULL THEN printf('+%.1fs', CAST(date_part('epoch', first_severe_ts) - date_part('epoch', start_ts) AS DOUBLE)) END AS first_severe_rel,
+        |  CASE WHEN first_lag_100k_ts IS NOT NULL THEN printf('+%.1fs', CAST(date_part('epoch', first_lag_100k_ts) - date_part('epoch', start_ts) AS DOUBLE)) END AS first_lag_100k_rel,
+        |  CASE WHEN first_lag_1m_ts IS NOT NULL THEN printf('+%.1fs', CAST(date_part('epoch', first_lag_1m_ts) - date_part('epoch', start_ts) AS DOUBLE)) END AS first_lag_1m_rel,
+        |  CASE WHEN first_recovery_ts IS NOT NULL THEN printf('+%.1fs', CAST(date_part('epoch', first_recovery_ts) - date_part('epoch', start_ts) AS DOUBLE)) END AS first_recovery_rel
+        |FROM agg""") { (s, _) =>
+      val t = TimelineBuilder.build(xmlEvents(s))
+      t.select(
+        QueryDef.epochSec(col("start_ts")).as("start_sec"),
+        QueryDef.epochSec(col("first_severe_ts")).as("first_severe_sec"),
+        QueryDef.epochSec(col("first_lag_100k_ts")).as("first_lag_100k_sec"),
+        QueryDef.epochSec(col("first_lag_1m_ts")).as("first_lag_1m_sec"),
+        QueryDef.epochSec(col("first_recovery_ts")).as("first_recovery_sec"),
+        col("root_cause_signal"), col("first_severe_rel"),
+        col("first_lag_100k_rel"), col("first_lag_1m_rel"),
+        col("first_recovery_rel"))
     },
 
     noOracle("trace_detector_battery") { (s, _) =>

@@ -98,6 +98,21 @@ object DerivedTables {
     * over finite values, role NULL → 'ALL', HAVING count >= minCount,
     * top-N by count (global_scanner.py:57-172). One pass — the reference's
     * per-row p95 re-query is folded into the same aggregation. */
+  /** Deterministic mean: exact DECIMAL(30,10) accumulation cast to double
+    * — order-independent, so the same input produces bit-identical means
+    * in any engine or partitioning (a plain double sum carries
+    * order-dependent ulps). Groups containing huge sentinels (|v| ≥ 1e18)
+    * fall back to AVG, where the result saturates identically anyway. */
+  def exactMean(c: Column): Column =
+    // the per-row guard matters: both branches of the outer `when` are
+    // aggregated over every row, so an unguarded decimal cast would
+    // overflow (ANSI) on the sentinel rows even in groups that take the
+    // AVG branch
+    when(max(abs(c)) < 1e18,
+      sum(when(abs(c) < 1e18, c).cast("decimal(30,10)")).cast("double") /
+        count(lit(1)))
+      .otherwise(avg(c))
+
   def metricBaselines(metrics: DataFrame, minCount: Int = 20,
       topN: Int = 500, perRole: Boolean = true): DataFrame = {
     val roleCol = if (perRole) coalesce(col("role"), lit("ALL")) else lit("ALL")
@@ -108,7 +123,7 @@ object DerivedTables {
       .filter(!col("metric_name").isin(ExcludedBaselineMetrics.toSeq.map(lit): _*))
       .groupBy(col("metric_name"), roleCol.as("role"))
       .agg(
-        avg(col("metric_value")).as("mean"),
+        exactMean(col("metric_value")).as("mean"),
         stddev_samp(col("metric_value")).as("stddev"),
         percentile(col("metric_value"), lit(0.95)).as("p95"),
         min(col("metric_value")).as("min"),
@@ -131,7 +146,7 @@ object DerivedTables {
         col("role"), col("metric_name"))
       .agg(
         count(lit(1)).as("n"),
-        avg(col("metric_value")).as("avg"),
+        exactMean(col("metric_value")).as("avg"),
         max(col("metric_value")).as("max"),
         percentile(col("metric_value"), lit(0.95)).as("p95"))
 }
