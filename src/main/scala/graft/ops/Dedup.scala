@@ -122,6 +122,37 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** SimHash near-dup signature pairs via byte-banding. Pigeonhole: ≤3
+    * differing bits of a 32-bit signature touch ≤3 of its 4 bytes, so
+    * every pair with Hamming ≤ 3 shares at least one exact byte —
+    * candidates come from ONE equi-join on (band_index, band_byte) over
+    * distinct signatures, Hamming-verified afterwards. No all-pairs
+    * product anywhere in the plan, unlike the naive sig × sig crossJoin:
+    * at corpus scale the join fan-out is bounded by band-bucket sizes
+    * (256 buckets per band; skewed buckets shuffle-hash fine because the
+    * payload is an 8-byte signature). Includes sig_a == sig_b rows so
+    * exact duplicates surface through the same path. */
+  def simhashSigPairs(sigs: DataFrame, sigCol: String = "sig",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"byte-banding of 32-bit signatures covers Hamming <= 3, got $maxHamming")
+    val distinctSigs = sigs.select(col(sigCol).as("sig")).distinct()
+    val banded = distinctSigs.select(col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), 8 * b).bitwiseAND(lit(255L))
+            .as("byte"))
+      }: _*)).as("bb"))
+      .select(col("sig"), col("bb.band").as("band"), col("bb.byte").as("byte"))
+    val a = banded.select(col("sig").as("sig_a"), col("band"), col("byte"))
+    val b = banded.select(col("sig").as("sig_b"), col("band"), col("byte"))
+    a.join(b, Seq("band", "byte"))
+      .filter(col("sig_a") <= col("sig_b"))
+      .select("sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** MinHash signatures: `hashes` md5-seeded min-hashes per doc, as one
     * native MinHashAgg aggregate (value-identical to the per-seed
     * `min(md5('i|' || shingle))` the DuckDB oracle computes — see

@@ -95,7 +95,23 @@ object EmbeddingOps {
         .orderBy("label", "pos")
     },
 
-    // ---- embedding-cosine near-duplicate pairs ---------------------------
+    // ---- embedding-cosine near-dup pairs, LSH-bucketed (production) ------
+    // One equi-join on (tbl, bucket), exact verification — no corpus ×
+    // corpus product (spec-asserted). Coarse 3-bit buckets × 12 tables
+    // because the synthetic near-dups sit at cosine 0.45-0.6 where LSH
+    // needs coarse bands (expected recall ≈ 0.98 there; 1.0 above 0.8).
+    // Approximate by design → rows-only; emb_neardup_pairs below is the
+    // exact small-N oracle twin of the same semantics.
+    noOracle("emb_neardup_lsh") { (s, dir) =>
+      val v = vectors(s, dir).drop("nrm")
+      graft.ops.VectorSearch.nearDupPairs(v, "vec_id", "e", dim = 64,
+        threshold = 0.45, bits = 3, tables = 12)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- embedding-cosine near-duplicate pairs (exact oracle twin) -------
     sql("emb_neardup_pairs",
       s"""WITH v AS (
         |$vectorsSql
@@ -105,6 +121,9 @@ object EmbeddingOps {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY vec_a, vec_b""") { (s, dir) =>
+      // deliberate all-pairs: this is the exact VERIFICATION twin that
+      // anchors the oracle; the production path is emb_neardup_lsh /
+      // VectorSearch.nearDupPairs (bucketed, no product)
       val v = vectors(s, dir)
       val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
         col("nrm").as("na"))

@@ -57,24 +57,15 @@ object PipelineQueries {
     },
 
     // ---- SimHash near-dup candidates (Hamming ≤ 3 of 32 bits) ------------
+    // Signature pairs come from Dedup.simhashSigPairs — the byte-banded
+    // equi-join (Hamming ≤3 ⇒ ≥1 of 4 bytes equal), no crossJoin of the
+    // signature space (asserted by spec against the physical plan).
     noOracle("doc_simhash_pairs") { (s, dir) =>
       val sigs = docs(s, dir)
         .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("sig"))
       val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      // Hamming join over DISTINCT 32-bit signatures. NOTE this is only
-      // cheap while distinct signatures ≪ corpus (duplicate-heavy data);
-      // at general 100 TB scale the banding trick applies here too —
-      // split the signature into 4 bytes, bucket-join on any equal byte
-      // (Hamming ≤3 ⇒ ≥1 byte equal) — see doc_minhash_lsh for the
-      // pattern. Kept direct here as the verification form.
-      val distinctSigs = sigs.select("sig").distinct()
-      val sa = distinctSigs.select(col("sig").as("sig_a"))
-      val sb = distinctSigs.select(col("sig").as("sig_b"))
-      val nearSigs = sa.crossJoin(sb)
-        .filter(col("sig_a") <= col("sig_b"))
-        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-        .filter(col("hamming") <= 3)
+      val nearSigs = graft.ops.Dedup.simhashSigPairs(sigs)
       // docs attach to either signature side — normalize pair orientation
       // with least/greatest so id order never fights signature order
       a.join(nearSigs, "sig_a").join(b, "sig_b")

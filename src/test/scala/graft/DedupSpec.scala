@@ -22,6 +22,35 @@ class DedupSpec extends SparkSpec {
     assert(deduped.filter(col("doc_id") === keepIds).count() === 1)
   }
 
+  test("simhash banded pairs == brute force, with no product in the plan") {
+    import spark.implicits._
+    // signatures engineered around the Hamming boundary: dup (0 vs 0),
+    // 1-3 bit flips in one or several bytes, exactly-4 flips spread over
+    // 4 bytes (excluded), and a far-away value
+    val sigs = Seq(
+      1L -> 0x00000000L, 2L -> 0x00000000L, 3L -> 0x00000001L,
+      4L -> 0x00010100L, 5L -> 0x01010101L, 6L -> 0x80000003L,
+      7L -> 0xF0F0F0F0L, 8L -> 0xF0F0F0F1L)
+      .toDF("doc_id", "sig")
+    val banded = Dedup.simhashSigPairs(sigs)
+    val brute = sigs.select(col("sig").as("sig_a")).distinct()
+      .crossJoin(sigs.select(col("sig").as("sig_b")).distinct())
+      .filter(col("sig_a") <= col("sig_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 3)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairSet(banded) === pairSet(brute.select("sig_a", "sig_b", "hamming")))
+    // 0x00000000 vs 0x01010101 is Hamming 4 across all four bytes — the
+    // one shape banding may NOT return; prove the boundary is where the
+    // math says (so the test isn't vacuously comparing empty sets)
+    assert(pairSet(banded).exists(_._3 == 3))
+    assert(!pairSet(banded).exists(p => p._1 == 0x00000000L && p._2 == 0x01010101L))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("LSH candidates cover all true Jaccard pairs (recall 1.0 here)") {
     val docs = Tables(spark, sf(""), "documents")
     val truth = Dedup.jaccardPairs(docs, 0.8)

@@ -54,6 +54,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
+  test("nearDupPairs: exact precision, high recall, no product in plan") {
+    GraftFunctions.register(spark)
+    val v = Tables(spark, sf(""), "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .cache()
+    def dotp(a: String, b: String) =
+      GraftFunctions.dotProduct(col(a), col(b))
+    val withN = v.withColumn("nrm", sqrt(dotp("e", "e")))
+    val exact = withN.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("nrm").as("na"))
+      .crossJoin(withN.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("nrm").as("nb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("c", dotp("ea", "eb") / (col("na") * col("nb")))
+      .filter(col("c") >= 0.45)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorSearch.nearDupPairs(v, "vec_id", "e", dim = 64,
+      threshold = 0.45, bits = 3, tables = 12)
+    val got = lsh.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision exact by construction (candidates are verified)
+    assert(got.subsetOf(exact), s"false positives: ${(got -- exact).take(5)}")
+    // recall at the hard 0.45-0.6 cosine regime (expected ≈ 0.98)
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"near-dup LSH recall $recall too low")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("SimHash: near-identical texts land within small Hamming distance") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and once"
