@@ -124,6 +124,16 @@ object TraceQueries {
     stateful.unionAll(fused).orderBy("detector")
   }
 
+  /** trace_detector_battery and trace_rca_stub share this whole subtree —
+    * memoize the (6-row) summary frame per session and cache it so the
+    * second query's action reuses the first's computation instead of
+    * re-running the battery. */
+  private val batteryCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private def cachedBattery(s: SparkSession): DataFrame =
+    batteryCache.computeIfAbsent(s,
+      sess => batterySummaries(xmlEvents(sess).cache()).cache())
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- S2 ingest + A1 severity report, full oracle ---------------------
@@ -476,7 +486,7 @@ object TraceQueries {
     },
 
     noOracle("trace_detector_battery") { (s, _) =>
-      batterySummaries(xmlEvents(s).cache())
+      cachedBattery(s)
     },
 
     // ---- §2.10.5 detector #8: per-event z-score gate over the recency
@@ -484,6 +494,16 @@ object TraceQueries {
     noOracle("trace_metric_anomalies") { (s, _) =>
       Detectors.metricAnomalySummary(xmlEvents(s))
         .withColumn("sample", to_json(col("sample")))
+    },
+
+    // ---- §2.10.8 iterative RCA loop (investigation_agent.py:926-1327) ----
+    // Phase A sweep → detector battery → LLM (stub) with confidence
+    // shaping → hotspot/uncovered-bucket dive → repeat until confidence ≥
+    // threshold or iteration cap. Emits the per-iteration trace.
+    noOracle("trace_rca_loop") { (s, _) =>
+      RcaLoop.investigate(xmlEvents(s), "Diagnose the FDB failure",
+        new graft.ops.LlmBoundary.StubClient,
+        RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3))
     },
 
     // ---- §2.10.8 agentic RCA, stubbed at the model call ------------------
@@ -494,7 +514,7 @@ object TraceQueries {
     noOracle("trace_rca_stub") { (s, _) =>
       import s.implicits._
       import graft.ops.LlmBoundary
-      val battery = batterySummaries(xmlEvents(s).cache())
+      val battery = cachedBattery(s)
       val prompt = battery
         .agg(concat(
           lit("Diagnose the FDB failure. Detector evidence:\n"),
