@@ -58,6 +58,7 @@ object Cli {
         case "pipeline" => load(ctx, rest.tail.toSeq); rollup(ctx, Seq()); stats(ctx)
         case "rollup" => rollup(ctx, rest.tail.toSeq)
         case "chunk" => chunk(ctx, rest.tail.toSeq)
+        case "forced-recovery" => forcedRecovery(ctx, rest.tail.toSeq)
         case "detect" => detect(ctx)
         case other => println(s"unknown command: $other\n$usage"); return 1
       }
@@ -70,13 +71,19 @@ object Cli {
       |  --db <dir>                 table store directory (default graft_store)
       |  init                       initialize an empty store
       |  load <path> [--stable-ids] ingest XML/JSON/plaintext logs + derive tables
+      |       [--all]               path is a directory: recursively ingest every
+      |                             .xml/.json/.log/.txt file, sorted
       |  parse <path> [--limit N]   parse and display, no storage
       |  query <sql>                SQL over events/event_metrics/... views
       |  stats                      severity/event/role/time-span report
-      |  export <sql> <out> [--format csv|json|parquet]
+      |  export <sql> <out> [--format csv|json|parquet] [--partitions N]
       |  pipeline <path>            load + rollup + stats
       |  rollup [--interval N]      materialize rollups_{N}s
       |  chunk [--marker E]         marker-based chunking + 500/100 splits
+      |  forced-recovery [--trigger-comment S]
+      |                             chunk trigger→StatusCode=14 windows; trigger =
+      |                             CodeCoverage whose Comment contains S
+      |                             (default "forced recovery", case-insensitive)
       |  detect                     run the detector battery
       |""".stripMargin
 
@@ -87,9 +94,16 @@ object Cli {
 
   private def load(ctx: Ctx, args: Seq[String]): Unit = {
     val stable = args.contains("--stable-ids")
+    val all = args.contains("--all")
     val path = args.filterNot(_.startsWith("--")).headOption
       .getOrElse(sys.error("load requires a path"))
-    val events = TraceEvents.load(ctx.spark, path, stableIds = stable).cache()
+    val events = (if (all) {
+      val files = TraceEvents.discover(path)
+      if (files.isEmpty) sys.error(s"no supported log files under $path")
+      println(s"loading ${files.length} files: ${files.take(5).mkString(", ")}" +
+        (if (files.length > 5) ", ..." else ""))
+      TraceEvents.loadAll(ctx.spark, files, stableIds = stable)
+    } else TraceEvents.load(ctx.spark, path, stableIds = stable)).cache()
     ctx.write(events, "events")
     val metrics = DerivedTables.eventMetrics(events)
     ctx.write(metrics, "event_metrics")
@@ -129,10 +143,13 @@ object Cli {
 
   private def export(ctx: Ctx, args: Seq[String]): Unit = {
     val fmt = opt(args, "--format").getOrElse("csv")
-    val positional = positionals(args, Set("--format"))
+    // single-file output for CLI parity with the reference's one-CSV
+    // export; --partitions N is the escape hatch for big extracts
+    val parts = opt(args, "--partitions").map(_.toInt).getOrElse(1)
+    val positional = positionals(args, Set("--format", "--partitions"))
     val (sql, out) = (positional(0), positional(1))
     ctx.registerAll()
-    val df = ctx.spark.sql(sql).coalesce(1)
+    val df = ctx.spark.sql(sql).coalesce(parts)
     fmt match {
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(out)
       case "json" => df.write.mode("overwrite").json(out)
@@ -157,6 +174,21 @@ object Cli {
     println(s"wrote ${chunks.count()} chunks")
     chunks.select("chunk_id", "start_event_id", "end_event_id", "n_events",
       "chunk_type").show()
+  }
+
+  /** Forced-recovery chunking (forced_recovery/chunk_logs.py:26-69):
+    * trigger events open a chunk that runs to the first
+    * MasterRecoveryState StatusCode=14. The trigger predicate is
+    * CodeCoverage + Comment-substring because the reference's chunker
+    * module is absent upstream — SURVEY.md W8 documents the semantics. */
+  private def forcedRecovery(ctx: Ctx, args: Seq[String]): Unit = {
+    val needle = opt(args, "--trigger-comment").getOrElse("forced recovery")
+    val trigger = col("event") === "CodeCoverage" &&
+      lower(element_at(col("fields"), "Comment")).contains(needle.toLowerCase)
+    val chunks = Chunker.forcedRecoveryChunks(ctx.read("events"), trigger)
+    ctx.write(chunks, "forced_recovery_chunks")
+    println(s"wrote ${chunks.count()} forced-recovery chunks")
+    chunks.show(truncate = false)
   }
 
   private def detect(ctx: Ctx): Unit = {

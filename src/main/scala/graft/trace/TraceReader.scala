@@ -37,7 +37,12 @@ object TraceReader {
 
   /** XML TraceEvent scan (S1): one `<Event .../>` element per line. */
   def xml(spark: SparkSession, path: String): DataFrame =
-    withProvenance(spark.read.textFile(path).toDF("line"))
+    xmlMany(spark, Seq(path))
+
+  /** Multi-path XML scan — one distributed text read over all files;
+    * provenance (src_file) comes from input_file_name as usual. */
+  def xmlMany(spark: SparkSession, paths: Seq[String]): DataFrame =
+    withProvenance(spark.read.textFile(paths: _*).toDF("line"))
       .filter(col("line").contains("<Event "))
       .withColumn("attrs", map_from_arrays(
         regexp_extract_all(col("line"), lit(attrPattern), lit(1)),
@@ -47,9 +52,12 @@ object TraceReader {
   /** JSON-lines scan with plaintext fallback (S2+S3): blank lines are
     * skipped; a line that fails JSON parse degrades to `key=value` regex
     * pairs (tools/parser.py:16-21,42-56). */
-  def jsonLines(spark: SparkSession, path: String): DataFrame = {
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    jsonLinesMany(spark, Seq(path))
+
+  def jsonLinesMany(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val mapType = MapType(StringType, StringType)
-    withProvenance(spark.read.textFile(path).toDF("line"))
+    withProvenance(spark.read.textFile(paths: _*).toDF("line"))
       .filter(trim(col("line")) =!= "")
       .withColumn("parsed", from_json(trim(col("line")), mapType))
       .withColumn("attrs", coalesce(col("parsed"), map_from_arrays(
@@ -61,6 +69,17 @@ object TraceReader {
   /** Format dispatch (S4): `.xml` suffix → XML, else JSON/plaintext. */
   def read(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".xml")) xml(spark, path) else jsonLines(spark, path)
+
+  /** Mixed-suffix dispatch over many files: at most TWO distributed reads
+    * (one per parser), unioned as attr bags. */
+  def readMany(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readMany requires at least one path")
+    val (xmls, others) = paths.partition(_.endsWith(".xml"))
+    val parts = Seq(
+      if (xmls.nonEmpty) Some(xmlMany(spark, xmls)) else None,
+      if (others.nonEmpty) Some(jsonLinesMany(spark, others)) else None).flatten
+    parts.reduce(_ unionByName _)
+  }
 
   /** Normalized-EventModel re-loader (S5, tools/parser.py:91-126): a JSON
     * array of already-normalized events with ISO timestamps and
@@ -156,4 +175,30 @@ object TraceEvents {
   /** One-call ingest: path → normalized typed events. */
   def load(spark: SparkSession, path: String, stableIds: Boolean = false): DataFrame =
     normalize(TraceReader.read(spark, path), stableIds)
+
+  /** Suffixes the reference CLI accepts (cli_wrapper/main.py:705-708). */
+  val SupportedSuffixes: Set[String] = Set(".json", ".xml", ".log", ".txt")
+
+  /** Recursive discovery of supported log files under `root`, sorted by
+    * path (the reference's sorted rglob walk, cli_wrapper/main.py:574-581;
+    * its `--all` sorted glob at :259-275 is the non-recursive special
+    * case). Listing runs driver-side — it's directory metadata, not data;
+    * the actual reads stay distributed. */
+  def discover(root: String, recursive: Boolean = true): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .flatMap(c => if (c.isDirectory && !recursive) Nil else walk(c))
+      else Seq(f)
+    walk(new java.io.File(root))
+      .filter(f => SupportedSuffixes.exists(s => f.getName.toLowerCase.endsWith(s)))
+      .map(_.getPath).sorted
+  }
+
+  /** Multi-file ingest with per-suffix format dispatch (S6): ≤2
+    * distributed reads, stable ids continue across files via the
+    * (src_file, time, read_order) global order in normalize(). */
+  def loadAll(spark: SparkSession, paths: Seq[String],
+      stableIds: Boolean = false): DataFrame =
+    normalize(TraceReader.readMany(spark, paths), stableIds)
 }
