@@ -224,7 +224,59 @@ object TraceQueries {
       GlobalScanner.rollbackStatus(jsonEvents(s))
     },
 
-    noOracle("trace_recovery_causes") { (s, _) =>
+    // ---- W9 recovery cause lookback, full oracle -------------------------
+    // The whole precedence pipeline (5s lookback range join, CodeCoverage
+    // known-cause class > failure-name/severity class, recency rank)
+    // re-derived in DuckDB. Cause lists and the 15-state name table come
+    // from RecoveryDetector's own constants — one source of truth.
+    sql("trace_recovery_causes", {
+      val known = RecoveryDetector.KnownCauses
+        .map(c => s"contains(lower(e.comment), '${c.toLowerCase}')")
+        .mkString(" OR ")
+      val stateCase = "CASE state_code " + RecoveryDetector.RecoveryStates
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN $k THEN '$v'" }
+        .mkString(" ") + " ELSE 'unknown' END"
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(regexp_extract(line, 'Severity="([^"]*)"', 1) AS INTEGER) AS severity,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    nullif(regexp_extract(line, ' Comment="([^"]*)"', 1), '') AS comment,
+        |    regexp_extract(line, ' StatusCode="([^"]*)"', 1) AS status_code
+        |  FROM raw
+        |), recov AS (
+        |  SELECT event_id AS recovery_id, ts AS recovery_ts,
+        |    CAST(status_code AS INTEGER) AS state_code
+        |  FROM ev WHERE event = 'MasterRecoveryState'
+        |    AND regexp_matches(status_code, '^[+-]?\\d+$$')
+        |), cand AS (
+        |  SELECT r.recovery_id, e.ts AS c_ts, e.event_id AS c_id,
+        |    e.event AS c_event, e.severity AS c_sev, e.comment,
+        |    (e.event = 'CodeCoverage' AND e.comment IS NOT NULL AND ($known)) AS is_cc,
+        |    (e.event IS NOT NULL AND (contains(lower(e.event),'fail') OR contains(lower(e.event),'error') OR contains(lower(e.event),'terminated'))) AS is_fail_name,
+        |    (e.severity IS NOT NULL AND e.severity >= 40) AS is_high_sev
+        |  FROM ev e JOIN recov r ON e.ts >= r.recovery_ts - INTERVAL 5 SECOND
+        |    AND (e.ts < r.recovery_ts OR (e.ts = r.recovery_ts AND e.event_id < r.recovery_id))
+        |), classed AS (
+        |  SELECT *, CASE WHEN is_cc THEN 1 WHEN is_fail_name OR is_high_sev THEN 2 END AS clazz,
+        |    CASE WHEN is_cc THEN comment
+        |         WHEN is_fail_name THEN 'Detected failure event: ' || c_event
+        |         ELSE 'High severity event: ' || c_event || ' (severity ' || c_sev || ')' END AS cause
+        |  FROM cand WHERE (CASE WHEN is_cc THEN 1 WHEN is_fail_name OR is_high_sev THEN 2 END) IS NOT NULL
+        |), best AS (
+        |  SELECT recovery_id, cause FROM (
+        |    SELECT recovery_id, cause,
+        |      row_number() OVER (PARTITION BY recovery_id ORDER BY clazz ASC, c_ts DESC, c_id DESC) AS rnk
+        |    FROM classed) WHERE rnk = 1
+        |)
+        |SELECT r.recovery_id, r.state_code, $stateCase AS state_name, b.cause
+        |FROM recov r LEFT JOIN best b USING (recovery_id)
+        |ORDER BY r.recovery_id"""
+    }) { (s, _) =>
       val ev = xmlEvents(s)
       RecoveryDetector.withCauses(ev, RecoveryDetector.recoveries(ev))
         .select("recovery_id", "state_code", "state_name", "cause")
