@@ -537,15 +537,187 @@ object TraceQueries {
         col("first_recovery_rel"))
     },
 
-    noOracle("trace_detector_battery") { (s, _) =>
+    // ---- §2.10.5 the whole 6-summary battery, full oracle ----------------
+    // Every member re-derived in DuckDB over the raw XML: storage_pressure
+    // (py_float VersionLag vs role/ALL-fallback baselines, z ≥ 3 or raw >
+    // 50k), recovery_loop (lead-2 within 60s), metric_anomalies (the
+    // recency-window z-gate at 2.5), and the three stateless predicates.
+    // Timestamps emitted as epoch seconds.
+    sql("trace_detector_battery", {
+      val mandList = TraceEvents.MandatoryFields
+        .map(k => s"'$k'").mkString("[", ",", "]")
+      val inter = AnomalyGate.InterestingEvents
+        .map(e => s"'$e'").mkString("(", ",", ")")
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    nullif(regexp_extract(line, ' Roles="([^"]*)"', 1), '') AS role,
+        |    COALESCE(nullif(regexp_extract(line, ' VersionLag="([^"]*)"', 1), ''),
+        |             nullif(regexp_extract(line, ' versionLag="([^"]*)"', 1), '')) AS lag_raw,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 1) AS ks,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 2) AS vs
+        |  FROM raw
+        |), eavf AS (
+        |  SELECT event_id, role, ts, unnest(ks) AS metric_name,
+        |    TRY_CAST(unnest(vs) AS DOUBLE) AS metric_value
+        |  FROM ev
+        |), baselines AS (
+        |  SELECT metric_name, COALESCE(role, 'ALL') AS role,
+        |    AVG(metric_value) AS mean, STDDEV_SAMP(metric_value) AS stddev
+        |  FROM eavf
+        |  WHERE metric_value IS NOT NULL AND NOT isnan(metric_value)
+        |    AND metric_value NOT IN ('inf'::DOUBLE,'-inf'::DOUBLE)
+        |    AND abs(metric_value) < 1e308
+        |    AND metric_name NOT IN $duckMandatory
+        |    AND metric_name NOT IN $duckExcludedBaseline
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), lag_rows AS (
+        |  SELECT ts, event_id, COALESCE(role, 'ALL') AS role,
+        |    (SELECT $duckParseNumeric FROM (SELECT lag_raw AS raw_v)) AS lag
+        |  FROM ev WHERE event = 'StorageMetrics'
+        |), storage AS (
+        |  SELECT l.ts FROM lag_rows l
+        |  LEFT JOIN (SELECT role, mean, stddev FROM baselines WHERE metric_name = 'VersionLag') br ON l.role = br.role
+        |  LEFT JOIN (SELECT mean AS am, stddev AS astd FROM baselines WHERE metric_name = 'VersionLag' AND role = 'ALL' LIMIT 1) ba ON TRUE
+        |  WHERE l.lag IS NOT NULL AND (
+        |    (COALESCE(br.stddev, astd) IS NOT NULL AND COALESCE(br.stddev, astd) > 0
+        |     AND abs((l.lag - COALESCE(br.mean, am)) / COALESCE(br.stddev, astd)) >= 3.0)
+        |    OR l.lag > 50000)
+        |), recov AS (
+        |  SELECT ts, event_id FROM ev
+        |  WHERE event LIKE '%MasterRecoveryState%' AND ts IS NOT NULL
+        |), loops AS (
+        |  SELECT ts FROM (
+        |    SELECT ts, LEAD(ts, 2) OVER (ORDER BY ts, event_id) AS nth_later FROM recov)
+        |  WHERE nth_later IS NOT NULL
+        |    AND date_part('epoch', nth_later) - date_part('epoch', ts) <= 60
+        |), recent AS (
+        |  SELECT * FROM ev ORDER BY ts DESC, event_id DESC LIMIT 500
+        |), n_inter AS (
+        |  SELECT COUNT(*) AS n FROM recent WHERE event IN $inter
+        |), interesting AS (
+        |  SELECT * FROM recent WHERE (SELECT n FROM n_inter) = 0 OR event IN $inter
+        |), vals AS (
+        |  SELECT event_id, ts, metric, $duckParseNumeric AS v FROM (
+        |    SELECT event_id, ts, unnest(ks) AS metric, unnest(vs) AS raw_v FROM interesting)
+        |  WHERE metric NOT IN $duckMandatory
+        |), vals_pos AS (
+        |  SELECT * FROM vals WHERE v IS NOT NULL AND v > 0
+        |), gstats AS (
+        |  SELECT metric, AVG(v) AS mean, STDDEV_SAMP(v) AS stdev
+        |  FROM vals_pos GROUP BY metric
+        |  HAVING COUNT(*) >= 3 AND STDDEV_SAMP(v) IS NOT NULL
+        |), manom AS (
+        |  SELECT DISTINCT vp.event_id, vp.ts
+        |  FROM vals_pos vp LEFT JOIN gstats s USING (metric)
+        |  WHERE (s.stdev IS NOT NULL AND s.stdev <> 0 AND abs((vp.v - s.mean)/s.stdev) > 2.5)
+        |     OR (vp.metric = 'Max' AND vp.v > 1.0) OR (vp.metric = 'P99' AND vp.v > 0.5)
+        |     OR (vp.metric = 'P95' AND vp.v > 0.3) OR (vp.metric = 'QueryQueue' AND vp.v > 100.0)
+        |), pred AS (
+        |  SELECT ts,
+        |    ((event LIKE '%Ratekeeper%' OR event LIKE '%Throttle%') AND
+        |     (contains(lower(event), 'throttle') OR
+        |      len(list_filter(ks, k -> NOT list_contains($mandList, k)
+        |        AND contains(lower(k), 'throttle'))) > 0)) AS is_rk,
+        |    (event LIKE '%TLog%' AND (event LIKE '%Missing%'
+        |      OR event LIKE '%Failed%' OR event LIKE '%Error%')) AS is_tlog,
+        |    (event LIKE '%Coordinator%' AND (
+        |      contains(lower(event), 'fail') OR contains(lower(event), 'lost') OR
+        |      len(list_filter(ks, k -> NOT list_contains($mandList, k)
+        |        AND (contains(lower(k), 'fail') OR contains(lower(k), 'lost')))) > 0 OR
+        |      EXISTS (SELECT 1 FROM (SELECT unnest(ks) AS kk, unnest(vs) AS vv) z
+        |              WHERE NOT list_contains($mandList, kk)
+        |                AND (contains(lower(vv), 'fail') OR contains(lower(vv), 'lost'))))) AS is_coord
+        |  FROM ev
+        |)
+        |SELECT 'storage_pressure' AS detector, COUNT(*) > 0 AS detected, COUNT(*) AS count,
+        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT) AS first_sec,
+        |  CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS last_sec FROM storage
+        |UNION ALL
+        |SELECT 'recovery_loop', COUNT(*) > 0, COUNT(*),
+        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT), CAST(date_part('epoch', MAX(ts)) AS BIGINT) FROM loops
+        |UNION ALL
+        |SELECT 'metric_anomalies', COUNT(*) > 0, COUNT(*),
+        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT), CAST(date_part('epoch', MAX(ts)) AS BIGINT) FROM manom
+        |UNION ALL
+        |SELECT 'ratekeeper_throttling', COUNT(*) FILTER (is_rk) > 0, COUNT(*) FILTER (is_rk),
+        |  CAST(date_part('epoch', MIN(ts) FILTER (is_rk)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_rk)) AS BIGINT) FROM pred
+        |UNION ALL
+        |SELECT 'missing_tlogs', COUNT(*) FILTER (is_tlog) > 0, COUNT(*) FILTER (is_tlog),
+        |  CAST(date_part('epoch', MIN(ts) FILTER (is_tlog)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_tlog)) AS BIGINT) FROM pred
+        |UNION ALL
+        |SELECT 'coordination_loss', COUNT(*) FILTER (is_coord) > 0, COUNT(*) FILTER (is_coord),
+        |  CAST(date_part('epoch', MIN(ts) FILTER (is_coord)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_coord)) AS BIGINT) FROM pred
+        |ORDER BY detector"""
+    }) { (s, _) =>
       cachedBattery(s)
+        .select(col("detector"), col("detected"), col("count"),
+          QueryDef.epochSec(col("first_ts")).as("first_sec"),
+          QueryDef.epochSec(col("last_ts")).as("last_sec"))
+        .orderBy("detector")
     },
 
     // ---- §2.10.5 detector #8: per-event z-score gate over the recency
-    // window, summarized the way detectors.py:380-394 reports it ----------
-    noOracle("trace_metric_anomalies") { (s, _) =>
-      Detectors.metricAnomalySummary(xmlEvents(s))
-        .withColumn("sample", to_json(col("sample")))
+    // window, summarized the way detectors.py:380-394 reports it. Full
+    // oracle on the count surface; the sample array stays a library
+    // feature (metricAnomalySummary) but is projected out here — JSON
+    // renderings of nested timestamps aren't comparable across engines.
+    sql("trace_metric_anomalies", {
+      val inter = AnomalyGate.InterestingEvents
+        .map(e => s"'$e'").mkString("(", ",", ")")
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 1) AS ks,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 2) AS vs
+        |  FROM raw
+        |), recent AS (
+        |  SELECT * FROM ev ORDER BY ts DESC, event_id DESC LIMIT 500
+        |), wc AS (
+        |  SELECT COUNT(*) AS total_events,
+        |    COUNT(*) FILTER (event IN $inter) AS by_interesting_event
+        |  FROM recent
+        |), n_inter AS (
+        |  SELECT COUNT(*) AS n FROM recent WHERE event IN $inter
+        |), interesting AS (
+        |  SELECT * FROM recent WHERE (SELECT n FROM n_inter) = 0 OR event IN $inter
+        |), vals AS (
+        |  SELECT event_id, metric, $duckParseNumeric AS v FROM (
+        |    SELECT event_id, unnest(ks) AS metric, unnest(vs) AS raw_v FROM interesting)
+        |  WHERE metric NOT IN $duckMandatory
+        |), vals_pos AS (
+        |  SELECT * FROM vals WHERE v IS NOT NULL AND v > 0
+        |), gstats AS (
+        |  SELECT metric, AVG(v) AS mean, STDDEV_SAMP(v) AS stdev
+        |  FROM vals_pos GROUP BY metric
+        |  HAVING COUNT(*) >= 3 AND STDDEV_SAMP(v) IS NOT NULL
+        |), flags AS (
+        |  SELECT vp.event_id,
+        |    (s.stdev IS NOT NULL AND s.stdev <> 0
+        |      AND abs((vp.v - s.mean)/s.stdev) > 2.5) AS zf,
+        |    ((vp.metric = 'Max' AND vp.v > 1.0) OR (vp.metric = 'P99' AND vp.v > 0.5)
+        |      OR (vp.metric = 'P95' AND vp.v > 0.3)
+        |      OR (vp.metric = 'QueryQueue' AND vp.v > 100.0)) AS tf
+        |  FROM vals_pos vp LEFT JOIN gstats s USING (metric)
+        |), fc AS (
+        |  SELECT COUNT(DISTINCT event_id) FILTER (zf OR tf) AS anomalies_detected,
+        |    COUNT(*) FILTER (zf) AS by_z_score,
+        |    COUNT(*) FILTER (tf) AS by_threshold
+        |  FROM flags
+        |)
+        |SELECT anomalies_detected > 0 AS detected, total_events,
+        |  anomalies_detected, by_z_score, by_threshold, by_interesting_event
+        |FROM wc, fc"""
+    }) { (s, _) =>
+      Detectors.metricAnomalySummary(xmlEvents(s)).drop("sample")
     },
 
     // ---- §2.10.8 iterative RCA loop (investigation_agent.py:926-1327) ----
