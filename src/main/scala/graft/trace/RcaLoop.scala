@@ -158,6 +158,14 @@ object RcaLoop {
     lazy val hotspotRows = Detectors.zscoreHotspots(ev,
       bucketSeconds = cfg.heatmapBucketSeconds, minZ = 2.0).collect()
     lazy val timelineRow = TimelineBuilder.build(ev).first()
+    // full severity-ordered dive-candidate list, collected once (bounded:
+    // it's the bucket aggregate, not events) — per-iteration "uncovered"
+    // selection is then a driver-side set probe instead of re-running the
+    // groupBy + anti-join over the corpus every round
+    lazy val diveCandidates: Seq[Long] = Investigation
+      .highSeverityBuckets(ev, minSeverity = 10,
+        bucketSeconds = cfg.diveBucketSeconds, limit = Int.MaxValue)
+      .collect().toSeq.map(_.getAs[Long]("bucket"))
 
     var continueLoop = true
     while (continueLoop && iteration < cfg.maxIterations) {
@@ -227,13 +235,7 @@ object RcaLoop {
         // ---- hotspot dive (investigation_agent.py:1243-1305) ------------
         val chosen: Option[Long] = hotspots.iterator
           .map(_.getAs[Long]("bucket")).find(!inspected.contains(_))
-          .orElse {
-            import spark.implicits._
-            Investigation.uncoveredBuckets(ev,
-              inspected.toSeq.toDF("bucket"), minSeverity = 10,
-              bucketSeconds = cfg.diveBucketSeconds)
-              .limit(1).collect().headOption.map(_.getAs[Long]("bucket"))
-          }
+          .orElse(diveCandidates.find(!inspected.contains(_)))
         var nNew = 0L
         chosen match {
           case Some(bucket) =>
