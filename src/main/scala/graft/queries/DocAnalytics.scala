@@ -125,6 +125,9 @@ object DocAnalytics {
 
     // ---- exact n-gram Jaccard near-dup pairs (verification path) ---------
     // |A∩B| via shingle self-join, sizes via per-doc distinct counts.
+    // This all-pairs form is the ORACLE TWIN; the production path at
+    // corpus scale is Dedup.nearDedup / doc_minhash_lsh (LSH candidates,
+    // verification restricted to candidates only).
     sql("doc_neardup_jaccard",
       s"""WITH shingles AS (
         |$shingleSql

@@ -100,9 +100,39 @@ object EmbeddingOps {
     // corpus product (spec-asserted). Coarse 3-bit buckets × 12 tables
     // because the synthetic near-dups sit at cosine 0.45-0.6 where LSH
     // needs coarse bands (expected recall ≈ 0.98 there; 1.0 above 0.8).
-    // Approximate by design → rows-only; emb_neardup_pairs below is the
-    // exact small-N oracle twin of the same semantics.
-    noOracle("emb_neardup_lsh") { (s, dir) =>
+    // emb_neardup_pairs below is the exact small-N twin; THIS oracle
+    // verifies the approximate path itself — bucketing against the exact
+    // hyperplane literals, candidate join, threshold verification.
+    sql("emb_neardup_lsh", {
+      val (tables, bits, dim, seed) = (12, 3, 64, 42L)
+      def bucketExpr(t: Int): String =
+        graft.ops.VectorSearch.hyperplanes(dim, bits, seed + t).zipWithIndex
+          .map { case (p, i) =>
+            val arr = p.map(_.toString).mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(e, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+      val bucketCase = "CASE t.tbl " + (0 until tables)
+        .map(t => s"WHEN $t THEN ${bucketExpr(t)}").mkString(" ") + " END"
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), vn AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        |), b AS (
+        |  SELECT vec_id, CAST($bucketCase AS BIGINT) AS bucket, t.tbl
+        |  FROM vn, (SELECT unnest(range($tables)) AS tbl) t
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id
+        |)
+        |SELECT cand.vec_a, cand.vec_b,
+        |  ROUND(list_dot_product(av.e, bv.e) / (av.nrm * bv.nrm), 6) AS cosine
+        |FROM cand JOIN vn av ON av.vec_id = cand.vec_a
+        |          JOIN vn bv ON bv.vec_id = cand.vec_b
+        |WHERE list_dot_product(av.e, bv.e) / (av.nrm * bv.nrm) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, dir) =>
       val v = vectors(s, dir).drop("nrm")
       graft.ops.VectorSearch.nearDupPairs(v, "vec_id", "e", dim = 64,
         threshold = 0.45, bits = 3, tables = 12)

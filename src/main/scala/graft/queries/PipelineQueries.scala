@@ -206,13 +206,57 @@ object PipelineQueries {
     },
 
     // ---- LSH approximate NN vs exact (the at-scale ANN path) -------------
-    noOracle("emb_ann_lsh") { (s, dir) =>
+    // Full oracle: the ENTIRE LSH pipeline — sign-bit bucketing against
+    // the very hyperplanes Spark uses (embedded as exact round-trip
+    // double literals from VectorSearch.hyperplanes), bucket-join
+    // candidate generation, exact cosine re-rank — re-derived in DuckDB.
+    // Sign parity holds because both engines fold the dot product
+    // left-to-right over bit-identical doubles.
+    sql("emb_ann_lsh", {
+      val (tables, bits, dim, seed, k) = (8, 6, 64, 42L, 10)
+      def bucketExpr(t: Int): String =
+        VectorSearch.hyperplanes(dim, bits, seed + t).zipWithIndex
+          .map { case (p, i) =>
+            val arr = p.map(_.toString).mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(e, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+      val bucketCase = "CASE t.tbl " + (0 until tables)
+        .map(t => s"WHEN $t THEN ${bucketExpr(t)}").mkString(" ") + " END"
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), vn AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        |), b AS (
+        |  SELECT vec_id, CAST($bucketCase AS BIGINT) AS bucket, t.tbl
+        |  FROM vn, (SELECT unnest(range($tables)) AS tbl) t
+        |), q AS (SELECT * FROM b WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+        |    AND c.vec_id <> q.vec_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS cosine
+        |  FROM cand JOIN vn qv ON qv.vec_id = cand.query_id
+        |            JOIN vn cv ON cv.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       VectorSearch.annCosine(v, v.filter(col("vec_id") < 5), "vec_id", "e",
         dim = 64, k = 10, bits = 6, tables = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     },
 

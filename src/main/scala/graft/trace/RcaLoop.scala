@@ -196,7 +196,8 @@ object RcaLoop {
         record("recovery_episodes",
           s"n=${GlobalScanner.recoveryEpisodes(ev).count()}")
         trace += IterationTrace(iteration, "A", llm_called = false,
-          confidence, hypothesis, None, contextLines.size, evidence.size, "")
+          confidence, hypothesis, None, contextLines.size, evidence.size,
+          if (iteration >= cfg.maxIterations) "max_iterations" else "")
         phase = "B"
         contextDirty = true
       } else {
