@@ -134,6 +134,120 @@ object TraceQueries {
     batteryCache.computeIfAbsent(s,
       sess => batterySummaries(xmlEvents(sess).cache()).cache())
 
+  /** The 6-member battery summary as one DuckDB query (no outer ORDER
+    * BY) — shared verbatim by the trace_detector_battery oracle and the
+    * trace_rca_stub oracle, which hashes these same summary rows. */
+  private lazy val duckBatterySql: String = {
+    val mandList = TraceEvents.MandatoryFields
+      .map(k => s"'$k'").mkString("[", ",", "]")
+    val inter = AnomalyGate.InterestingEvents
+      .map(e => s"'$e'").mkString("(", ",", ")")
+    s"""WITH raw AS (
+      |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+      |  WHERE line LIKE '%<Event %'
+      |), ev AS (
+      |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+      |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+      |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+      |    nullif(regexp_extract(line, ' Roles="([^"]*)"', 1), '') AS role,
+      |    COALESCE(nullif(regexp_extract(line, ' VersionLag="([^"]*)"', 1), ''),
+      |             nullif(regexp_extract(line, ' versionLag="([^"]*)"', 1), '')) AS lag_raw,
+      |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 1) AS ks,
+      |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 2) AS vs
+      |  FROM raw
+      |), eavf AS (
+      |  SELECT event_id, role, ts, unnest(ks) AS metric_name,
+      |    TRY_CAST(unnest(vs) AS DOUBLE) AS metric_value
+      |  FROM ev
+      |), baselines AS (
+      |  SELECT metric_name, COALESCE(role, 'ALL') AS role,
+      |    AVG(metric_value) AS mean, STDDEV_SAMP(metric_value) AS stddev
+      |  FROM eavf
+      |  WHERE metric_value IS NOT NULL AND NOT isnan(metric_value)
+      |    AND metric_value NOT IN ('inf'::DOUBLE,'-inf'::DOUBLE)
+      |    AND abs(metric_value) < 1e308
+      |    AND metric_name NOT IN $duckMandatory
+      |    AND metric_name NOT IN $duckExcludedBaseline
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |), lag_rows AS (
+      |  SELECT ts, event_id, COALESCE(role, 'ALL') AS role,
+      |    (SELECT $duckParseNumeric FROM (SELECT lag_raw AS raw_v)) AS lag
+      |  FROM ev WHERE event = 'StorageMetrics'
+      |), storage AS (
+      |  SELECT l.ts FROM lag_rows l
+      |  LEFT JOIN (SELECT role, mean, stddev FROM baselines WHERE metric_name = 'VersionLag') br ON l.role = br.role
+      |  LEFT JOIN (SELECT mean AS am, stddev AS astd FROM baselines WHERE metric_name = 'VersionLag' AND role = 'ALL' LIMIT 1) ba ON TRUE
+      |  WHERE l.lag IS NOT NULL AND (
+      |    (COALESCE(br.stddev, astd) IS NOT NULL AND COALESCE(br.stddev, astd) > 0
+      |     AND abs((l.lag - COALESCE(br.mean, am)) / COALESCE(br.stddev, astd)) >= 3.0)
+      |    OR l.lag > 50000)
+      |), recov AS (
+      |  SELECT ts, event_id FROM ev
+      |  WHERE event LIKE '%MasterRecoveryState%' AND ts IS NOT NULL
+      |), loops AS (
+      |  SELECT ts FROM (
+      |    SELECT ts, LEAD(ts, 2) OVER (ORDER BY ts, event_id) AS nth_later FROM recov)
+      |  WHERE nth_later IS NOT NULL
+      |    AND date_part('epoch', nth_later) - date_part('epoch', ts) <= 60
+      |), recent AS (
+      |  SELECT * FROM ev ORDER BY ts DESC, event_id DESC LIMIT 500
+      |), n_inter AS (
+      |  SELECT COUNT(*) AS n FROM recent WHERE event IN $inter
+      |), interesting AS (
+      |  SELECT * FROM recent WHERE (SELECT n FROM n_inter) = 0 OR event IN $inter
+      |), vals AS (
+      |  SELECT event_id, ts, metric, $duckParseNumeric AS v FROM (
+      |    SELECT event_id, ts, unnest(ks) AS metric, unnest(vs) AS raw_v FROM interesting)
+      |  WHERE metric NOT IN $duckMandatory
+      |), vals_pos AS (
+      |  SELECT * FROM vals WHERE v IS NOT NULL AND v > 0
+      |), gstats AS (
+      |  SELECT metric, AVG(v) AS mean, STDDEV_SAMP(v) AS stdev
+      |  FROM vals_pos GROUP BY metric
+      |  HAVING COUNT(*) >= 3 AND STDDEV_SAMP(v) IS NOT NULL
+      |), manom AS (
+      |  SELECT DISTINCT vp.event_id, vp.ts
+      |  FROM vals_pos vp LEFT JOIN gstats s USING (metric)
+      |  WHERE (s.stdev IS NOT NULL AND s.stdev <> 0 AND abs((vp.v - s.mean)/s.stdev) > 2.5)
+      |     OR (vp.metric = 'Max' AND vp.v > 1.0) OR (vp.metric = 'P99' AND vp.v > 0.5)
+      |     OR (vp.metric = 'P95' AND vp.v > 0.3) OR (vp.metric = 'QueryQueue' AND vp.v > 100.0)
+      |), pred AS (
+      |  SELECT ts,
+      |    ((event LIKE '%Ratekeeper%' OR event LIKE '%Throttle%') AND
+      |     (contains(lower(event), 'throttle') OR
+      |      len(list_filter(ks, k -> NOT list_contains($mandList, k)
+      |        AND contains(lower(k), 'throttle'))) > 0)) AS is_rk,
+      |    (event LIKE '%TLog%' AND (event LIKE '%Missing%'
+      |      OR event LIKE '%Failed%' OR event LIKE '%Error%')) AS is_tlog,
+      |    (event LIKE '%Coordinator%' AND (
+      |      contains(lower(event), 'fail') OR contains(lower(event), 'lost') OR
+      |      len(list_filter(ks, k -> NOT list_contains($mandList, k)
+      |        AND (contains(lower(k), 'fail') OR contains(lower(k), 'lost')))) > 0 OR
+      |      EXISTS (SELECT 1 FROM (SELECT unnest(ks) AS kk, unnest(vs) AS vv) z
+      |              WHERE NOT list_contains($mandList, kk)
+      |                AND (contains(lower(vv), 'fail') OR contains(lower(vv), 'lost'))))) AS is_coord
+      |  FROM ev
+      |)
+      |SELECT 'storage_pressure' AS detector, COUNT(*) > 0 AS detected, COUNT(*) AS count,
+      |  CAST(date_part('epoch', MIN(ts)) AS BIGINT) AS first_sec,
+      |  CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS last_sec FROM storage
+      |UNION ALL
+      |SELECT 'recovery_loop', COUNT(*) > 0, COUNT(*),
+      |  CAST(date_part('epoch', MIN(ts)) AS BIGINT), CAST(date_part('epoch', MAX(ts)) AS BIGINT) FROM loops
+      |UNION ALL
+      |SELECT 'metric_anomalies', COUNT(*) > 0, COUNT(*),
+      |  CAST(date_part('epoch', MIN(ts)) AS BIGINT), CAST(date_part('epoch', MAX(ts)) AS BIGINT) FROM manom
+      |UNION ALL
+      |SELECT 'ratekeeper_throttling', COUNT(*) FILTER (is_rk) > 0, COUNT(*) FILTER (is_rk),
+      |  CAST(date_part('epoch', MIN(ts) FILTER (is_rk)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_rk)) AS BIGINT) FROM pred
+      |UNION ALL
+      |SELECT 'missing_tlogs', COUNT(*) FILTER (is_tlog) > 0, COUNT(*) FILTER (is_tlog),
+      |  CAST(date_part('epoch', MIN(ts) FILTER (is_tlog)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_tlog)) AS BIGINT) FROM pred
+      |UNION ALL
+      |SELECT 'coordination_loss', COUNT(*) FILTER (is_coord) > 0, COUNT(*) FILTER (is_coord),
+      |  CAST(date_part('epoch', MIN(ts) FILTER (is_coord)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_coord)) AS BIGINT) FROM pred""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- S2 ingest + A1 severity report, full oracle ---------------------
@@ -542,123 +656,63 @@ object TraceQueries {
     // (py_float VersionLag vs role/ALL-fallback baselines, z ≥ 3 or raw >
     // 50k), recovery_loop (lead-2 within 60s), metric_anomalies (the
     // recency-window z-gate at 2.5), and the three stateless predicates.
-    // Timestamps emitted as epoch seconds.
-    sql("trace_detector_battery", {
-      val mandList = TraceEvents.MandatoryFields
-        .map(k => s"'$k'").mkString("[", ",", "]")
-      val inter = AnomalyGate.InterestingEvents
-        .map(e => s"'$e'").mkString("(", ",", ")")
-      s"""WITH raw AS (
-        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
-        |  WHERE line LIKE '%<Event %'
-        |), ev AS (
-        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
-        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
-        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
-        |    nullif(regexp_extract(line, ' Roles="([^"]*)"', 1), '') AS role,
-        |    COALESCE(nullif(regexp_extract(line, ' VersionLag="([^"]*)"', 1), ''),
-        |             nullif(regexp_extract(line, ' versionLag="([^"]*)"', 1), '')) AS lag_raw,
-        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 1) AS ks,
-        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 2) AS vs
-        |  FROM raw
-        |), eavf AS (
-        |  SELECT event_id, role, ts, unnest(ks) AS metric_name,
-        |    TRY_CAST(unnest(vs) AS DOUBLE) AS metric_value
-        |  FROM ev
-        |), baselines AS (
-        |  SELECT metric_name, COALESCE(role, 'ALL') AS role,
-        |    AVG(metric_value) AS mean, STDDEV_SAMP(metric_value) AS stddev
-        |  FROM eavf
-        |  WHERE metric_value IS NOT NULL AND NOT isnan(metric_value)
-        |    AND metric_value NOT IN ('inf'::DOUBLE,'-inf'::DOUBLE)
-        |    AND abs(metric_value) < 1e308
-        |    AND metric_name NOT IN $duckMandatory
-        |    AND metric_name NOT IN $duckExcludedBaseline
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |), lag_rows AS (
-        |  SELECT ts, event_id, COALESCE(role, 'ALL') AS role,
-        |    (SELECT $duckParseNumeric FROM (SELECT lag_raw AS raw_v)) AS lag
-        |  FROM ev WHERE event = 'StorageMetrics'
-        |), storage AS (
-        |  SELECT l.ts FROM lag_rows l
-        |  LEFT JOIN (SELECT role, mean, stddev FROM baselines WHERE metric_name = 'VersionLag') br ON l.role = br.role
-        |  LEFT JOIN (SELECT mean AS am, stddev AS astd FROM baselines WHERE metric_name = 'VersionLag' AND role = 'ALL' LIMIT 1) ba ON TRUE
-        |  WHERE l.lag IS NOT NULL AND (
-        |    (COALESCE(br.stddev, astd) IS NOT NULL AND COALESCE(br.stddev, astd) > 0
-        |     AND abs((l.lag - COALESCE(br.mean, am)) / COALESCE(br.stddev, astd)) >= 3.0)
-        |    OR l.lag > 50000)
-        |), recov AS (
-        |  SELECT ts, event_id FROM ev
-        |  WHERE event LIKE '%MasterRecoveryState%' AND ts IS NOT NULL
-        |), loops AS (
-        |  SELECT ts FROM (
-        |    SELECT ts, LEAD(ts, 2) OVER (ORDER BY ts, event_id) AS nth_later FROM recov)
-        |  WHERE nth_later IS NOT NULL
-        |    AND date_part('epoch', nth_later) - date_part('epoch', ts) <= 60
-        |), recent AS (
-        |  SELECT * FROM ev ORDER BY ts DESC, event_id DESC LIMIT 500
-        |), n_inter AS (
-        |  SELECT COUNT(*) AS n FROM recent WHERE event IN $inter
-        |), interesting AS (
-        |  SELECT * FROM recent WHERE (SELECT n FROM n_inter) = 0 OR event IN $inter
-        |), vals AS (
-        |  SELECT event_id, ts, metric, $duckParseNumeric AS v FROM (
-        |    SELECT event_id, ts, unnest(ks) AS metric, unnest(vs) AS raw_v FROM interesting)
-        |  WHERE metric NOT IN $duckMandatory
-        |), vals_pos AS (
-        |  SELECT * FROM vals WHERE v IS NOT NULL AND v > 0
-        |), gstats AS (
-        |  SELECT metric, AVG(v) AS mean, STDDEV_SAMP(v) AS stdev
-        |  FROM vals_pos GROUP BY metric
-        |  HAVING COUNT(*) >= 3 AND STDDEV_SAMP(v) IS NOT NULL
-        |), manom AS (
-        |  SELECT DISTINCT vp.event_id, vp.ts
-        |  FROM vals_pos vp LEFT JOIN gstats s USING (metric)
-        |  WHERE (s.stdev IS NOT NULL AND s.stdev <> 0 AND abs((vp.v - s.mean)/s.stdev) > 2.5)
-        |     OR (vp.metric = 'Max' AND vp.v > 1.0) OR (vp.metric = 'P99' AND vp.v > 0.5)
-        |     OR (vp.metric = 'P95' AND vp.v > 0.3) OR (vp.metric = 'QueryQueue' AND vp.v > 100.0)
-        |), pred AS (
-        |  SELECT ts,
-        |    ((event LIKE '%Ratekeeper%' OR event LIKE '%Throttle%') AND
-        |     (contains(lower(event), 'throttle') OR
-        |      len(list_filter(ks, k -> NOT list_contains($mandList, k)
-        |        AND contains(lower(k), 'throttle'))) > 0)) AS is_rk,
-        |    (event LIKE '%TLog%' AND (event LIKE '%Missing%'
-        |      OR event LIKE '%Failed%' OR event LIKE '%Error%')) AS is_tlog,
-        |    (event LIKE '%Coordinator%' AND (
-        |      contains(lower(event), 'fail') OR contains(lower(event), 'lost') OR
-        |      len(list_filter(ks, k -> NOT list_contains($mandList, k)
-        |        AND (contains(lower(k), 'fail') OR contains(lower(k), 'lost')))) > 0 OR
-        |      EXISTS (SELECT 1 FROM (SELECT unnest(ks) AS kk, unnest(vs) AS vv) z
-        |              WHERE NOT list_contains($mandList, kk)
-        |                AND (contains(lower(vv), 'fail') OR contains(lower(vv), 'lost'))))) AS is_coord
-        |  FROM ev
-        |)
-        |SELECT 'storage_pressure' AS detector, COUNT(*) > 0 AS detected, COUNT(*) AS count,
-        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT) AS first_sec,
-        |  CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS last_sec FROM storage
-        |UNION ALL
-        |SELECT 'recovery_loop', COUNT(*) > 0, COUNT(*),
-        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT), CAST(date_part('epoch', MAX(ts)) AS BIGINT) FROM loops
-        |UNION ALL
-        |SELECT 'metric_anomalies', COUNT(*) > 0, COUNT(*),
-        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT), CAST(date_part('epoch', MAX(ts)) AS BIGINT) FROM manom
-        |UNION ALL
-        |SELECT 'ratekeeper_throttling', COUNT(*) FILTER (is_rk) > 0, COUNT(*) FILTER (is_rk),
-        |  CAST(date_part('epoch', MIN(ts) FILTER (is_rk)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_rk)) AS BIGINT) FROM pred
-        |UNION ALL
-        |SELECT 'missing_tlogs', COUNT(*) FILTER (is_tlog) > 0, COUNT(*) FILTER (is_tlog),
-        |  CAST(date_part('epoch', MIN(ts) FILTER (is_tlog)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_tlog)) AS BIGINT) FROM pred
-        |UNION ALL
-        |SELECT 'coordination_loss', COUNT(*) FILTER (is_coord) > 0, COUNT(*) FILTER (is_coord),
-        |  CAST(date_part('epoch', MIN(ts) FILTER (is_coord)) AS BIGINT), CAST(date_part('epoch', MAX(ts) FILTER (is_coord)) AS BIGINT) FROM pred
-        |ORDER BY detector"""
-    }) { (s, _) =>
+    // Timestamps emitted as epoch seconds. duckBatterySql is shared with
+    // the trace_rca_stub oracle, which hashes these same summaries.
+    sql("trace_detector_battery",
+      s"SELECT * FROM ($duckBatterySql) ORDER BY detector") { (s, _) =>
       cachedBattery(s)
         .select(col("detector"), col("detected"), col("count"),
           QueryDef.epochSec(col("first_ts")).as("first_sec"),
           QueryDef.epochSec(col("last_ts")).as("last_sec"))
         .orderBy("detector")
+    },
+
+    // ---- §2.10.8 agentic RCA single pass, full oracle --------------------
+    // The stub inference chain is deterministic end to end: the prompt is
+    // assembled from the (oracle-verified) battery summaries, the stub's
+    // "model" is the rolling hash of that prompt, and the JSON-block parse
+    // recovers (hypothesis, confidence). The oracle rebuilds the exact
+    // prompt string from duckBatterySql rows, hashes it with the same
+    // (h*31 + codepoint) % 1e9+7 fold, and derives the same outputs —
+    // cross-engine verification of prompt assembly + stub + parsing.
+    sql("trace_rca_stub",
+      s"""WITH battery AS (SELECT * FROM ($duckBatterySql)),
+        |jl AS (
+        |  SELECT '{"detector":"' || detector || '","detected":' ||
+        |    CAST(detected AS VARCHAR) || ',"count":' ||
+        |    CAST(count AS VARCHAR) || '}' AS j
+        |  FROM battery
+        |), prompt AS (
+        |  SELECT 'Diagnose the FDB failure. Detector evidence:' || chr(10) ||
+        |    string_agg(j, chr(10) ORDER BY j) AS p
+        |  FROM jl
+        |), hashed AS (
+        |  SELECT p, list_reduce(
+        |    list_transform(string_split(p, ''), c -> CAST(unicode(c) AS BIGINT)),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS h
+        |  FROM prompt
+        |)
+        |SELECT CAST(1 AS BIGINT) AS request_id,
+        |  'stub-' || CAST(h % 1000 AS VARCHAR) AS hypothesis,
+        |  CAST(h % 100 AS DOUBLE) / 100.0 AS confidence,
+        |  CAST(1 AS INTEGER) AS attempts,
+        |  CAST(len(p) AS INTEGER) AS prompt_chars
+        |FROM hashed""") { (s, _) =>
+      import s.implicits._
+      import graft.ops.LlmBoundary
+      val battery = cachedBattery(s)
+      val prompt = battery
+        .agg(concat(
+          lit("Diagnose the FDB failure. Detector evidence:\n"),
+          array_join(array_sort(collect_list(to_json(struct(
+            col("detector"), col("detected"), col("count"))))), "\n"))
+          .as("prompt"))
+        .select(lit(1L).as("request_id"), col("prompt"))
+        .as[LlmBoundary.LlmRequest]
+      LlmBoundary.hypothesis(
+        LlmBoundary.infer(prompt, new LlmBoundary.StubClient).toDF())
+        .select("request_id", "hypothesis", "confidence", "attempts",
+          "prompt_chars")
     },
 
     // ---- §2.10.5 detector #8: per-event z-score gate over the recency
@@ -728,29 +782,6 @@ object TraceQueries {
       RcaLoop.investigate(xmlEvents(s), "Diagnose the FDB failure",
         new graft.ops.LlmBoundary.StubClient,
         RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3))
-    },
-
-    // ---- §2.10.8 agentic RCA, stubbed at the model call ------------------
-    // Phase A evidence (detector battery) → prompt → partition-batched
-    // inference (graft.ops.LlmBoundary, deterministic stub client) →
-    // JSON-block hypothesis extraction. The reference's loop shape with
-    // the network boundary swapped for the stub.
-    noOracle("trace_rca_stub") { (s, _) =>
-      import s.implicits._
-      import graft.ops.LlmBoundary
-      val battery = cachedBattery(s)
-      val prompt = battery
-        .agg(concat(
-          lit("Diagnose the FDB failure. Detector evidence:\n"),
-          array_join(array_sort(collect_list(to_json(struct(
-            col("detector"), col("detected"), col("count"))))), "\n"))
-          .as("prompt"))
-        .select(lit(1L).as("request_id"), col("prompt"))
-        .as[LlmBoundary.LlmRequest]
-      LlmBoundary.hypothesis(
-        LlmBoundary.infer(prompt, new LlmBoundary.StubClient).toDF())
-        .select("request_id", "hypothesis", "confidence", "attempts",
-          "prompt_chars")
     },
 
     // ---- RAG retrieval, data side (chunk → embed → top-k) ----------------
