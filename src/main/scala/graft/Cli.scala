@@ -145,11 +145,17 @@ object Cli {
     val fmt = opt(args, "--format").getOrElse("csv")
     // single-file output for CLI parity with the reference's one-CSV
     // export; --partitions N is the escape hatch for big extracts
-    val parts = opt(args, "--partitions").map(_.toInt).getOrElse(1)
+    val parts = opt(args, "--partitions").map { p =>
+      p.toIntOption.filter(_ >= 1)
+        .getOrElse(sys.error(s"--partitions must be a positive integer, got '$p'"))
+    }.getOrElse(1)
     val positional = positionals(args, Set("--format", "--partitions"))
     val (sql, out) = (positional(0), positional(1))
     ctx.registerAll()
-    val df = ctx.spark.sql(sql).coalesce(parts)
+    // coalesce can only REDUCE partition count — an explicit request for
+    // more output files than the plan has partitions needs a repartition
+    val base = ctx.spark.sql(sql)
+    val df = if (parts == 1) base.coalesce(1) else base.repartition(parts)
     fmt match {
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(out)
       case "json" => df.write.mode("overwrite").json(out)

@@ -129,12 +129,17 @@ object LlmBoundary {
       nullif(regexp_extract(response, "(?s)```json\\s*(\\{.*?\\})\\s*```", 1), lit("")),
       nullif(regexp_extract(response, "(?s)(\\{.*\\})", 1), lit("")))
 
-  /** Parse extracted hypothesis JSON into (hypothesis, confidence). */
+  /** Parse extracted hypothesis JSON into (hypothesis, confidence,
+    * reasoning) — reasoning is null when the response omits it, matching
+    * the reference's `analysis.get("reasoning", "")` default
+    * (investigation_agent.py:862). */
   def hypothesis(df: DataFrame, responseCol: String = "response"): DataFrame =
     df.withColumn("__json", jsonBlock(col(responseCol)))
       .withColumn("hypothesis",
         get_json_object(col("__json"), "$.hypothesis"))
       .withColumn("confidence",
         get_json_object(col("__json"), "$.confidence").cast("double"))
+      .withColumn("reasoning",
+        get_json_object(col("__json"), "$.reasoning"))
       .drop("__json")
 }

@@ -170,7 +170,7 @@ object PipelineQueries {
     sql("doc_quality_gate", {
       def mean(v: String) =
         s"""CASE WHEN MAX(ABS($v)) < 1e18
-           | THEN CAST(SUM(CASE WHEN ABS($v) < 1e18 THEN CAST($v AS DECIMAL(30,10)) END) AS DOUBLE) / COUNT(*)
+           | THEN CAST(SUM(CASE WHEN ABS($v) < 1e18 THEN CAST($v AS DECIMAL(30,10)) END) AS DOUBLE) / COUNT($v)
            | ELSE AVG($v) END""".stripMargin
       s"""WITH toks AS (
         |  SELECT text, regexp_split_to_array(text, '\\s+') AS tk,

@@ -88,7 +88,7 @@ object TraceQueries {
     * diverge on exact .5 ties (Java rounds half-up, C half-even). */
   private def duckAvgExact(v: String): String =
     s"""CASE WHEN MAX(ABS($v)) < 1e18
-       | THEN CAST(SUM(CASE WHEN ABS($v) < 1e18 THEN CAST($v AS DECIMAL(30,10)) END) AS DOUBLE) / COUNT(*)
+       | THEN CAST(SUM(CASE WHEN ABS($v) < 1e18 THEN CAST($v AS DECIMAL(30,10)) END) AS DOUBLE) / COUNT($v)
        | ELSE AVG($v) END""".stripMargin
   private def sci(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     // C-style non-finite renderings: Java's Formatter says "Infinity"/"NaN",
@@ -100,39 +100,38 @@ object TraceQueries {
       .when(c === Double.NegativeInfinity, lit("-inf"))
       .otherwise(format_string("%.6e", c))
 
-  /** The 5-detector battery as one summary frame (detector, detected,
-    * count, first_ts, last_ts). The three stateless predicate detectors
-    * share ONE conditional-aggregation scan (Detectors.predicateSummaries);
-    * the two stateful ones (baseline z-scores, recovery loop windows) keep
-    * their own subtrees. Ordered by detector name so output is total. */
-  private def batterySummaries(ev: DataFrame): DataFrame = {
-    val metrics = DerivedTables.eventMetrics(ev)
-    val baselines = DerivedTables.metricBaselines(metrics, minCount = 3)
-    val stateful = Seq(
-      "storage_pressure" ->
-        Detectors.storagePressureAnomalies(ev, baselines),
-      "recovery_loop" -> Detectors.recoveryLoops(ev),
-      "metric_anomalies" -> Detectors.metricAnomalies(ev))
-      .map { case (name, d) =>
-        Detectors.summary(d).withColumn("detector", lit(name))
-          .select("detector", "detected", "count", "first_ts", "last_ts")
-      }.reduce(_ unionAll _)
-    val fused = Detectors.predicateSummaries(ev, Seq(
-      "ratekeeper_throttling" -> Detectors.ratekeeperThrottlingPred,
-      "missing_tlogs" -> Detectors.missingTlogsPred,
-      "coordination_loss" -> Detectors.coordinationLossPred))
-    stateful.unionAll(fused).orderBy("detector")
+  /** trace_detector_battery / trace_rca_stub / trace_rca_loop all share
+    * the same fixture subtree (parsed events → metrics EAV → baselines →
+    * 6-row battery) — memoize it per session so each query's action
+    * reuses the first's computation instead of re-running the pipeline.
+    *
+    * Lifetime: entries are weakly keyed by session, so a stopped session
+    * (and its cached blocks) becomes collectable instead of being pinned
+    * for the JVM's lifetime; `spark.catalog.clearCache()` (Bench/Verify
+    * between queries) drops the cached blocks early and the frames simply
+    * recompute on next use. `evictFixtureCache` is the explicit hook for
+    * suites that want deterministic cleanup. */
+  private[graft] case class FixtureCache(events: DataFrame,
+      metrics: DataFrame, baselines: DataFrame, battery: DataFrame)
+  private val fixtureCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, FixtureCache]())
+  private[graft] def cachedFixture(s: SparkSession): FixtureCache =
+    fixtureCache.computeIfAbsent(s, { sess =>
+      val ev = xmlEvents(sess).cache()
+      val metrics = DerivedTables.eventMetrics(ev).cache()
+      val baselines =
+        DerivedTables.metricBaselines(metrics, minCount = 3).cache()
+      FixtureCache(ev, metrics, baselines,
+        Detectors.battery(ev, baselines).cache())
+    })
+  private[graft] def evictFixtureCache(s: SparkSession): Unit = {
+    val c = fixtureCache.remove(s)
+    if (c != null)
+      Seq(c.battery, c.baselines, c.metrics, c.events)
+        .foreach(_.unpersist(false))
   }
-
-  /** trace_detector_battery and trace_rca_stub share this whole subtree —
-    * memoize the (6-row) summary frame per session and cache it so the
-    * second query's action reuses the first's computation instead of
-    * re-running the battery. */
-  private val batteryCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
   private def cachedBattery(s: SparkSession): DataFrame =
-    batteryCache.computeIfAbsent(s,
-      sess => batterySummaries(xmlEvents(sess).cache()).cache())
+    cachedFixture(s).battery
 
   /** The 6-member battery summary as one DuckDB query (no outer ORDER
     * BY) — shared verbatim by the trace_detector_battery oracle and the
@@ -779,9 +778,15 @@ object TraceQueries {
     // shaping → hotspot/uncovered-bucket dive → repeat until confidence ≥
     // threshold or iteration cap. Emits the per-iteration trace.
     noOracle("trace_rca_loop") { (s, _) =>
-      RcaLoop.investigate(xmlEvents(s), "Diagnose the FDB failure",
+      // reuse the session fixture cache: events/metrics/baselines/battery
+      // are the same subtrees trace_detector_battery and trace_rca_stub
+      // already computed — the loop's Phase A + per-iteration battery
+      // evidence then run off cached frames instead of private recomputes
+      val fc = cachedFixture(s)
+      RcaLoop.investigate(fc.events, "Diagnose the FDB failure",
         new graft.ops.LlmBoundary.StubClient,
-        RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3))
+        RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
+        shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
     },
 
     // ---- RAG retrieval, data side (chunk → embed → top-k) ----------------

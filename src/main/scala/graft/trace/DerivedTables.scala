@@ -107,10 +107,12 @@ object DerivedTables {
     // the per-row guard matters: both branches of the outer `when` are
     // aggregated over every row, so an unguarded decimal cast would
     // overflow (ANSI) on the sentinel rows even in groups that take the
-    // AVG branch
+    // AVG branch. Divisor is count(c) — the null-skipping sum over the
+    // non-null count, so nulls in the column can't deflate the mean
+    // (matching avg()'s null semantics).
     when(max(abs(c)) < 1e18,
       sum(when(abs(c) < 1e18, c).cast("decimal(30,10)")).cast("double") /
-        count(lit(1)))
+        count(c))
       .otherwise(avg(c))
 
   def metricBaselines(metrics: DataFrame, minCount: Int = 20,

@@ -147,6 +147,30 @@ object Detectors {
       .select("d.*")
   }
 
+  /** The whole 6-detector battery as one summary frame (detector,
+    * detected, count, first_ts, last_ts), ordered by detector name so the
+    * output is total. The three stateless predicate detectors share ONE
+    * conditional-aggregation scan (predicateSummaries); the stateful ones
+    * (baseline z-scores, recovery-loop windows, recency z-gate) keep
+    * their own subtrees. Callers that already computed baselines (e.g. a
+    * session cache) pass them in — the battery itself never recomputes
+    * the metrics EAV. */
+  def battery(events: DataFrame, baselines: DataFrame): DataFrame = {
+    val stateful = Seq(
+      "storage_pressure" -> storagePressureAnomalies(events, baselines),
+      "recovery_loop" -> recoveryLoops(events),
+      "metric_anomalies" -> metricAnomalies(events))
+      .map { case (name, d) =>
+        summary(d).withColumn("detector", lit(name))
+          .select("detector", "detected", "count", "first_ts", "last_ts")
+      }.reduce(_ unionAll _)
+    val fused = predicateSummaries(events, Seq(
+      "ratekeeper_throttling" -> ratekeeperThrottlingPred,
+      "missing_tlogs" -> missingTlogsPred,
+      "coordination_loss" -> coordinationLossPred))
+    stateful.unionAll(fused).orderBy("detector")
+  }
+
   /** metric_anomalies (detectors.py:355-394): the per-event z-score gate
     * (AnomalyGate = anomaly_detector.py's MetricAnomalyDetector) run over
     * the `limit` most-recent events. Returns one row per flagged event

@@ -61,8 +61,13 @@ object RcaLoop {
     "versionlag spike", "negative latenc", "slowssloop", "throttling",
     ">100k", ">1m")
 
-  /** Metric-focus vs event-name-focus confidence adjustment. Returns the
-    * shaped (confidence, reasoning). */
+  /** Metric-focus vs event-name-focus confidence adjustment. `reasoning`
+    * is the CURRENT response's reasoning (investigation_agent.py:862 —
+    * `analysis.get("reasoning", "")`), never the accumulated shaped text
+    * of prior calls: every shaping prefix contains "metric(s)", so
+    * feeding shaped output back in would latch metricFocus permanently
+    * and stack prefixes unboundedly. Returns the shaped
+    * (confidence, reasoning). */
   def shapeConfidence(hypothesis: String, reasoning: String,
       confidence: Double, eventsText: String): (Double, String) = {
     val hr = (hypothesis + reasoning).toLowerCase
@@ -89,10 +94,18 @@ object RcaLoop {
 
   // ---- the loop ----------------------------------------------------------
 
+  /** Pre-computed frames a caller may share with the loop (e.g. a
+    * session-scoped cache also serving the battery/stub queries over the
+    * same events) — the loop then reuses those subtrees instead of
+    * building private copies of the identical computation. */
+  case class Shared(metrics: DataFrame, baselines: DataFrame,
+      battery: DataFrame)
+
   def investigate(events: DataFrame, question: String,
-      client: LlmBoundary.LlmClient, cfg: Config = Config()): DataFrame = {
+      client: LlmBoundary.LlmClient, cfg: Config = Config(),
+      shared: Option[Shared] = None): DataFrame = {
     val spark = events.sparkSession
-    val ev = events.cache()
+    val ev = if (shared.isDefined) events else events.cache()
 
     val trace = mutable.ArrayBuffer.empty[IterationTrace]
     val evidence = mutable.ArrayBuffer.empty[(String, String)]
@@ -100,7 +113,6 @@ object RcaLoop {
     val inspected = mutable.LinkedHashSet.empty[Long]
 
     var hypothesis = ""
-    var reasoning = ""
     var confidence = 0.0
     var llmCalls = 0
     var contextDirty = true
@@ -129,32 +141,17 @@ object RcaLoop {
     // aggregation jobs for byte-identical answers; measured 2.4× on the
     // whole loop). Evidence strings are still re-recorded per iteration
     // to keep the reference's prompt-growth behavior.
-    val metricsCached = DerivedTables.eventMetrics(ev).cache()
-    val baselinesCached =
-      DerivedTables.metricBaselines(metricsCached, minCount = 3).cache()
-    lazy val batteryRows: Seq[(String, String)] = {
-      val stateful = Seq(
-        "storage_pressure" ->
-          Detectors.storagePressureAnomalies(ev, baselinesCached),
-        "recovery_loop" -> Detectors.recoveryLoops(ev),
-        "metric_anomalies" -> Detectors.metricAnomalies(ev))
-        .map { case (name, d) =>
-          val s = Detectors.summary(d).first()
-          name -> (s"detected=${s.getAs[Boolean]("detected")} " +
-            s"n=${s.getAs[Long]("count")}")
-        }
-      // the three stateless predicate detectors share ONE scan
-      val fused = Detectors.predicateSummaries(ev, Seq(
-        "ratekeeper_throttling" -> Detectors.ratekeeperThrottlingPred,
-        "missing_tlogs" -> Detectors.missingTlogsPred,
-        "coordination_loss" -> Detectors.coordinationLossPred))
-        .collect().toSeq.map { r =>
-          r.getAs[String]("detector") ->
-            (s"detected=${r.getAs[Boolean]("detected")} " +
-              s"n=${r.getAs[Long]("count")}")
-        }
-      stateful ++ fused
-    }
+    val baselinesCached = shared.map(_.baselines).getOrElse(
+      DerivedTables.metricBaselines(
+        DerivedTables.eventMetrics(ev), minCount = 3).cache())
+    val batteryFrame = shared.map(_.battery)
+      .getOrElse(Detectors.battery(ev, baselinesCached))
+    lazy val batteryRows: Seq[(String, String)] =
+      batteryFrame.orderBy("detector").collect().toSeq.map { r =>
+        r.getAs[String]("detector") ->
+          (s"detected=${r.getAs[Boolean]("detected")} " +
+            s"n=${r.getAs[Long]("count")}")
+      }
     lazy val hotspotRows = Detectors.zscoreHotspots(ev,
       bucketSeconds = cfg.heatmapBucketSeconds, minZ = 2.0).collect()
     lazy val timelineRow = TimelineBuilder.build(ev).first()
@@ -223,11 +220,14 @@ object RcaLoop {
           val rawHyp = Option(resp.getAs[String]("hypothesis")).getOrElse("")
           val rawConf = Option(resp.getAs[Any]("confidence"))
             .map(_.toString.toDouble).getOrElse(0.0)
-          val (shaped, shapedReasoning) =
-            shapeConfidence(rawHyp, reasoning, rawConf, prompt)
+          // the CURRENT response's reasoning — not the accumulated shaped
+          // text of prior iterations (see shapeConfidence scaladoc)
+          val rawReasoning =
+            Option(resp.getAs[String]("reasoning")).getOrElse("")
+          val (shaped, _) =
+            shapeConfidence(rawHyp, rawReasoning, rawConf, prompt)
           hypothesis = rawHyp
           confidence = shaped
-          reasoning = shapedReasoning
           llmCalls += 1
           contextDirty = false
           llmCalled = true

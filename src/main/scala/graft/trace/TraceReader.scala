@@ -66,15 +66,18 @@ object TraceReader {
       .select("src_file", "read_order", "attrs")
   }
 
-  /** Format dispatch (S4): `.xml` suffix → XML, else JSON/plaintext. */
+  /** Format dispatch (S4): `.xml` suffix → XML, else JSON/plaintext.
+    * Case-insensitive, matching discover()'s suffix acceptance — a
+    * discovered `A.XML` must route to the XML parser, not the fallback. */
   def read(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".xml")) xml(spark, path) else jsonLines(spark, path)
+    if (path.toLowerCase.endsWith(".xml")) xml(spark, path)
+    else jsonLines(spark, path)
 
   /** Mixed-suffix dispatch over many files: at most TWO distributed reads
     * (one per parser), unioned as attr bags. */
   def readMany(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "readMany requires at least one path")
-    val (xmls, others) = paths.partition(_.endsWith(".xml"))
+    val (xmls, others) = paths.partition(_.toLowerCase.endsWith(".xml"))
     val parts = Seq(
       if (xmls.nonEmpty) Some(xmlMany(spark, xmls)) else None,
       if (others.nonEmpty) Some(jsonLinesMany(spark, others)) else None).flatten
