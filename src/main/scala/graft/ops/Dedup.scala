@@ -107,9 +107,19 @@ object Dedup {
 
   /** Exact pairwise shingle-Jaccard ≥ threshold. The shingle self-join
     * keys on xxhash64 (narrow shuffle); the verification path — at broad
-    * scale run minhashCandidates first and verify only candidates. */
+    * scale run minhashCandidates first and verify only candidates
+    * (nearDedup). `maxRows` is the O(N²) guard: this form exists to
+    * anchor small-N oracles, so it FAILS FAST if pointed at a corpus it
+    * was never meant for, instead of silently launching a quadratic
+    * plan. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxRows: Long = 100000L): DataFrame = {
+    val n = docs.count()
+    require(n <= maxRows,
+      s"jaccardPairs is the all-pairs verification twin (bounded at " +
+        s"$maxRows rows); got $n rows — use nearDedup/minhashCandidates " +
+        "for corpus-scale near-dup")
     val sh = shingles(docs, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .cache()

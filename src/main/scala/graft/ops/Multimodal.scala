@@ -56,13 +56,23 @@ object Multimodal {
   }
 
   /** ==== STUB ==== deterministic fake feature extraction: a `dim`-dim
-    * pseudo-embedding seeded by the payload hash. Real implementation:
-    * model inference over the decoded tensor, batched per partition. */
+    * pseudo-embedding seeded by the payload's md5. md5-derived — not JVM
+    * Random gaussians — so the fake features are reproducible in any
+    * engine (component i = first-4-md5-bytes of "i|md5(payload)" % 1000
+    * on [-1, 1); DuckDB twin: CAST('0x' || substr(md5(...), 1, 8) AS
+    * BIGINT)). Real implementation: model inference over the decoded
+    * tensor, batched per partition. */
   def featureStub(r: MediaRecord, dim: Int = 16): MediaFeature = {
-    val rng = new java.util.Random(
-      graft.functions.RollingHash.hash(new String(r.payload.take(64), "ISO-8859-1")))
-    MediaFeature(r.media_id, r.kind,
-      Array.fill(dim)(rng.nextGaussian().toFloat))
+    def md5hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    val ph = md5hex(r.payload)
+    val feats = Array.tabulate(dim) { i =>
+      val h = java.lang.Long.parseLong(
+        md5hex(s"$i|$ph".getBytes("UTF-8")).substring(0, 8), 16)
+      ((h % 1000) / 500.0 - 1.0).toFloat
+    }
+    MediaFeature(r.media_id, r.kind, feats)
   }
 
   /** Decode pass: partition-local, batch-shaped (the iterator is the

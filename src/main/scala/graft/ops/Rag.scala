@@ -12,19 +12,24 @@ import org.apache.spark.sql.functions._
   *
   * The embedder is STUBBED as a deterministic hash-projection column
   * expression (no model weights in this environment): each dimension is
-  * a signed bucket of xxhash64(token-prefixed text). It is codegen'd,
-  * partitioning-independent, and shaped exactly like a real encoder
-  * output; swap `embedStub` for an LlmBoundary-style batched model call
-  * to productionize, nothing downstream changes.
+  * a signed bucket of md5(dim-prefixed text). md5 — not xxhash64 —
+  * because md5 exists verbatim in other engines, so the whole retrieval
+  * pipeline stays cross-engine verifiable (DuckDB twin:
+  * CAST('0x' || substr(md5(i || '|' || text), 1, 8) AS BIGINT)). It is
+  * codegen'd, partitioning-independent, and shaped exactly like a real
+  * encoder output; swap `embedStub` for an LlmBoundary-style batched
+  * model call to productionize, nothing downstream changes.
   */
 object Rag {
 
   /** Deterministic pseudo-embedding of `text`: dim signed components in
     * [-1, 1), each a hash bucket of the text salted by the dimension
-    * index. */
+    * index — component i = (first 4 md5 bytes of "i|text") % 1000 mapped
+    * onto [-1, 1). */
   def embedStub(text: Column, dim: Int = 16): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(concat_ws("|", i, text)), lit(1000))
+      i => (conv(substring(md5(concat_ws("|", i.cast("string"), text)), 1, 8),
+        16, 10).cast("long") % 1000)
         .cast("double") / 500.0 - 1.0)
 
   /** Chunk frame → retrieval index: (chunk_id, chunk_content, embedding).

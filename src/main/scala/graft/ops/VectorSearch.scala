@@ -128,15 +128,16 @@ object VectorSearch {
   // ---- IVF (inverted-file) variant ---------------------------------------
 
   /** Deterministic k-means coarse quantizer: seeds are the k corpus
-    * vectors with the smallest xxhash64(id) (reproducible "random"
-    * sample), refined by `iters` Lloyd steps. Centroids are collected to
-    * the driver each step — k×dim doubles, intentionally tiny — and
-    * broadcast back for assignment. */
+    * vectors with the smallest md5(id) (a reproducible "random" sample —
+    * md5, not xxhash64, so the seed order is re-derivable in any engine:
+    * ORDER BY md5(CAST(id AS VARCHAR))), refined by `iters` Lloyd steps.
+    * Centroids are collected to the driver each step — k×dim doubles,
+    * intentionally tiny — and broadcast back for assignment. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 2): Array[(Int, Array[Double])] = {
     import org.apache.spark.sql.Row
     var centroids: Array[(Int, Array[Double])] = corpus
-      .orderBy(xxhash64(col(idCol)))
+      .orderBy(md5(col(idCol).cast("string")))
       .limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex

@@ -153,8 +153,13 @@ object EmbeddingOps {
         |ORDER BY vec_a, vec_b""") { (s, dir) =>
       // deliberate all-pairs: this is the exact VERIFICATION twin that
       // anchors the oracle; the production path is emb_neardup_lsh /
-      // VectorSearch.nearDupPairs (bucketed, no product)
+      // VectorSearch.nearDupPairs (bucketed, no product). Guarded: fail
+      // fast rather than silently run O(N²) if the fixture ever scales.
       val v = vectors(s, dir)
+      val nv = v.count()
+      require(nv <= 100000L,
+        s"emb_neardup_pairs is the all-pairs verification twin (bounded " +
+          s"at 100000 vectors); got $nv — use emb_neardup_lsh at scale")
       val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
         col("nrm").as("na"))
       val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),

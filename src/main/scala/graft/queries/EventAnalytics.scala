@@ -467,6 +467,47 @@ object EventAnalytics {
         .select(col("user_id"), col("event_id"), col("sec"),
           col("signup_sec"), col("signup_signup_value").as("signup_value"))
         .orderBy("event_id")
+    },
+
+    // ---- §2.9 streaming twin, batch-executed with a value oracle ---------
+    // The EXACT flatMapGroupsWithState operator behind
+    // StreamingOps.runningAnomalyGate (keyed Welford state, score-then-
+    // update) run through Spark's batch execution path — the same
+    // function, state transitions and emissions a readStream would drive,
+    // minus the unbounded source. The oracle re-derives the sequential
+    // gate in DuckDB as strictly-preceding window aggregates over the
+    // same (ts_us, value) fold order. This is the driver-visible
+    // evidence for the streaming surface; StreamingSpec separately
+    // asserts the true-streaming execution equals this batch execution.
+    sql("ev_streaming_gate",
+      """WITH p AS (
+        |  SELECT event_type AS metric, epoch_ns(ts) // 1000 AS ts_us, value AS v
+        |  FROM events
+        |), w AS (
+        |  SELECT metric, ts_us, v,
+        |    COUNT(*) OVER win AS n_prev,
+        |    AVG(v) OVER win AS mean_prev,
+        |    VAR_SAMP(v) OVER win AS var_prev
+        |  FROM p
+        |  WINDOW win AS (PARTITION BY metric ORDER BY ts_us, v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT metric, ts_us, v AS value,
+        |  ROUND(abs(v - mean_prev) / sqrt(var_prev), 6) AS zscore
+        |FROM w
+        |WHERE n_prev >= 3 AND var_prev > 0
+        |  AND abs(v - mean_prev) / sqrt(var_prev) > 3.0
+        |ORDER BY metric, ts_us, value""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val pts = ev(s, dir)
+        .select(col("event_type").as("metric"), col("ts"), col("value"))
+        .as[StreamingOps.MetricPoint]
+      StreamingOps.runningAnomalyGate(pts, zThreshold = 3.0,
+        minSamples = 3, sortWithinTrigger = true).toDF()
+        .select(col("metric"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), round(col("zscore"), 6).as("zscore"))
+        .orderBy("metric", "ts_us", "value")
     }
   )
 }

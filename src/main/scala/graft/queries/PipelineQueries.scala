@@ -260,14 +260,79 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ---- IVF ANN: coarse-quantizer cells + nprobe re-rank ----------------
-    noOracle("emb_ann_ivf") { (s, dir) =>
+    // ---- IVF ANN: coarse-quantizer cells + nprobe re-rank, full oracle ---
+    // The ENTIRE IVF pipeline re-derived in DuckDB: md5-ordered seed
+    // sample, two Lloyd steps (assignment = lowest-cid argmax dot product,
+    // exactly the strict-> fold tie-break; centroid update = exact
+    // DECIMAL(38,18) mean per dimension), nprobe cell probing with the
+    // same (dot desc, cid) order, exact cosine re-rank. Cross-engine
+    // equality holds because every dot product folds left-to-right over
+    // bit-identical doubles and every mean is an exact decimal sum.
+    sql("emb_ann_ivf", {
+      val (nCells, nprobe, k) = (16, 4, 10)
+      // nearest-centroid assignment of frame `src(id, e, ...)` against
+      // centroid frame `cf(cid, c)` — one row per vector, lowest cid wins
+      // dot-product ties (the Scala fold's strict `>`)
+      def assignSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < $nCells
+        |), a0 AS (${assignSql("v", "c0")}),
+        |c1 AS (${lloydSql("a0")}),
+        |a1 AS (${assignSql("v", "c1")}),
+        |c2 AS (${lloydSql("a1")}),
+        |idx AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, cid
+        |  FROM (${assignSql("v", "c2")})
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe,
+        |    sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, qe, qnrm, cid FROM (
+        |    SELECT q.query_id, q.qe, q.qnrm, c2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qe, c2.c) DESC, c2.cid) AS rk
+        |    FROM q CROSS JOIN c2) WHERE rk <= $nprobe
+        |), scored AS (
+        |  SELECT p.query_id, i.vec_id AS neighbor_id,
+        |    list_dot_product(p.qe, i.e) / (p.qnrm * i.nrm) AS cosine
+        |  FROM probe p JOIN idx i USING (cid)
+        |  WHERE i.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       VectorSearch.ivfCosine(v, v.filter(col("vec_id") < 5), "vec_id", "e",
         k = 10, nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     },
 
@@ -289,16 +354,42 @@ object PipelineQueries {
         .orderBy("kind")
     },
 
-    // ---- multimodal feature extraction + frame sampling ------------------
-    noOracle("mm_feature_stats") { (s, dir) =>
-      import s.implicits._
+    // ---- multimodal feature extraction, full oracle ----------------------
+    // The md5-seeded feature stub is re-derived end to end in DuckDB:
+    // payload md5 (the payload IS the text's UTF-8 bytes, so md5(text) in
+    // DuckDB = md5 of the payload), per-dimension first-4-md5-bytes
+    // buckets on [-1,1) cast through FLOAT exactly like the Scala stub,
+    // then per-record norms (left-to-right dot product) and an exact
+    // decimal mean per kind. Verifies the distributed feature plumbing's
+    // values, not just its shape.
+    sql("mm_feature_stats",
+      """WITH m AS (
+        |  SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |    md5(text) AS ph
+        |  FROM documents
+        |), f AS (
+        |  SELECT kind,
+        |    list_transform(range(16), i ->
+        |      CAST(CAST(CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || ph), 1, 8) AS BIGINT) % 1000 AS DOUBLE)
+        |        / 500.0 - 1.0 AS FLOAT) AS DOUBLE)) AS fe
+        |  FROM m
+        |), n AS (
+        |  SELECT kind, sqrt(list_dot_product(fe, fe)) AS nrm FROM f
+        |)
+        |SELECT kind, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) / COUNT(nrm), 6) AS avg_norm
+        |FROM n
+        |GROUP BY kind
+        |ORDER BY kind""") { (s, dir) =>
+      import graft.trace.DerivedTables.exactMean
       Multimodal.features(Multimodal.syntheticMedia(s, dir)).toDF()
         .select(col("kind"),
           sqrt(aggregate(transform(col("feature"),
             x => x.cast("double") * x.cast("double")),
             lit(0.0), (acc, x) => acc + x)).as("nrm"))
         .groupBy("kind")
-        .agg(count(lit(1)).as("n"), avg(col("nrm")).as("avg_norm"))
+        .agg(count(lit(1)).as("n"),
+          round(exactMean(col("nrm")), 6).as("avg_norm"))
         .orderBy("kind")
     },
 

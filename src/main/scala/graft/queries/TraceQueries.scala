@@ -20,6 +20,12 @@ object TraceQueries {
     "/root/reference/data/log_example/simlogs/trace.172.17.0.3.4500.1763869069.8tVoRN.0.1.xml"
   val JsonFixture = "/root/reference/data/sample_log.json"
 
+  /** Fixed retrieval queries for trace_rag_retrieve — shared between the
+    * Spark query frame and the DuckDB oracle's VALUES list. */
+  private val RagQuestions: Seq[(Long, String)] = Seq(
+    1L -> "storage server durability lag spike",
+    2L -> "master recovery state transition")
+
   private def xmlEvents(s: SparkSession): DataFrame =
     TraceEvents.load(s, XmlFixture, stableIds = true)
   private def jsonEvents(s: SparkSession): DataFrame =
@@ -789,19 +795,118 @@ object TraceQueries {
         shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
     },
 
-    // ---- RAG retrieval, data side (chunk → embed → top-k) ----------------
+    // ---- §2.4 processes registry (storage.py:271-303), full oracle -------
+    // Upsert-per-event becomes one min/max aggregation per process key.
+    // Key = Address alone: the reference's fields_json["Machine"] fallback
+    // is dead code (Machine is MANDATORY, stripped from fields_json —
+    // event_dto.py:10-14), and the port preserves that exactly.
+    sql("trace_processes",
+      s"""WITH ev AS (
+        |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    nullif(regexp_extract(line, ' Address="([^"]*)"', 1), '') AS process_key
+        |  FROM ${duckLines(XmlFixture)} WHERE line LIKE '%<Event %'
+        |)
+        |SELECT process_key,
+        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT) AS first_sec,
+        |  CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS last_sec,
+        |  process_key AS address
+        |FROM ev WHERE process_key IS NOT NULL
+        |GROUP BY process_key
+        |ORDER BY process_key""") { (s, _) =>
+      DerivedTables.processes(cachedFixture(s).events)
+        .select(col("process_key"),
+          QueryDef.epochSec(col("first_seen_ts")).as("first_sec"),
+          QueryDef.epochSec(col("last_seen_ts")).as("last_sec"),
+          col("address"))
+        .orderBy("process_key")
+    },
+
+    // ---- §2.4 process_roles (storage.py:305-325), full oracle ------------
+    // insert-or-ignore ≡ min(ts) per (process, role).
+    sql("trace_process_roles",
+      s"""WITH ev AS (
+        |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    nullif(regexp_extract(line, ' Address="([^"]*)"', 1), '') AS process_key,
+        |    nullif(regexp_extract(line, ' Roles="([^"]*)"', 1), '') AS role
+        |  FROM ${duckLines(XmlFixture)} WHERE line LIKE '%<Event %'
+        |)
+        |SELECT process_key, role,
+        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT) AS start_sec
+        |FROM ev WHERE process_key IS NOT NULL AND role IS NOT NULL
+        |GROUP BY process_key, role
+        |ORDER BY process_key, role""") { (s, _) =>
+      DerivedTables.processRoles(cachedFixture(s).events)
+        .select(col("process_key"), col("role"),
+          QueryDef.epochSec(col("start_ts")).as("start_sec"))
+        .orderBy("process_key", "role")
+    },
+
+    // ---- RAG retrieval, data side (chunk → embed → top-k), full oracle ---
     // The reference's Vertex retrieve (rag_client.py:74-107) re-expressed
-    // as an in-engine index: marker chunks embedded (stub hash encoder)
-    // and probed by cosine top-k. Deterministic, rows-only checked.
-    noOracle("trace_rag_retrieve") { (s, _) =>
+    // as an in-engine index: marker chunks embedded (md5 stub encoder)
+    // and probed by cosine top-k. The ENTIRE pipeline — marker chunking,
+    // chunk-content assembly, the md5-hash embedding of corpus and query
+    // strings, norms, cosine ranking — re-derived in DuckDB. The chunk
+    // content is an engine-portable "event_id|event|severity" line join
+    // (concat_ws skips nulls identically on both engines), so the content
+    // string — and hence every md5-derived embedding component — is
+    // byte-identical across engines.
+    sql("trace_rag_retrieve", {
+      val questions = RagQuestions
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      def embed(src: String): String =
+        s"""list_transform(range(16), i ->
+           |  CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || $src), 1, 8) AS BIGINT) % 1000 AS DOUBLE)
+           |    / 500.0 - 1.0)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    nullif(regexp_extract(line, 'Severity="([^"]*)"', 1), '') AS severity
+        |  FROM raw WHERE line LIKE '%<Event %'
+        |), marked AS (
+        |  SELECT event_id,
+        |    concat_ws('|', CAST(event_id AS VARCHAR), event, severity) AS line,
+        |    CAST(COALESCE(SUM(CASE WHEN event = 'MasterRecoveryState' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+        |  FROM ev
+        |), chunks AS (
+        |  SELECT chunk_id, string_agg(line, chr(10) ORDER BY event_id) AS content
+        |  FROM marked GROUP BY chunk_id
+        |), idx AS (
+        |  SELECT chunk_id, ${embed("content")} AS e FROM chunks
+        |), idxn AS (
+        |  SELECT chunk_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM idx
+        |), q AS (
+        |  SELECT query_id, ${embed("query_text")} AS qe
+        |  FROM (VALUES $questions) AS t(query_id, query_text)
+        |), qn AS (
+        |  SELECT query_id, qe, sqrt(list_dot_product(qe, qe)) AS qnrm FROM q
+        |), scored AS (
+        |  SELECT qn.query_id, i.chunk_id,
+        |    list_dot_product(qn.qe, i.e) / (qn.qnrm * i.nrm) AS cosine
+        |  FROM qn CROSS JOIN idxn i
+        |), ranked AS (
+        |  SELECT query_id, chunk_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, chunk_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, chunk_id, ROUND(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, _) =>
       import graft.ops.Rag
       graft.functions.GraftFunctions.register(s)
-      val idx = Rag.index(Chunker.chunkByMarker(xmlEvents(s)))
-      val questions = s.createDataFrame(Seq(
-        (1L, "storage server durability lag spike"),
-        (2L, "master recovery state transition"))).toDF("query_id", "query_text")
+      val chunks = Chunker.chunkByMarker(cachedFixture(s).events,
+        contentCol = concat_ws("|", col("event_id"), col("event"),
+          col("severity")))
+      val idx = Rag.index(chunks)
+      val questions = s.createDataFrame(RagQuestions)
+        .toDF("query_id", "query_text")
       Rag.retrieve(idx, questions, k = 3)
-        .select("query_id", "rank", "chunk_id", "cosine")
+        .select(col("query_id"), col("rank"), col("chunk_id"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }
   )

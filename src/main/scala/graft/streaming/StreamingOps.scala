@@ -66,9 +66,18 @@ object StreamingOps {
     * (count/mean/M2) state across triggers and emit points whose z-score
     * against the state-so-far exceeds the threshold — the streaming twin
     * of the per-event z-score gate, with true incremental state instead
-    * of a global recompute. */
+    * of a global recompute.
+    *
+    * `sortWithinTrigger` orders each group's rows by (ts, value) before
+    * folding. In a live stream, rows fold in arrival order (per trigger);
+    * sorting makes the fold order — and therefore every Welford state and
+    * emitted z — a pure function of the data, which is what lets the
+    * batch execution of this exact operator be value-verified against an
+    * external oracle. Cost: one in-memory sort of the rows a trigger
+    * delivers per key (bounded by trigger size, not corpus size). */
   def runningAnomalyGate(points: Dataset[MetricPoint],
-      zThreshold: Double = 3.0, minSamples: Long = 3): Dataset[Flagged] = {
+      zThreshold: Double = 3.0, minSamples: Long = 3,
+      sortWithinTrigger: Boolean = false): Dataset[Flagged] = {
     import points.sparkSession.implicits._
     points
       .groupByKey(_.metric)
@@ -78,7 +87,11 @@ object StreamingOps {
             state: GroupState[MetricState]) => {
           var s = state.getOption.getOrElse(MetricState(0L, 0.0, 0.0))
           val out = scala.collection.mutable.ArrayBuffer.empty[Flagged]
-          rows.foreach { p =>
+          val ordered =
+            if (sortWithinTrigger)
+              rows.toSeq.sortBy(p => (p.ts.getTime, p.value)).iterator
+            else rows
+          ordered.foreach { p =>
             if (s.n >= minSamples && s.m2 > 0) {
               val variance = s.m2 / (s.n - 1)
               val std = math.sqrt(variance)

@@ -66,11 +66,24 @@ object DerivedTables {
       sf(f("Ops")).as("kv_ops"))
   }
 
+  /** Process key (tools/storage.py:277-289): Address, with a
+    * fields_json["Machine"] fallback that is PROVABLY DEAD in the
+    * reference too — Machine is in MANDATORY_FIELDS
+    * (event_dto.py:10-14), so it never reaches fields_json; the
+    * reference's processes table is keyed on Address alone, and this
+    * port preserves exactly that (the fallback is kept verbatim so the
+    * decision procedure matches line for line). nullif: the reference's
+    * `if event.address:` is Python falsiness, so "" falls through like
+    * a missing address. */
+  private val processKey: Column =
+    coalesce(nullif(col("address"), lit("")),
+      nullif(f("Machine"), lit("")))
+
   /** `processes` registry: first/last seen per process key
     * (tools/storage.py:271-303) — upsert becomes a min/max aggregation. */
   def processes(events: DataFrame): DataFrame =
     events
-      .withColumn("process_key", coalesce(col("address"), f("Machine")))
+      .withColumn("process_key", processKey)
       .filter(col("process_key").isNotNull && col("process_key") =!= "")
       .groupBy("process_key")
       .agg(
@@ -82,7 +95,7 @@ object DerivedTables {
     * (tools/storage.py:305-325 — insert-or-ignore ≡ min(ts)). */
   def processRoles(events: DataFrame): DataFrame =
     events
-      .withColumn("process_key", coalesce(col("address"), f("Machine")))
+      .withColumn("process_key", processKey)
       .filter(col("process_key").isNotNull && col("process_key") =!= "" &&
         col("role").isNotNull && col("role") =!= "")
       .groupBy("process_key", "role")

@@ -90,6 +90,22 @@ object GlobalScanner {
       .orderBy("episode")
   }
 
+  /** Episode COUNT alone — the gaps-and-islands cardinality (1 + #gaps >
+    * gapSeconds, 0 on an empty recovery stream) without materializing the
+    * episodes or their severity range join. The RCA loop's Phase A only
+    * records this number; computing it this way drops the non-equi join
+    * from the hot path entirely. */
+  def recoveryEpisodeCount(events: DataFrame, gapSeconds: Int = 60): DataFrame =
+    ScanOps.lagK(
+      events
+        .filter(col("event") === "MasterRecoveryState" && col("ts").isNotNull)
+        .select(col("ts"), col("event_id")),
+      Seq("ts", "event_id"), "ts", "prev_ts")
+      .agg((when(count(lit(1)) === 0, 0L).otherwise(
+        count(when(unix_timestamp(col("ts")) -
+          unix_timestamp(col("prev_ts")) > gapSeconds, 1)) + 1L))
+        .as("n_episodes"))
+
   // ---- rollback analysis (W1-W4): carried non-null previous value --------
 
   /** Version drops: current CommittedVersion/DurableVersion below the last

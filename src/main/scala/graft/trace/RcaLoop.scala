@@ -125,13 +125,19 @@ object RcaLoop {
     def record(tool: String, summary: String): Unit =
       evidence += tool -> summary
 
+    // SQL-built context line: "[epoch_sec] sev=N Event role=R" with nulls
+    // rendered empty — a column expression (not driver-side Row
+    // formatting) so the exact prompt bytes are re-derivable in another
+    // engine, and so a line collect ships one string per row
+    def fmtLine: org.apache.spark.sql.Column = concat(
+      lit("["), coalesce(unix_timestamp(col("ts")).cast("string"), lit("")),
+      lit("] sev="), coalesce(col("severity").cast("string"), lit("")),
+      lit(" "), coalesce(col("event"), lit("")),
+      lit(" role="), coalesce(col("role"), lit("")))
+
     def fmtEvents(df: DataFrame, limit: Int): Seq[String] =
-      df.limit(limit).collect().toSeq.map { r =>
-        val get = (c: String) =>
-          if (r.schema.fieldNames.contains(c)) Option(r.getAs[Any](c)) else None
-        s"[${get("ts").getOrElse("")}] sev=${get("severity").getOrElse("")} " +
-          s"${get("event").getOrElse("")} role=${get("role").getOrElse("")}"
-      }
+      df.limit(limit).select(fmtLine.as("line")).collect().toSeq
+        .map(_.getString(0))
 
     // hoisted + lazily computed once: the input is immutable for the
     // whole investigation, so the EAV explode, baselines, detector
@@ -154,7 +160,19 @@ object RcaLoop {
       }
     lazy val hotspotRows = Detectors.zscoreHotspots(ev,
       bucketSeconds = cfg.heatmapBucketSeconds, minZ = 2.0).collect()
-    lazy val timelineRow = TimelineBuilder.build(ev).first()
+    // timeline evidence as one engine-portable string (epoch seconds +
+    // the "+X.Xs" offsets); concat_ws skips nulls on any engine
+    lazy val timelineStr: String = TimelineBuilder.build(ev).select(
+      concat_ws("|",
+        unix_timestamp(col("start_ts")),
+        unix_timestamp(col("first_severe_ts")),
+        unix_timestamp(col("first_lag_100k_ts")),
+        unix_timestamp(col("first_lag_1m_ts")),
+        unix_timestamp(col("first_recovery_ts")),
+        col("root_cause_signal"), col("first_severe_rel"),
+        col("first_lag_100k_rel"), col("first_lag_1m_rel"),
+        col("first_recovery_rel")).as("s"))
+      .first().getString(0)
     // full severity-ordered dive-candidate list, collected once (bounded:
     // it's the bucket aggregate, not events) — per-iteration "uncovered"
     // selection is then a driver-side set probe instead of re-running the
@@ -170,28 +188,58 @@ object RcaLoop {
 
       if (phase == "A") {
         // ---- Phase A: global sweep (investigation_agent.py:976-1096) ----
-        val top = GlobalScanner.topEvents(ev, severityMin = 30, limit = 500)
-        contextLines ++= fmtEvents(top, cfg.promptEventLimit)
-        record("top_events", s"n=${top.count()}")
-        record("severity_counts",
-          GlobalScanner.severityCounts(ev).collect()
-            .map(r => s"${r.get(0)}:${r.get(1)}").mkString(","))
-        record("event_histogram",
-          GlobalScanner.eventHistogram(ev, 10).collect()
-            .map(r => s"${r.get(0)}=${r.get(1)}").mkString(","))
-        val span = GlobalScanner.timeSpan(ev).first()
-        record("time_span", span.mkString("|"))
+        // Three actions total: the top-event lines, the heatmap rows (also
+        // feeding `inspected`), and ONE union of the six summary
+        // aggregates — where the loop previously ran one job per summary.
+        // Every summary is a SQL-built string (epoch seconds, ':'/'='
+        // joins) so the exact evidence bytes are cross-engine derivable.
+        val top = fmtEvents(
+          GlobalScanner.topEvents(ev, severityMin = 30, limit = 500), 500)
+        contextLines ++= top.take(cfg.promptEventLimit)
+        record("top_events", s"n=${top.length}")
+
         val heat = Investigation.highSeverityBuckets(ev, minSeverity = 0,
-          bucketSeconds = cfg.heatmapBucketSeconds, limit = 100).collect()
+          bucketSeconds = cfg.heatmapBucketSeconds, limit = 100)
+          .select(col("bucket")).collect()
         heat.take(10).foreach(r => inspected += r.getAs[Long]("bucket"))
-        record("bucket_heatmap", s"buckets=${heat.length}")
-        val rollback = GlobalScanner.rollbackStatus(ev).first()
-        record("rollback_analysis",
-          s"detected=${rollback.getAs[Boolean]("detected")} " +
-            s"drops=${rollback.getAs[Long]("num_drops")}")
-        record("metric_baselines", s"n=${baselinesCached.count()}")
-        record("recovery_episodes",
-          s"n=${GlobalScanner.recoveryEpisodes(ev).count()}")
+
+        def s1(idx: Int, tool: String, df: DataFrame): DataFrame =
+          df.toDF("summary").select(lit(idx).as("idx"), lit(tool).as("tool"),
+            col("summary").cast("string"))
+        val fused = Seq(
+          s1(0, "severity_counts", GlobalScanner.severityCounts(ev)
+            .agg(array_join(transform(array_sort(collect_list(struct(
+              (-coalesce(col("severity"), lit(Int.MinValue))).as("k"),
+              concat_ws(":",
+                coalesce(col("severity").cast("string"), lit("null")),
+                col("n")).as("s")))), x => x.getField("s")), ","))),
+          s1(1, "event_histogram", GlobalScanner.eventHistogram(ev, 10)
+            .agg(array_join(transform(array_sort(collect_list(struct(
+              (-col("n")).as("k"), col("event").as("e"),
+              concat_ws("=", col("event"), col("n")).as("s")))),
+              x => x.getField("s")), ","))),
+          s1(2, "time_span", ev.agg(concat(
+            lit("n="), count(lit(1)),
+            lit(" first="), coalesce(
+              unix_timestamp(min(col("ts"))).cast("string"), lit("")),
+            lit(" last="), coalesce(
+              unix_timestamp(max(col("ts"))).cast("string"), lit(""))))),
+          s1(3, "bucket_heatmap",
+            Investigation.highSeverityBuckets(ev, minSeverity = 0,
+              bucketSeconds = cfg.heatmapBucketSeconds, limit = 100)
+              .agg(concat(lit("buckets="), count(lit(1))))),
+          s1(4, "rollback_analysis", GlobalScanner.rollbackStatus(ev)
+            .select(concat(lit("detected="), col("detected"),
+              lit(" drops="), col("num_drops")))),
+          s1(5, "metric_baselines",
+            baselinesCached.agg(concat(lit("n="), count(lit(1))))),
+          s1(6, "recovery_episodes",
+            GlobalScanner.recoveryEpisodeCount(ev)
+              .select(concat(lit("n="), col("n_episodes")))))
+          .reduce(_ unionAll _)
+          .collect().sortBy(_.getInt(0))
+        fused.foreach(r => record(r.getString(1), r.getString(2)))
+
         trace += IterationTrace(iteration, "A", llm_called = false,
           confidence, hypothesis, None, contextLines.size, evidence.size,
           if (iteration >= cfg.maxIterations) "max_iterations" else "")
@@ -202,7 +250,7 @@ object RcaLoop {
         batteryRows.foreach { case (name, s) => record(s"detector:$name", s) }
         val hotspots = hotspotRows
         record("detector:zscore_hotspots", s"n=${hotspots.length}")
-        record("timeline", timelineRow.mkString("|"))
+        record("timeline", timelineStr)
 
         // ---- LLM analysis over accumulated evidence ---------------------
         var llmCalled = false

@@ -22,6 +22,16 @@ class DedupSpec extends SparkSpec {
     assert(deduped.filter(col("doc_id") === keepIds).count() === 1)
   }
 
+  test("all-pairs verification twin fails fast past its row bound") {
+    val docs = Tables(spark, sf(""), "documents")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, 0.8, maxRows = 10)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // and the default bound admits the fixture
+    assert(Dedup.jaccardPairs(docs, 0.8).columns.contains("jaccard"))
+  }
+
   test("simhash banded pairs == brute force, with no product in the plan") {
     import spark.implicits._
     // signatures engineered around the Hamming boundary: dup (0 vs 0),
