@@ -10,6 +10,11 @@ object DevProfile {
       val t0 = System.nanoTime; val r = f
       println(f"[prof] $label ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
+    if (sys.env.contains("GRAFT_RCA_DEBUG")) {
+      graft.queries.Registry.byName("trace_rca_final").run(spark, "")
+        .show(truncate = false)
+      spark.stop(); return
+    }
     val run = graft.queries.Registry.byName("trace_rca_loop").run
     time("rca_loop cold")(run(spark, "").queryExecution.toRdd.count())
     time("rca_loop warm")(run(spark, "").queryExecution.toRdd.count())

@@ -38,15 +38,15 @@ object TraceQueries {
   // numeric semantics.
 
   /** Raw fixture lines (one VARCHAR column, no delimiting). */
-  private def duckLines(path: String): String =
+  private[queries] def duckLines(path: String): String =
     s"read_csv('$path', header=false, columns={'line':'VARCHAR'}, delim='', quote='')"
 
   /** TraceEvents.MandatoryFields as a SQL IN-list (payload exclusion). */
-  private val duckMandatory: String = TraceEvents.MandatoryFields
+  private[queries] val duckMandatory: String = TraceEvents.MandatoryFields
     .map(k => s"'$k'").mkString("(", ",", ")")
 
   /** DerivedTables.ExcludedBaselineMetrics as a SQL IN-list. */
-  private val duckExcludedBaseline: String = DerivedTables
+  private[queries] val duckExcludedBaseline: String = DerivedTables
     .ExcludedBaselineMetrics.toSeq.sorted.map(k => s"'$k'").mkString("(", ",", ")")
 
   /** PyNum.safeFloat over a VARCHAR expression: max-of-tokens with the
@@ -142,7 +142,7 @@ object TraceQueries {
   /** The 6-member battery summary as one DuckDB query (no outer ORDER
     * BY) — shared verbatim by the trace_detector_battery oracle and the
     * trace_rca_stub oracle, which hashes these same summary rows. */
-  private lazy val duckBatterySql: String = {
+  private[queries] lazy val duckBatterySql: String = {
     val mandList = TraceEvents.MandatoryFields
       .map(k => s"'$k'").mkString("[", ",", "]")
     val inter = AnomalyGate.InterestingEvents
@@ -793,6 +793,31 @@ object TraceQueries {
         new graft.ops.LlmBoundary.StubClient,
         RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
         shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
+    },
+
+    // ---- §2.10.8 RCA loop FINAL STATE, full oracle (see below) -----------
+    // The loop's end state — how many iterations ran, how many LLM calls
+    // were spent, the stopping rule that fired, and the final
+    // (hypothesis, confidence) — re-derived in DuckDB by replaying the
+    // deterministic stub chain: every evidence summary string, the three
+    // prompts (with the first dive window's context lines), the rolling-
+    // hash stub responses, and the stop-rule CASE. Registered with the
+    // same Config as trace_rca_loop, so this IS that query's final row.
+    sql("trace_rca_final", RcaFinalOracle.sql) { (s, _) =>
+      val fc = cachedFixture(s)
+      val tr = RcaLoop.investigate(fc.events, "Diagnose the FDB failure",
+        new graft.ops.LlmBoundary.StubClient,
+        RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
+        shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
+      tr.agg(
+        max(col("iteration")).as("iterations"),
+        sum(when(col("llm_called"), 1L).otherwise(0L)).as("llm_calls"),
+        max_by(struct(col("stop_reason"), col("confidence"),
+          col("hypothesis")), col("iteration")).as("fin"))
+        .select(col("iterations"), col("llm_calls"),
+          col("fin.stop_reason").as("stop_reason"),
+          col("fin.confidence").as("confidence"),
+          col("fin.hypothesis").as("hypothesis"))
     },
 
     // ---- §2.4 processes registry (storage.py:271-303), full oracle -------

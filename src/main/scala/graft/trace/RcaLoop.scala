@@ -260,6 +260,9 @@ object RcaLoop {
             "Events:\n" + contextLines.take(cfg.promptEventLimit).mkString("\n") +
             "\nEvidence:\n" +
             evidence.map { case (t, s) => s"$t: $s" }.mkString("\n"))
+          if (sys.env.contains("GRAFT_RCA_DEBUG"))
+            System.err.println(
+              s"=PROMPT ${llmCalls + 1}=\n$prompt\n=ENDPROMPT=")
           import spark.implicits._
           val resp = LlmBoundary.hypothesis(
             LlmBoundary.infer(
