@@ -26,7 +26,10 @@ package graft.queries
   */
 object RcaFinalOracle {
 
-  lazy val sql: String = {
+  /** The shared CTE chain: fixture parse → the 16 Phase-A/B evidence
+    * strings → the first call's prompt bytes → its rolling hash. Both the
+    * final-state oracle and the full-trace oracle select off this. */
+  private lazy val prelude: String = {
     import TraceQueries.{XmlFixture, duckLines, duckMandatory, duckExcludedBaseline, duckBatterySql}
     s"""WITH evx AS (
       |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
@@ -156,7 +159,11 @@ object RcaFinalOracle {
       |  SELECT list_reduce(list_transform(string_split(p, ''), c -> CAST(unicode(c) AS BIGINT)),
       |    (a, b) -> (a*31 + b) % 1000000007) AS h
       |  FROM prompt
-      |)
+      |)""".stripMargin
+  }
+
+  lazy val sql: String =
+    s"""$prelude
       |SELECT
       |  CAST(CASE WHEN h % 100 >= 80 THEN 2 ELSE -1 END AS INTEGER) AS iterations,
       |  CAST(CASE WHEN h % 100 >= 80 THEN 1 ELSE -1 END AS BIGINT) AS llm_calls,
@@ -165,5 +172,63 @@ object RcaFinalOracle {
       |  CAST(h % 100 AS DOUBLE) / 100.0 AS confidence,
       |  'stub-' || CAST(h % 1000 AS VARCHAR) AS hypothesis
       |FROM hashed""".stripMargin
-  }
+
+  /** Full per-iteration trace of trace_rca_loop: with the first call's
+    * confidence clearing the threshold, the trace is exactly two rows —
+    * the Phase A sweep and the single Phase B iteration (battery → LLM →
+    * dive → confidence_reached). The dive target is re-derived with the
+    * loop's own selection rule (first 10s high-severity bucket not
+    * inspected by Phase A's top-10 heatmap; z-hotspots are empty here,
+    * guarded), and the context-window size is the windowed event count
+    * capped at the config's 200. Regime guards emit loud sentinels. */
+  lazy val loopTraceSql: String =
+    s"""$prelude,
+      |heat10 AS (
+      |  SELECT b FROM (
+      |    SELECT CAST(FLOOR(date_part('epoch', ts)/300)*300 AS BIGINT) AS b,
+      |      MAX(severity) AS ms
+      |    FROM evx WHERE ts IS NOT NULL GROUP BY 1 HAVING MAX(severity) >= 0
+      |    ORDER BY ms DESC, b LIMIT 10)
+      |),
+      |hotn AS (
+      |  SELECT COUNT(*) AS n FROM bkt, bs
+      |  WHERE bs.sd IS NOT NULL AND bs.sd > 0 AND (cnt - bs.m)/bs.sd >= 2.0
+      |),
+      |chosen AS (
+      |  SELECT b FROM (
+      |    SELECT CAST(FLOOR(date_part('epoch', ts)/10)*10 AS BIGINT) AS b,
+      |      MAX(severity) AS ms
+      |    FROM evx WHERE ts IS NOT NULL GROUP BY 1 HAVING MAX(severity) >= 10)
+      |  WHERE b NOT IN (SELECT b FROM heat10)
+      |  ORDER BY ms DESC, b LIMIT 1
+      |),
+      |ctx AS (
+      |  SELECT LEAST(COUNT(*), 200) AS n FROM evx, chosen
+      |  WHERE ts IS NOT NULL
+      |    AND date_part('epoch', ts) >= chosen.b
+      |    AND date_part('epoch', ts) <= chosen.b + 10
+      |),
+      |nsev AS (SELECT LEAST(COUNT(*) FILTER (severity >= 30), 100) AS n FROM evx),
+      |guard AS (
+      |  SELECT (SELECT h % 100 >= 80 FROM hashed)
+      |     AND (SELECT n = 0 FROM hotn)
+      |     AND EXISTS (SELECT 1 FROM chosen) AS ok
+      |)
+      |SELECT CAST(1 AS INTEGER) AS iteration, 'A' AS phase,
+      |  false AS llm_called, CAST(0.0 AS DOUBLE) AS confidence, '' AS hypothesis,
+      |  CAST(NULL AS BIGINT) AS chosen_bucket,
+      |  CAST((SELECT n FROM nsev) AS BIGINT) AS n_context_events,
+      |  CAST(8 AS INTEGER) AS n_evidence,
+      |  CASE WHEN (SELECT ok FROM guard) THEN '' ELSE 'ORACLE-UNDERIVED' END AS stop_reason
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER), 'B', true,
+      |  CAST(h % 100 AS DOUBLE) / 100.0,
+      |  'stub-' || CAST(h % 1000 AS VARCHAR),
+      |  (SELECT b FROM chosen),
+      |  CAST((SELECT n FROM ctx) AS BIGINT),
+      |  CAST((SELECT COUNT(*) FROM evidence) AS INTEGER),
+      |  CASE WHEN (SELECT ok FROM guard) THEN 'confidence_reached'
+      |       ELSE 'ORACLE-UNDERIVED: regime changed' END
+      |FROM hashed
+      |ORDER BY iteration""".stripMargin
 }

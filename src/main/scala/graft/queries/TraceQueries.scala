@@ -782,8 +782,10 @@ object TraceQueries {
     // ---- §2.10.8 iterative RCA loop (investigation_agent.py:926-1327) ----
     // Phase A sweep → detector battery → LLM (stub) with confidence
     // shaping → hotspot/uncovered-bucket dive → repeat until confidence ≥
-    // threshold or iteration cap. Emits the per-iteration trace.
-    noOracle("trace_rca_loop") { (s, _) =>
+    // threshold or iteration cap. Emits the per-iteration trace — FULLY
+    // oracled: the deterministic stub chain makes the whole trace a pure
+    // function of the data (see RcaFinalOracle.loopTraceSql).
+    sql("trace_rca_loop", RcaFinalOracle.loopTraceSql) { (s, _) =>
       // reuse the session fixture cache: events/metrics/baselines/battery
       // are the same subtrees trace_detector_battery and trace_rca_stub
       // already computed — the loop's Phase A + per-iteration battery
@@ -793,6 +795,7 @@ object TraceQueries {
         new graft.ops.LlmBoundary.StubClient,
         RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
         shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
+        .orderBy("iteration")
     },
 
     // ---- §2.10.8 RCA loop FINAL STATE, full oracle (see below) -----------
