@@ -74,7 +74,14 @@ object StreamingOps {
     * emitted z — a pure function of the data, which is what lets the
     * batch execution of this exact operator be value-verified against an
     * external oracle. Cost: one in-memory sort of the rows a trigger
-    * delivers per key (bounded by trigger size, not corpus size). */
+    * delivers per key (bounded by trigger size, not corpus size).
+    *
+    * Scale note: parallelism equals key cardinality — per-metric state is
+    * inherently sequential. With few metrics and heavy streams, key by a
+    * composite (metric, shard) and accept per-shard baselines, or keep
+    * the gate behind the per-window rollup (rollupStream) so each task
+    * folds pre-aggregated points; the state itself stays O(1) per key
+    * either way. */
   def runningAnomalyGate(points: Dataset[MetricPoint],
       zThreshold: Double = 3.0, minSamples: Long = 3,
       sortWithinTrigger: Boolean = false): Dataset[Flagged] = {
