@@ -103,6 +103,26 @@ class RcaLoopSpec extends SparkSpec {
     assert(c5 === 0.7)
   }
 
+  test("shaping reads the CURRENT response's reasoning, never prior shaped text") {
+    // Regression (round-3 advice): feeding a prior call's SHAPED reasoning
+    // back in would latch metricFocus forever — every shaping prefix
+    // contains "metric(s)" — so an event-name-focused hypothesis would
+    // dodge its 0.4/0.5 caps on all later calls.
+    val (c1, shaped1) = RcaLoop.shapeConfidence(
+      "informational events only", "", 0.9, "nothing of note")
+    assert(c1 === 0.5)
+    // WRONG input (the old bug): prior shaped text → cap dodged
+    val (cBug, _) = RcaLoop.shapeConfidence(
+      "severity 30 noise", shaped1, 0.9, "VersionLag spike")
+    assert(cBug === 1.0) // metricFocus latched: boost instead of the 0.4 cap
+    // RIGHT input (fresh per-response reasoning, here empty): cap applies
+    val (cFixed, shaped2) = RcaLoop.shapeConfidence(
+      "severity 30 noise", "", 0.9, "VersionLag spike")
+    assert(cFixed === 0.4)
+    // and prefixes don't stack across calls when fresh reasoning is passed
+    assert(shaped2.count(_ == '[') === 1)
+  }
+
   test("trace records dives: buckets chosen until coverage completes") {
     ScriptedClient.calls.set(0)
     val events = trace.TraceEvents.load(spark, RefXml, stableIds = true)
