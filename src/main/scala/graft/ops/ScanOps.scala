@@ -31,6 +31,21 @@ object ScanOps {
   private def sortCols(order: Seq[String], desc: Boolean): Seq[Column] =
     order.map(c => if (desc) col(c).desc_nulls_last else col(c))
 
+  /** ADAPTIVE fast path: when the caller didn't pin a partition count and
+    * the input already executes as ONE partition, a plain global window
+    * adds no funnel the input didn't have — while the range-carry
+    * machinery would cost a sample job, an exchange, a second aggregate
+    * branch and a broadcast join per scan, pure overhead at that size.
+    * The check is driver-side plan inspection (no job). Results are
+    * identical by construction; ScanOpsSpec pins the distributed path
+    * with explicit multi-partition inputs + numPartitions, and the
+    * single-partition window it compares against IS this fast path. */
+  private def useGlobalWindow(df: DataFrame, numPartitions: Int): Boolean =
+    numPartitions == 0 && df.rdd.getNumPartitions <= 1
+
+  private def globalW(order: Seq[String], desc: Boolean = false) =
+    Window.orderBy(sortCols(order, desc): _*)
+
   private def ranged(df: DataFrame, order: Seq[String], desc: Boolean,
       numPartitions: Int): DataFrame = {
     val n =
@@ -57,6 +72,11 @@ object ScanOps {
   def runningSum(df: DataFrame, order: Seq[String], value: Column,
       out: String, inclusive: Boolean = false,
       numPartitions: Int = 0): DataFrame = {
+    if (useGlobalWindow(df, numPartitions)) {
+      val hi = if (inclusive) 0L else -1L
+      return df.withColumn(out, coalesce(sum(value).over(
+        globalW(order).rowsBetween(Window.unboundedPreceding, hi)), lit(0)))
+    }
     val p = ranged(df, order, desc = false, numPartitions)
     val hi = if (inclusive) 0L else -1L
     val local = p.withColumn("__scan_local",
@@ -77,6 +97,8 @@ object ScanOps {
     * partitions. */
   def rowNumber(df: DataFrame, order: Seq[String], out: String,
       numPartitions: Int = 0): DataFrame = {
+    if (useGlobalWindow(df, numPartitions))
+      return df.withColumn(out, row_number().over(globalW(order)).cast("long"))
     val p = ranged(df, order, desc = false, numPartitions)
     val local = p.withColumn("__scan_local",
       row_number().over(localW(order)).cast("long"))
@@ -99,6 +121,12 @@ object ScanOps {
     * look-back found nothing. */
   def prevNonNull(df: DataFrame, order: Seq[String],
       values: Seq[(String, String)], numPartitions: Int = 0): DataFrame = {
+    if (useGlobalWindow(df, numPartitions)) {
+      val gw = globalW(order).rowsBetween(Window.unboundedPreceding, -1)
+      return values.foldLeft(df) { case (d, (in, out)) =>
+        d.withColumn(out, last(col(in), ignoreNulls = true).over(gw))
+      }
+    }
     val p = ranged(df, order, desc = false, numPartitions)
     val w = localW(order).rowsBetween(Window.unboundedPreceding, -1)
     val local = values.foldLeft(p) { case (d, (in, out)) =>
@@ -139,6 +167,8 @@ object ScanOps {
   private def shiftK(df: DataFrame, order: Seq[String], value: String,
       out: String, k: Int, desc: Boolean, numPartitions: Int): DataFrame = {
     require(k >= 1, s"shift distance must be >= 1, got $k")
+    if (useGlobalWindow(df, numPartitions))
+      return df.withColumn(out, lag(col(value), k).over(globalW(order, desc)))
     val p = ranged(df, order, desc, numPartitions)
     val local = p
       .withColumn(out, lag(col(value), k).over(localW(order, desc)))
