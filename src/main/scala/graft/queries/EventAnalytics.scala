@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.ScanOps
+import graft.trace.{Detectors, DerivedTables}
 import QueryDef._
 
 /** Log-analytics operators from SURVEY.md §2 re-hosted on the driver's
@@ -239,6 +241,109 @@ object EventAnalytics {
         .filter(col("prev_value").isNotNull &&
           col("value") < col("prev_value") * 0.1)
         .orderBy("user_id", "event_id")
+    },
+
+    // ---- W2: carried-state threshold resets (global_scanner.py:325-354) --
+    // versionResets' shape on the generic events table: the last carried
+    // purchase value crossing from >250 down to <50. ScanOps.prevNonNull
+    // keeps the carry distributed (range partitions + boundary carry)
+    // instead of one global single-partition window.
+    sql("ev_value_resets",
+      """WITH p AS (
+        |  SELECT ts, event_id, value FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT event_id, value,
+        |    LAG(value) OVER (ORDER BY ts, event_id) AS prev_value
+        |  FROM p)
+        |SELECT event_id, prev_value, value FROM w
+        |WHERE prev_value > 250 AND value < 50
+        |ORDER BY event_id""") { (s, dir) =>
+      val purch = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("ts"), col("event_id"), col("value"))
+      ScanOps.prevNonNull(purch, Seq("ts", "event_id"),
+        Seq("value" -> "prev_value"))
+        .filter(col("prev_value") > 250 && col("value") < 50)
+        .select(col("event_id"), col("prev_value"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // ---- W3: sequential regressions on one stream ------------------------
+    // recoveryResets' shape (global_scanner.py:356-385): within the error
+    // stream, a drop of more than 250 from the carried previous value.
+    sql("ev_value_regressions",
+      """WITH e AS (
+        |  SELECT ts, event_id, value FROM events WHERE event_type = 'error'
+        |), w AS (
+        |  SELECT event_id, value,
+        |    LAG(value) OVER (ORDER BY ts, event_id) AS prev_value
+        |  FROM e)
+        |SELECT event_id, prev_value, value,
+        |  prev_value - value AS drop_amount
+        |FROM w WHERE prev_value IS NOT NULL AND prev_value - value > 250
+        |ORDER BY event_id""") { (s, dir) =>
+      val err = ev(s, dir).filter(col("event_type") === "error")
+        .select(col("ts"), col("event_id"), col("value"))
+      ScanOps.prevNonNull(err, Seq("ts", "event_id"),
+        Seq("value" -> "prev_value"))
+        .filter(col("prev_value").isNotNull &&
+          col("prev_value") - col("value") > 250)
+        .select(col("event_id"), col("prev_value"), col("value"),
+          (col("prev_value") - col("value")).as("drop_amount"))
+        .orderBy("event_id")
+    },
+
+    // ---- A12: bucketed means vs baselines + role→ALL fallback ------------
+    // Detectors.baselineWindowAnomalies (detectors.py:288-352) on the
+    // events table: metric = event_type, value = value, role = a canary
+    // shard (user_id % 5). Baselines come from the non-canary corpus only,
+    // so canary buckets exercise the role→ALL fallback while ALL buckets
+    // join directly — both branches are live at sf0.01. Bucket means are
+    // exact (decimal accumulation); stddev-based columns are rendered at 7
+    // significant digits on both engines.
+    sql("ev_baseline_window_anomalies",
+      """WITH m AS (
+        |  SELECT ts, CASE WHEN user_id % 5 = 0 THEN 'canary' END AS role,
+        |    event_type AS metric_name, value AS v
+        |  FROM events
+        |), base AS (
+        |  SELECT metric_name, 'ALL' AS role,
+        |    CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)/COUNT(v) AS mean,
+        |    STDDEV_SAMP(v) AS sd
+        |  FROM m WHERE role IS NULL GROUP BY 1 HAVING COUNT(*) >= 3
+        |), buck AS (
+        |  SELECT CAST(FLOOR(date_part('epoch', ts)/21600)*21600 AS BIGINT) AS bucket,
+        |    COALESCE(role, 'ALL') AS role, metric_name,
+        |    CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)/COUNT(v) AS mv,
+        |    COUNT(*) AS cnt
+        |  FROM m WHERE ts IS NOT NULL GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+        |), j AS (
+        |  SELECT b.bucket, b.role, b.metric_name, b.mv, b.cnt,
+        |    COALESCE(bs.mean, ba.mean) AS bm, COALESCE(bs.sd, ba.sd) AS bsd
+        |  FROM buck b
+        |  LEFT JOIN base bs ON b.metric_name = bs.metric_name AND b.role = bs.role
+        |  LEFT JOIN (SELECT metric_name, mean, sd FROM base WHERE role = 'ALL') ba
+        |    ON b.metric_name = ba.metric_name
+        |)
+        |SELECT bucket, role, metric_name,
+        |  printf('%.6e', mv) AS mean_val, printf('%.6e', bm) AS base_mean,
+        |  printf('%.6e', bsd) AS base_std,
+        |  printf('%.6e', abs((mv - bm)/bsd)) AS zscore, cnt
+        |FROM j WHERE bsd IS NOT NULL AND bsd > 0 AND abs((mv - bm)/bsd) >= 1.0
+        |ORDER BY bucket, role, metric_name""") { (s, dir) =>
+      val m = ev(s, dir).select(col("ts"),
+        when(col("user_id") % 5 === 0, lit("canary")).as("role"),
+        col("event_type").as("metric_name"), col("value").as("metric_value"))
+      val baselines = DerivedTables.metricBaselines(
+        m.filter(col("role").isNull), minCount = 3)
+      Detectors.baselineWindowAnomalies(m, baselines,
+        bucketSeconds = 21600, zThreshold = 1.0, minSamples = 3,
+        metricNames = Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("bucket"), col("role"), col("metric_name"),
+          format_string("%.6e", col("mean_val")).as("mean_val"),
+          format_string("%.6e", col("base_mean")).as("base_mean"),
+          format_string("%.6e", col("base_std")).as("base_std"),
+          format_string("%.6e", col("zscore")).as("zscore"), col("cnt"))
+        .orderBy("bucket", "role", "metric_name")
     },
 
     // ---- W5: gap sessionization (gaps-and-islands), 1800s gap ------------

@@ -139,6 +139,24 @@ object TraceQueries {
   private def cachedBattery(s: SparkSession): DataFrame =
     cachedFixture(s).battery
 
+  /** trace_rca_loop and trace_rca_final expose the same deterministic
+    * loop run (identical Config + stub client), differing only in the
+    * projection — run it once per session and let the second query read
+    * the memoized trace. The loop's orchestration is driver-side with
+    * bounded actions, so the result is a small LocalRelation: re-using it
+    * costs nothing and survives `spark.catalog.clearCache()`. Weakly
+    * keyed like fixtureCache so a stopped session is collectable. */
+  private val rcaTraceCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+  private def cachedRcaTrace(s: SparkSession): DataFrame =
+    rcaTraceCache.computeIfAbsent(s, { sess =>
+      val fc = cachedFixture(sess)
+      RcaLoop.investigate(fc.events, "Diagnose the FDB failure",
+        new graft.ops.LlmBoundary.StubClient,
+        RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
+        shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
+    })
+
   /** The 6-member battery summary as one DuckDB query (no outer ORDER
     * BY) — shared verbatim by the trace_detector_battery oracle and the
     * trace_rca_stub oracle, which hashes these same summary rows. */
@@ -399,6 +417,217 @@ object TraceQueries {
       val ev = xmlEvents(s)
       RecoveryDetector.withCauses(ev, RecoveryDetector.recoveries(ev))
         .select("recovery_id", "state_code", "state_name", "cause")
+    },
+
+    // ---- W10 related-events gather, full oracle --------------------------
+    // The 5s lookback range join + severe/failure-flavored filter
+    // (recovery_detector.py:209-242) re-derived in DuckDB. Join output is
+    // per-(recovery, candidate) — ordered by ids for a stable hash.
+    sql("trace_related_events",
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(regexp_extract(line, 'Severity="([^"]*)"', 1) AS INTEGER) AS severity,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    regexp_extract(line, ' StatusCode="([^"]*)"', 1) AS status_code
+        |  FROM raw
+        |), recov AS (
+        |  SELECT event_id AS recovery_id, ts AS recovery_ts FROM ev
+        |  WHERE event = 'MasterRecoveryState'
+        |    AND regexp_matches(status_code, '^[+-]?\\d+$$')
+        |)
+        |SELECT r.recovery_id,
+        |  CAST(date_part('epoch', r.recovery_ts) AS BIGINT) AS recovery_sec,
+        |  e.event_id AS c_id, CAST(date_part('epoch', e.ts) AS BIGINT) AS c_sec,
+        |  e.event AS c_event, e.severity AS c_sev
+        |FROM ev e JOIN recov r ON e.ts >= r.recovery_ts - INTERVAL 5 SECOND
+        |  AND (e.ts < r.recovery_ts OR (e.ts = r.recovery_ts AND e.event_id < r.recovery_id))
+        |WHERE (e.severity IS NOT NULL AND e.severity >= 30)
+        |   OR (e.event IS NOT NULL AND (contains(lower(e.event),'fail')
+        |       OR contains(lower(e.event),'error')
+        |       OR contains(lower(e.event),'terminated')
+        |       OR contains(lower(e.event),'codecoverage')))
+        |ORDER BY r.recovery_id, c_id""") { (s, _) =>
+      val ev = xmlEvents(s)
+      RecoveryDetector.relatedEvents(ev, RecoveryDetector.recoveries(ev))
+        .select(col("recovery_id"),
+          QueryDef.epochSec(col("recovery_ts")).as("recovery_sec"),
+          col("c_id"), QueryDef.epochSec(col("c_ts")).as("c_sec"),
+          col("c_event"), col("c_sev"))
+        .orderBy("recovery_id", "c_id")
+    },
+
+    // ---- A9 high-severity hotspot buckets, full oracle -------------------
+    // hotspot_selector.py:15-36 — per-bucket max severity crossing the
+    // floor. 10s buckets: the fixture spans ~20s, so 600s would collapse
+    // to one bucket and check nothing.
+    sql("trace_high_sev_buckets",
+      s"""WITH raw AS (
+        |  SELECT line FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(regexp_extract(line, 'Severity="([^"]*)"', 1) AS INTEGER) AS severity
+        |  FROM raw
+        |), b AS (
+        |  SELECT CAST(FLOOR(date_part('epoch', ts)/10)*10 AS BIGINT) AS bucket,
+        |    MAX(severity) AS max_severity, COUNT(*) AS n
+        |  FROM ev WHERE ts IS NOT NULL GROUP BY 1
+        |)
+        |SELECT bucket, max_severity, n FROM b WHERE max_severity >= 20
+        |ORDER BY max_severity DESC, bucket LIMIT 20""") { (s, _) =>
+      Investigation.highSeverityBuckets(xmlEvents(s),
+        minSeverity = 20, bucketSeconds = 10, limit = 20)
+    },
+
+    // ---- A10 uncovered buckets (anti-join), full oracle ------------------
+    // hotspot_selector.py:38-65 — the RCA loop's "what hasn't been looked
+    // at" step: high-severity buckets minus the inspected set (here the
+    // top-1 hotspot, exactly what iteration 1 would have dived into).
+    sql("trace_uncovered_buckets",
+      s"""WITH raw AS (
+        |  SELECT line FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(regexp_extract(line, 'Severity="([^"]*)"', 1) AS INTEGER) AS severity
+        |  FROM raw
+        |), b AS (
+        |  SELECT CAST(FLOOR(date_part('epoch', ts)/10)*10 AS BIGINT) AS bucket,
+        |    MAX(severity) AS max_severity, COUNT(*) AS n
+        |  FROM ev WHERE ts IS NOT NULL GROUP BY 1
+        |), hot AS (
+        |  SELECT * FROM b WHERE max_severity >= 20
+        |), inspected AS (
+        |  SELECT bucket FROM hot ORDER BY max_severity DESC, bucket LIMIT 1
+        |)
+        |SELECT bucket, max_severity, n FROM hot
+        |WHERE bucket NOT IN (SELECT bucket FROM inspected)
+        |ORDER BY max_severity DESC, bucket""") { (s, _) =>
+      val ev = xmlEvents(s)
+      val top = Investigation.highSeverityBuckets(ev,
+        minSeverity = 20, bucketSeconds = 10, limit = 1).select("bucket")
+      Investigation.uncoveredBuckets(ev, top,
+        minSeverity = 20, bucketSeconds = 10)
+    },
+
+    // ---- F1+F6 conjunctive filter over a time window, full oracle --------
+    // helpers.py:83-117 filter builder (time range + severity floor +
+    // LIKE-dispatched event pattern) driving a windowed event load. The
+    // window is anchored on the fixture's min ts (one bounded 1-row
+    // collect), so no wall-clock constants are baked in.
+    sql("trace_filter_window",
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(regexp_extract(line, 'Severity="([^"]*)"', 1) AS INTEGER) AS severity,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event
+        |  FROM raw
+        |), span AS (SELECT MIN(ts) AS t0 FROM ev)
+        |SELECT event_id, CAST(date_part('epoch', ts) AS BIGINT) AS sec,
+        |  event, severity
+        |FROM ev, span
+        |WHERE ts >= t0 + INTERVAL 10 SECOND AND ts <= t0 + INTERVAL 40 SECOND
+        |  AND severity >= 10 AND event LIKE '%Metrics%'
+        |ORDER BY event_id""") { (s, _) =>
+      val ev = xmlEvents(s)
+      val t0 = ev.agg(min(col("ts"))).first().getTimestamp(0)
+      val filter = Investigation.EventFilter(
+        startTime = Some(new java.sql.Timestamp(t0.getTime + 10000L)),
+        endTime = Some(new java.sql.Timestamp(t0.getTime + 40000L)),
+        severityMin = Some(10), eventType = Some("%Metrics%"))
+      filter(ev)
+        .select(col("event_id"), QueryDef.epochSec(col("ts")).as("sec"),
+          col("event"), col("severity"))
+        .orderBy("event_id")
+    },
+
+    // ---- A13 per-interval chunk statistics, full oracle ------------------
+    // cli_wrapper/main.py:385-432 — per-bucket count, token estimate
+    // (len(to_json(fields))/4, the reference's chars/4 heuristic) and
+    // top-3 event types. The oracle re-derives Spark's to_json length
+    // arithmetically from the attr arrays: {"k":"v",...} is
+    // 2 + Σ(len(k)+len(v)+5) + (n-1) — exact for this fixture, whose attr
+    // values contain no JSON-escape-needing characters (checked: no
+    // backslashes or embedded quotes).
+    sql("trace_chunk_stats", {
+      val mand = TraceEvents.MandatoryFields
+        .map(k => s"'$k'").mkString("[", ",", "]")
+      s"""WITH raw AS (
+        |  SELECT line FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 1) AS ks,
+        |    regexp_extract_all(line, '([\\w.]+)="([^"]*)"', 2) AS vs
+        |  FROM raw
+        |), evb AS (
+        |  SELECT CAST(FLOOR(date_part('epoch', ts)/10)*10 AS BIGINT) AS bucket,
+        |    event,
+        |    len(list_filter(ks, k -> NOT list_contains($mand, k))) AS kept_n,
+        |    COALESCE(list_sum(list_transform(range(1, len(ks)+1), i ->
+        |      CASE WHEN NOT list_contains($mand, ks[i])
+        |        THEN strlen(ks[i]) + strlen(vs[i]) + 5 ELSE 0 END)), 0) AS pair_len
+        |  FROM ev WHERE ts IS NOT NULL
+        |), tok AS (
+        |  SELECT bucket, CASE WHEN kept_n = 0 THEN 2
+        |    ELSE 2 + (kept_n - 1) + pair_len END AS json_len, event
+        |  FROM evb
+        |), t AS (
+        |  SELECT bucket, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(ceil(json_len/4.0) AS BIGINT)) AS BIGINT) AS token_estimate
+        |  FROM tok GROUP BY 1
+        |), typ AS (
+        |  SELECT bucket, event, COUNT(*) AS tn FROM tok GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT bucket, event,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY tn DESC, event) AS rk
+        |  FROM typ
+        |), tops AS (
+        |  SELECT bucket, string_agg(event, ',' ORDER BY rk) AS top_events
+        |  FROM rk WHERE rk <= 3 GROUP BY 1
+        |)
+        |SELECT t.bucket, t.n_events, t.token_estimate, tops.top_events
+        |FROM t LEFT JOIN tops USING (bucket)
+        |ORDER BY t.bucket"""
+    }) { (s, _) =>
+      Investigation.chunkStats(xmlEvents(s), intervalSeconds = 10,
+        topTypes = 3)
+    },
+
+    // ---- W12 LLM display priority order, full oracle ---------------------
+    // investigation_agent.py:612-621 — severity≥40 first (descending),
+    // then chronological. The driver's hash sorts rows, so the ORDER BY
+    // matters only through the LIMIT's selection — which is total
+    // (event_id tiebreak) and identical on both engines.
+    sql("trace_priority_events",
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(regexp_extract(line, 'Severity="([^"]*)"', 1) AS INTEGER) AS severity,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event
+        |  FROM raw
+        |)
+        |SELECT event_id, CAST(date_part('epoch', ts) AS BIGINT) AS sec,
+        |  event, severity
+        |FROM ev
+        |ORDER BY CASE WHEN severity >= 40 THEN severity ELSE 0 END DESC,
+        |  ts, event_id
+        |LIMIT 50""") { (s, _) =>
+      Investigation.priorityOrder(xmlEvents(s))
+        .select(col("event_id"), QueryDef.epochSec(col("ts")).as("sec"),
+          col("event"), col("severity"))
+        .limit(50)
     },
 
     // ---- §2.4 events_wide coalescing coverage, full oracle ---------------
@@ -790,12 +1019,7 @@ object TraceQueries {
       // are the same subtrees trace_detector_battery and trace_rca_stub
       // already computed — the loop's Phase A + per-iteration battery
       // evidence then run off cached frames instead of private recomputes
-      val fc = cachedFixture(s)
-      RcaLoop.investigate(fc.events, "Diagnose the FDB failure",
-        new graft.ops.LlmBoundary.StubClient,
-        RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
-        shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
-        .orderBy("iteration")
+      cachedRcaTrace(s).orderBy("iteration")
     },
 
     // ---- §2.10.8 RCA loop FINAL STATE, full oracle (see below) -----------
@@ -807,11 +1031,7 @@ object TraceQueries {
     // hash stub responses, and the stop-rule CASE. Registered with the
     // same Config as trace_rca_loop, so this IS that query's final row.
     sql("trace_rca_final", RcaFinalOracle.sql) { (s, _) =>
-      val fc = cachedFixture(s)
-      val tr = RcaLoop.investigate(fc.events, "Diagnose the FDB failure",
-        new graft.ops.LlmBoundary.StubClient,
-        RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
-        shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
+      val tr = cachedRcaTrace(s)
       tr.agg(
         max(col("iteration")).as("iterations"),
         sum(when(col("llm_called"), 1L).otherwise(0L)).as("llm_calls"),

@@ -254,7 +254,10 @@ object Detectors {
         col("ts").isNotNull)
       .groupBy(GlobalScanner.bucket(col("ts"), bucketSeconds).as("bucket"),
         coalesce(col("role"), lit("ALL")).as("role"), col("metric_name"))
-      .agg(avg(col("metric_value")).as("mean_val"), count(lit(1)).as("cnt"))
+      // exactMean, not avg: bucket means stay bit-identical across
+      // engines/partitionings (same rationale as rollups/baselines)
+      .agg(DerivedTables.exactMean(col("metric_value")).as("mean_val"),
+        count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minSamples)
     val b = baselines.select(col("metric_name").as("bm"),
       col("role").as("b_role"),
