@@ -630,6 +630,52 @@ object TraceQueries {
         .limit(50)
     },
 
+    // ---- W8 forced-recovery chunking, full oracle ------------------------
+    // forced_recovery/chunk_logs.py:26-69 — trigger starts a chunk, the
+    // first MasterRecoveryState StatusCode=14 after it ends it (complete);
+    // otherwise the chunk runs to EOF (incomplete). Trigger here: every
+    // MasterRecoveryState (4 in the fixture, no 14s → 4 incomplete chunks
+    // whose boundaries/counts are the checked content). The running-sum
+    // chunk assignment is ScanOps.runningSum — distributed, mirrored as a
+    // window SUM in DuckDB.
+    sql("trace_forced_recovery_chunks",
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(regexp_extract(line, 'DateTime="([^"]*)"', 1), '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    regexp_extract(line, ' Type="([^"]*)"', 1) AS event,
+        |    regexp_extract(line, ' StatusCode="([^"]*)"', 1) AS status_code,
+        |    nullif(regexp_extract(line, ' Comment="([^"]*)"', 1), '') AS comment
+        |  FROM raw
+        |), t AS (
+        |  SELECT *, CASE WHEN event = 'MasterRecoveryState' THEN 1 ELSE 0 END AS is_trigger
+        |  FROM ev
+        |), g AS (
+        |  SELECT *, CAST(SUM(is_trigger) OVER (ORDER BY event_id) AS BIGINT) AS chunk_id
+        |  FROM t
+        |), f AS (
+        |  SELECT *, MIN(CASE WHEN event = 'MasterRecoveryState' AND status_code = '14'
+        |    THEN event_id END) OVER (PARTITION BY chunk_id) AS end_id
+        |  FROM g WHERE chunk_id >= 1
+        |)
+        |SELECT chunk_id,
+        |  CAST(date_part('epoch', MIN(ts)) AS BIGINT) AS start_sec,
+        |  CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS end_sec,
+        |  COUNT(*) AS event_count, MAX(end_id) IS NOT NULL AS complete,
+        |  MAX(CASE WHEN is_trigger = 1 THEN comment END) AS start_comment
+        |FROM f WHERE end_id IS NULL OR event_id <= end_id
+        |GROUP BY 1 ORDER BY 1""") { (s, _) =>
+      Chunker.forcedRecoveryChunks(xmlEvents(s),
+        isTrigger = col("event") === "MasterRecoveryState")
+        .select(col("chunk_id"),
+          QueryDef.epochSec(col("start_time")).as("start_sec"),
+          QueryDef.epochSec(col("end_time")).as("end_sec"),
+          col("event_count"), col("complete"), col("start_comment"))
+        .orderBy("chunk_id")
+    },
+
     // ---- §2.4 events_wide coalescing coverage, full oracle ---------------
     // The whole safe_float + precedence-chain + Mean-falsiness machinery
     // (DerivedTables.eventsWide) re-derived in DuckDB; integer counts make
