@@ -155,6 +155,47 @@ class TraceOpsSpec extends SparkSpec {
     assert(pieces.mkString.length >= text.replace("\n", "").length)
   }
 
+  test("text splitter ≡ greedy word-merge on single-space corpora") {
+    // the doc_text_splitter oracle replays splitText as a greedy word
+    // merge with a carried ≤overlap tail (valid when the text is a
+    // single-space word sequence with words ≤ 8 chars, like the
+    // documents corpus) — pin that reduction against the real
+    // implementation on randomized inputs
+    val rnd = new scala.util.Random(42)
+    def randText(): String = {
+      val n = 20 + rnd.nextInt(150)
+      (1 to n).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+        .mkString(" ")
+    }
+    def model(text: String, size: Int = 500, overlap: Int = 100): Seq[String] = {
+      if (text.length <= size) return Seq(text)
+      val ws = text.split(" ").toVector
+      val cum = ws.scanLeft(0)((a, w) => a + w.length + 1).tail
+      def joinLen(s: Int, e: Int) =
+        cum(e - 1) - (if (s == 1) 0 else cum(s - 2)) - 1
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var s = 1
+      var done = false
+      while (!done) {
+        var e = s
+        while (e < ws.length && joinLen(s, e + 1) <= size) e += 1
+        out += ((s, e))
+        if (e >= ws.length) done = true
+        else {
+          var t = s + 1
+          while (joinLen(t, e) > overlap) t += 1
+          s = t
+        }
+      }
+      out.toSeq.map { case (a, b) => ws.slice(a - 1, b).mkString(" ") }
+    }
+    (1 to 200).foreach { _ =>
+      val t = randText()
+      assert(Chunker.splitText(t, 500, 100) === model(t))
+    }
+  }
+
   test("anomaly gate: z-score + static thresholds") {
     val base = (1L to 20L).map(i =>
       (i, f"2025-01-01 00:00:${i % 60}%02d", "StorageMetrics", 10,
