@@ -419,6 +419,20 @@ object TraceQueries {
         .select("recovery_id", "state_code", "state_name", "cause")
     },
 
+    // ---- §2.10.1 stats report: top roles, full oracle --------------------
+    // cli_wrapper/main.py:434-512's role distribution — grouped on the raw
+    // Roles string (the reference does not explode multi-role tags).
+    sql("trace_role_counts",
+      s"""SELECT role, COUNT(*) AS n FROM (
+        |  SELECT nullif(regexp_extract(line, ' Roles="([^"]*)"', 1), '') AS role
+        |  FROM ${duckLines(XmlFixture)} WHERE line LIKE '%<Event %')
+        |WHERE role IS NOT NULL
+        |GROUP BY role ORDER BY n DESC, role LIMIT 10""") { (s, _) =>
+      xmlEvents(s).filter(col("role").isNotNull).groupBy("role")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("role")).limit(10)
+    },
+
     // ---- W10 related-events gather, full oracle --------------------------
     // The 5s lookback range join + severe/failure-flavored filter
     // (recovery_detector.py:209-242) re-derived in DuckDB. Join output is
