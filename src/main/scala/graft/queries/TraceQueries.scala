@@ -19,6 +19,8 @@ object TraceQueries {
   val XmlFixture =
     "/root/reference/data/log_example/simlogs/trace.172.17.0.3.4500.1763869069.8tVoRN.0.1.xml"
   val JsonFixture = "/root/reference/data/sample_log.json"
+  /** Repo-owned mixed plaintext/JSON fixture for the S3 fallback path. */
+  val PlaintextFixture = "/root/repo/fixtures/plaintext_sample.log"
 
   /** Fixed retrieval queries for trace_rag_retrieve — shared between the
     * Spark query frame and the DuckDB oracle's VALUES list. */
@@ -417,6 +419,43 @@ object TraceQueries {
       val ev = xmlEvents(s)
       RecoveryDetector.withCauses(ev, RecoveryDetector.recoveries(ev))
         .select("recovery_id", "state_code", "state_name", "cause")
+    },
+
+    // ---- S3+S4 plaintext key=value fallback, full oracle -----------------
+    // tools/parser.py:16-21,42-56 — a non-.xml file dispatches to the
+    // JSON-lines reader; lines that fail JSON parse degrade to key=value
+    // regex pairs. The fixture (fixtures/plaintext_sample.log, repo-owned)
+    // interleaves both shapes plus blank lines, so one query exercises
+    // JSON parse, the regex fallback, the blank skip, stable id
+    // assignment over the Time attr, and payload survival on both paths.
+    sql("trace_plaintext_fallback",
+      s"""WITH raw AS (
+        |  SELECT line, row_number() OVER () AS rn
+        |  FROM ${duckLines(PlaintextFixture)}
+        |  WHERE trim(line) <> ''
+        |), m AS (
+        |  SELECT rn, line,
+        |    CASE WHEN TRY_CAST(trim(line) AS JSON) IS NOT NULL
+        |      THEN CAST(TRY_CAST(trim(line) AS JSON) AS MAP(VARCHAR,VARCHAR))
+        |      ELSE map(regexp_extract_all(line, '(\\w+)=([^\\s]+)', 1),
+        |               regexp_extract_all(line, '(\\w+)=([^\\s]+)', 2)) END AS m
+        |  FROM raw
+        |), ev AS (
+        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(m['Time'][1] AS DOUBLE), 1e308), rn) AS event_id,
+        |    strptime(m['DateTime'][1], '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        |    TRY_CAST(m['Severity'][1] AS INTEGER) AS severity,
+        |    m['Type'][1] AS event, m['Roles'][1] AS role,
+        |    m['VersionLag'][1] AS version_lag
+        |  FROM m
+        |)
+        |SELECT event_id, CAST(date_part('epoch', ts) AS BIGINT) AS sec,
+        |  event, severity, role, version_lag
+        |FROM ev ORDER BY event_id""") { (s, _) =>
+      TraceEvents.load(s, PlaintextFixture, stableIds = true)
+        .select(col("event_id"), QueryDef.epochSec(col("ts")).as("sec"),
+          col("event"), col("severity"), col("role"),
+          element_at(col("fields"), "VersionLag").as("version_lag"))
+        .orderBy("event_id")
     },
 
     // ---- §2.10.1 stats report: top roles, full oracle --------------------
