@@ -21,6 +21,8 @@ object TraceQueries {
   val JsonFixture = "/root/reference/data/sample_log.json"
   /** Repo-owned mixed plaintext/JSON fixture for the S3 fallback path. */
   val PlaintextFixture = "/root/repo/fixtures/plaintext_sample.log"
+  /** Repo-owned normalized-event array fixture for the S5 re-loader. */
+  val NormalizedFixture = "/root/repo/fixtures/normalized_sample.json"
 
   /** Fixed retrieval queries for trace_rag_retrieve — shared between the
     * Spark query frame and the DuckDB oracle's VALUES list. */
@@ -455,6 +457,38 @@ object TraceQueries {
         .select(col("event_id"), QueryDef.epochSec(col("ts")).as("sec"),
           col("event"), col("severity"), col("role"),
           element_at(col("fields"), "VersionLag").as("version_lag"))
+        .orderBy("event_id")
+    },
+
+    // ---- S5 normalized-JSON re-loader, full oracle -----------------------
+    // tools/parser.py:91-126 — re-load of already-normalized events where
+    // raw_json/fields_json arrive either as nested objects or as
+    // stringified JSON (the fixture interleaves both, plus a null
+    // fields_json). The oracle unifies the two shapes the same way the
+    // loader's StringType-schema trick does.
+    sql("trace_normalized_reload",
+      s"""WITH src AS (
+        |  SELECT * FROM read_json('$NormalizedFixture', format='array',
+        |    columns={'event_id':'BIGINT','ts':'VARCHAR','severity':'INTEGER',
+        |             'event':'VARCHAR','role':'VARCHAR','machine_id':'VARCHAR',
+        |             'src_line':'INTEGER','fields_json':'JSON'})
+        |), m AS (
+        |  SELECT *, CAST(TRY_CAST(COALESCE(json_extract_string(fields_json, '$$'),
+        |      CAST(fields_json AS VARCHAR)) AS JSON) AS MAP(VARCHAR,VARCHAR)) AS fm
+        |  FROM src
+        |)
+        |SELECT event_id,
+        |  CAST(date_part('epoch', strptime(ts, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS sec,
+        |  severity, event, role, machine_id, src_line,
+        |  fm['VersionLag'][1] AS version_lag,
+        |  CAST(COALESCE(cardinality(fm), 0) AS BIGINT) AS n_fields
+        |FROM m ORDER BY event_id""") { (s, _) =>
+      TraceReader.normalizedJson(s, NormalizedFixture)
+        .select(col("event_id"), QueryDef.epochSec(col("ts")).as("sec"),
+          col("severity"), col("event"), col("role"), col("machine_id"),
+          col("src_line"),
+          element_at(col("fields"), "VersionLag").as("version_lag"),
+          size(col("fields")).as("n_fields"))
         .orderBy("event_id")
     },
 
