@@ -492,6 +492,35 @@ object TraceQueries {
         .orderBy("event_id")
     },
 
+    // ---- S6 multi-file mixed-format ingest + id continuity, full oracle --
+    // TraceEvents.loadAll over the XML fixture AND the plaintext fixture
+    // in one call: ≤2 distributed reads, per-suffix dispatch, stable ids
+    // continuing across files in name order. The oracle re-derives each
+    // file's event count from its raw lines and checks the contiguous
+    // id ranges those counts force (file order: /root/reference/... sorts
+    // before /root/repo/...).
+    sql("trace_multifile_ids",
+      s"""WITH x AS (
+        |  SELECT COUNT(*) AS n FROM ${duckLines(XmlFixture)}
+        |  WHERE line LIKE '%<Event %'
+        |), p AS (
+        |  SELECT COUNT(*) AS n FROM ${duckLines(PlaintextFixture)}
+        |  WHERE trim(line) <> ''
+        |)
+        |SELECT regexp_extract('$XmlFixture', '([^/]+)$$', 1) AS file,
+        |  1 AS lo, x.n AS hi, x.n AS n FROM x
+        |UNION ALL
+        |SELECT regexp_extract('$PlaintextFixture', '([^/]+)$$', 1),
+        |  x.n + 1, x.n + p.n, p.n FROM x, p
+        |ORDER BY file""") { (s, _) =>
+      TraceEvents.loadAll(s, Seq(XmlFixture, PlaintextFixture),
+        stableIds = true)
+        .groupBy(regexp_extract(col("src_file"), "([^/]+)$", 1).as("file"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("file")
+    },
+
     // ---- §2.10.1 stats report: top roles, full oracle --------------------
     // cli_wrapper/main.py:434-512's role distribution — grouped on the raw
     // Roles string (the reference does not explode multi-role tags).
