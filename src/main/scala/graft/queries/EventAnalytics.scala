@@ -253,7 +253,7 @@ object EventAnalytics {
         |  SELECT ts, event_id, value FROM events WHERE event_type = 'purchase'
         |), w AS (
         |  SELECT event_id, value,
-        |    LAG(value) OVER (ORDER BY ts, event_id) AS prev_value
+        |    LAG(value IGNORE NULLS) OVER (ORDER BY ts, event_id) AS prev_value
         |  FROM p)
         |SELECT event_id, prev_value, value FROM w
         |WHERE prev_value > 250 AND value < 50
@@ -275,7 +275,7 @@ object EventAnalytics {
         |  SELECT ts, event_id, value FROM events WHERE event_type = 'error'
         |), w AS (
         |  SELECT event_id, value,
-        |    LAG(value) OVER (ORDER BY ts, event_id) AS prev_value
+        |    LAG(value IGNORE NULLS) OVER (ORDER BY ts, event_id) AS prev_value
         |  FROM e)
         |SELECT event_id, prev_value, value,
         |  prev_value - value AS drop_amount
@@ -306,16 +306,29 @@ object EventAnalytics {
         |    event_type AS metric_name, value AS v
         |  FROM events
         |), base AS (
+        |  -- metricBaselines' finite-value gates, mirrored structurally
+        |  -- (no current row violates them; the oracle must not diverge if
+        |  -- a future generator emits NaN/±Inf/huge values). Its name
+        |  -- exclusions and topN=500 cap cannot bite 5 event types.
         |  SELECT metric_name, 'ALL' AS role,
-        |    CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)/COUNT(v) AS mean,
+        |    CASE WHEN MAX(ABS(v)) < 1e18
+        |      THEN CAST(SUM(CASE WHEN ABS(v) < 1e18 THEN CAST(v AS DECIMAL(30,10)) END) AS DOUBLE)/COUNT(v)
+        |      ELSE AVG(v) END AS mean,
         |    STDDEV_SAMP(v) AS sd
-        |  FROM m WHERE role IS NULL GROUP BY 1 HAVING COUNT(*) >= 3
+        |  FROM m WHERE role IS NULL AND NOT isnan(v) AND abs(v) < 1e308
+        |  GROUP BY 1 HAVING COUNT(*) >= 3
         |), buck AS (
+        |  -- the detector's own filters: metricNames allowlist + NaN/±Inf
         |  SELECT CAST(FLOOR(date_part('epoch', ts)/21600)*21600 AS BIGINT) AS bucket,
         |    COALESCE(role, 'ALL') AS role, metric_name,
-        |    CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)/COUNT(v) AS mv,
+        |    CASE WHEN MAX(ABS(v)) < 1e18
+        |      THEN CAST(SUM(CASE WHEN ABS(v) < 1e18 THEN CAST(v AS DECIMAL(30,10)) END) AS DOUBLE)/COUNT(v)
+        |      ELSE AVG(v) END AS mv,
         |    COUNT(*) AS cnt
-        |  FROM m WHERE ts IS NOT NULL GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+        |  FROM m WHERE ts IS NOT NULL AND NOT isnan(v)
+        |    AND v NOT IN ('inf'::DOUBLE, '-inf'::DOUBLE)
+        |    AND metric_name IN ('click', 'error', 'purchase', 'signup', 'view')
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
         |), j AS (
         |  SELECT b.bucket, b.role, b.metric_name, b.mv, b.cnt,
         |    COALESCE(bs.mean, ba.mean) AS bm, COALESCE(bs.sd, ba.sd) AS bsd

@@ -115,12 +115,14 @@ object TraceQueries {
     * 6-row battery) — memoize it per session so each query's action
     * reuses the first's computation instead of re-running the pipeline.
     *
-    * Lifetime: entries are weakly keyed by session, so a stopped session
-    * (and its cached blocks) becomes collectable instead of being pinned
-    * for the JVM's lifetime; `spark.catalog.clearCache()` (Bench/Verify
-    * between queries) drops the cached blocks early and the frames simply
-    * recompute on next use. `evictFixtureCache` is the explicit hook for
-    * suites that want deterministic cleanup. */
+    * Lifetime: the cached DataFrames strongly reference their session, so
+    * despite the weak keying a WeakHashMap entry survives until
+    * `evictFixtureCache` runs (the value→key caveat in WeakHashMap's
+    * javadoc) — one bounded entry per live session, freed explicitly.
+    * `spark.catalog.clearCache()` (Bench/Verify between queries) drops the
+    * cached blocks early and the frames simply recompute on next use;
+    * `evictFixtureCache` is the hook for suites that want deterministic
+    * cleanup of the entry itself. */
   private[graft] case class FixtureCache(events: DataFrame,
       metrics: DataFrame, baselines: DataFrame, battery: DataFrame)
   private val fixtureCache = java.util.Collections.synchronizedMap(
@@ -147,19 +149,27 @@ object TraceQueries {
     * loop run (identical Config + stub client), differing only in the
     * projection — run it once per session and let the second query read
     * the memoized trace. The loop's orchestration is driver-side with
-    * bounded actions, so the result is a small LocalRelation: re-using it
-    * costs nothing and survives `spark.catalog.clearCache()`. Weakly
-    * keyed like fixtureCache so a stopped session is collectable. */
+    * bounded actions, so the trace is a handful of local rows. The cache
+    * value stores those ROWS plus the schema (not a DataFrame): a Dataset
+    * strongly references its session, which inside a WeakHashMap value
+    * would pin the key forever (the value→key caveat in WeakHashMap's
+    * javadoc) — plain rows carry no session reference, so a stopped
+    * session really is collectable. Rebuilding the LocalRelation per call
+    * costs microseconds and survives `spark.catalog.clearCache()`. */
   private val rcaTraceCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, DataFrame]())
-  private def cachedRcaTrace(s: SparkSession): DataFrame =
-    rcaTraceCache.computeIfAbsent(s, { sess =>
+    new java.util.WeakHashMap[SparkSession,
+      (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]())
+  private def cachedRcaTrace(s: SparkSession): DataFrame = {
+    val (rows, schema) = rcaTraceCache.computeIfAbsent(s, { sess =>
       val fc = cachedFixture(sess)
-      RcaLoop.investigate(fc.events, "Diagnose the FDB failure",
+      val df = RcaLoop.investigate(fc.events, "Diagnose the FDB failure",
         new graft.ops.LlmBoundary.StubClient,
         RcaLoop.Config(maxIterations = 5, maxLlmCalls = 3),
         shared = Some(RcaLoop.Shared(fc.metrics, fc.baselines, fc.battery)))
+      (df.collect(), df.schema)
     })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   /** The 6-member battery summary as one DuckDB query (no outer ORDER
     * BY) — shared verbatim by the trace_detector_battery oracle and the
