@@ -23,6 +23,8 @@ object TraceQueries {
   val PlaintextFixture = "/root/repo/fixtures/plaintext_sample.log"
   /** Repo-owned normalized-event array fixture for the S5 re-loader. */
   val NormalizedFixture = "/root/repo/fixtures/normalized_sample.json"
+  val PreprocessedFixture =
+    "/root/reference/data/sample_log_preprocessed.json"
 
   /** Fixed retrieval queries for trace_rag_retrieve — shared between the
     * Spark query frame and the DuckDB oracle's VALUES list. */
@@ -500,6 +502,28 @@ object TraceQueries {
           element_at(col("fields"), "VersionLag").as("version_lag"),
           size(col("fields")).as("n_fields"))
         .orderBy("event_id")
+    },
+
+    // ---- S2 unknown-extra-field tolerance, full oracle -------------------
+    // data/sample_log_preprocessed.json adds a DateTimeParsed field the
+    // schema doesn't know — it must land in the dynamic payload, not
+    // break the parse (FIXTURES.md §2).
+    sql("trace_preprocessed_tolerance",
+      s"""SELECT 1 AS event_id,
+        |  CAST(date_part('epoch', strptime(m['DateTime'][1], '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS sec,
+        |  TRY_CAST(m['Severity'][1] AS INTEGER) AS severity,
+        |  m['Type'][1] AS event,
+        |  m['DateTimeParsed'][1] AS datetime_parsed,
+        |  CAST(len(list_filter(map_keys(m),
+        |    k -> k NOT IN $duckMandatory)) AS BIGINT) AS n_fields
+        |FROM (
+        |  SELECT CAST(line::JSON AS MAP(VARCHAR,VARCHAR)) AS m
+        |  FROM ${duckLines(PreprocessedFixture)} WHERE trim(line) <> '')""") { (s, _) =>
+      TraceEvents.load(s, PreprocessedFixture, stableIds = true)
+        .select(col("event_id"), QueryDef.epochSec(col("ts")).as("sec"),
+          col("severity"), col("event"),
+          element_at(col("fields"), "DateTimeParsed").as("datetime_parsed"),
+          size(col("fields")).as("n_fields"))
     },
 
     // ---- S6 multi-file mixed-format ingest + id continuity, full oracle --
