@@ -32,16 +32,24 @@ object ScanOps {
     order.map(c => if (desc) col(c).desc_nulls_last else col(c))
 
   /** ADAPTIVE fast path: when the caller didn't pin a partition count and
-    * the input already executes as ONE partition, a plain global window
-    * adds no funnel the input didn't have — while the range-carry
-    * machinery would cost a sample job, an exchange, a second aggregate
-    * branch and a broadcast join per scan, pure overhead at that size.
-    * The check is driver-side plan inspection (no job). Results are
-    * identical by construction; ScanOpsSpec pins the distributed path
-    * with explicit multi-partition inputs + numPartitions, and the
-    * single-partition window it compares against IS this fast path. */
+    * the optimizer's size estimate says the input fits in ONE file
+    * partition's worth of data, a plain global window adds no funnel worth
+    * avoiding — while the range-carry machinery would cost a sample job,
+    * an exchange, a second aggregate branch and a broadcast join per scan,
+    * pure overhead at that size. The gate reads `optimizedPlan.stats`
+    * (pure planning — NOT `df.rdd`, which under AQE materializes every
+    * upstream shuffle stage eagerly and then re-executes it on the real
+    * action). Size-only estimation never shrinks below the scanned bytes
+    * for narrow plans, and joins/aggs only inflate it — so a big input
+    * can't sneak onto the single-window path, and an overestimate merely
+    * takes the (always-correct) distributed path. Results are identical by
+    * construction; ScanOpsSpec pins the distributed path with explicit
+    * multi-partition inputs + numPartitions, and the single-partition
+    * window it compares against IS this fast path. */
   private def useGlobalWindow(df: DataFrame, numPartitions: Int): Boolean =
-    numPartitions == 0 && df.rdd.getNumPartitions <= 1
+    numPartitions == 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes
 
   private def globalW(order: Seq[String], desc: Boolean = false) =
     Window.orderBy(sortCols(order, desc): _*)

@@ -159,6 +159,11 @@ object VectorSearch {
         .select(col("cid"), expr("transform(pm, s -> s.m)").as("c"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        // collect() order is arbitrary, but assign()'s strict-> fold
+        // breaks exact dot-product ties by ARRAY POSITION — sort by cid
+        // so ties keep resolving to the lowest cid (the oracle's
+        // ORDER BY dot DESC, cid) on every run
+        .sortBy(_._1)
       if (next.nonEmpty) centroids = next
     }
     centroids

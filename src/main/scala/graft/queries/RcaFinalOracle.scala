@@ -63,8 +63,11 @@ object RcaFinalOracle {
       |  FROM evx
       |),
       |e_heat AS (
+      |  -- highSeverityBuckets(minSeverity=0) keeps max_severity >= 0,
+      |  -- which drops buckets whose events all carry NULL severity — the
+      |  -- HAVING must mirror that or an all-torn-severity bucket diverges
       |  SELECT 'bucket_heatmap', 'buckets=' || LEAST(COUNT(*), 100), 4
-      |  FROM (SELECT CAST(FLOOR(date_part('epoch', ts)/300)*300 AS BIGINT) AS b FROM evx WHERE ts IS NOT NULL GROUP BY 1)
+      |  FROM (SELECT CAST(FLOOR(date_part('epoch', ts)/300)*300 AS BIGINT) AS b FROM evx WHERE ts IS NOT NULL GROUP BY 1 HAVING MAX(severity) >= 0)
       |),
       |rb_w AS (
       |  SELECT cv, dv, rv,

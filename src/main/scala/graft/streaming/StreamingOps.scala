@@ -96,7 +96,11 @@ object StreamingOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[Flagged]
           val ordered =
             if (sortWithinTrigger)
-              rows.toSeq.sortBy(p => (p.ts.getTime, p.value)).iterator
+              // full microsecond precision: getTime truncates to millis,
+              // so two sub-millisecond neighbors would fold in a different
+              // order than the oracle's microsecond ORDER BY derives
+              rows.toSeq.sortBy(p => (p.ts.toInstant.getEpochSecond * 1000000L
+                + p.ts.toInstant.getNano / 1000L, p.value)).iterator
             else rows
           ordered.foreach { p =>
             if (s.n >= minSamples && s.m2 > 0) {

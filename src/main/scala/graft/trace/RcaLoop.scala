@@ -209,7 +209,11 @@ object RcaLoop {
         val fused = Seq(
           s1(0, "severity_counts", GlobalScanner.severityCounts(ev)
             .agg(array_join(transform(array_sort(collect_list(struct(
-              (-coalesce(col("severity"), lit(Int.MinValue))).as("k"),
+              // negate as LONG: -Int.MinValue overflows under Spark 4's
+              // ANSI-default arithmetic the moment a torn line yields a
+              // null severity (toInt's documented degrade path)
+              (-coalesce(col("severity").cast("long"),
+                lit(Int.MinValue.toLong))).as("k"),
               concat_ws(":",
                 coalesce(col("severity").cast("string"), lit("null")),
                 col("n")).as("s")))), x => x.getField("s")), ","))),
@@ -224,10 +228,11 @@ object RcaLoop {
               unix_timestamp(min(col("ts"))).cast("string"), lit("")),
             lit(" last="), coalesce(
               unix_timestamp(max(col("ts"))).cast("string"), lit(""))))),
-          s1(3, "bucket_heatmap",
-            Investigation.highSeverityBuckets(ev, minSeverity = 0,
-              bucketSeconds = cfg.heatmapBucketSeconds, limit = 100)
-              .agg(concat(lit("buckets="), count(lit(1))))),
+          // `heat` above IS this limit-100 frame already collected —
+          // recomputing it inside the fused union would re-aggregate the
+          // cached events for a number we are holding in hand
+          s1(3, "bucket_heatmap", ev.sparkSession.range(1)
+            .select(lit(s"buckets=${heat.length}"))),
           s1(4, "rollback_analysis", GlobalScanner.rollbackStatus(ev)
             .select(concat(lit("detected="), col("detected"),
               lit(" drops="), col("num_drops")))),
