@@ -15,14 +15,22 @@ object Bench {
 
     // some queries cache intermediates; drop them between queries so 60+
     // queries in one JVM don't accumulate storage memory — but OUTSIDE
-    // the timed window, so teardown cost isn't billed to the next query
+    // the timed window, so teardown cost isn't billed to the next query.
+    // The RCA trace memo survives clearCache (it holds rows, not blocks),
+    // so evict it explicitly: every timed execution must pay its query's
+    // full cost, not read a result the warm-up pass computed.
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      graft.queries.TraceQueries.evictRcaTraceCache(spark)
+      graft.queries.TraceQueries.evictFixtureCache(spark)
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n => exec(n); spark.catalog.clearCache() } // warm-up
+    names.foreach { n => exec(n); reset() } // warm-up
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       exec(name)
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      reset()
       name -> dt
     }.toMap
     // several timed passes, report the per-query minimum — local-mode wall
@@ -33,14 +41,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // prior-round comparison, embedded so the round record is
+    // self-sufficient even if the driver's stdout tail-capture truncates:
+    // read the previous bench_results.json total before overwriting it
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_results.json")
+    val prevTotal: Option[Double] =
+      try {
+        val prev = java.nio.file.Files.readString(java.nio.file.Paths.get(outFile))
+        """"metric":"total","value":([0-9.eE+-]+)""".r
+          .findFirstMatchIn(prev).map(_.group(1).toDouble)
+      } catch { case _: Exception => None }
+    val prevJson = prevTotal.map { p =>
+      s""","prev_total":$p,"ratio_vs_prev":${total / p}"""
+    }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$prevJson}"""
     println(json)
     // also persist the full line: the driver's stdout tail-capture has
     // truncated the head of the per-query map in past rounds — the file
     // keeps the complete record for round-over-round comparison
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_results.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }

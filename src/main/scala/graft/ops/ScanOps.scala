@@ -45,11 +45,24 @@ object ScanOps {
     * takes the (always-correct) distributed path. Results are identical by
     * construction; ScanOpsSpec pins the distributed path with explicit
     * multi-partition inputs + numPartitions, and the single-partition
-    * window it compares against IS this fast path. */
-  private def useGlobalWindow(df: DataFrame, numPartitions: Int): Boolean =
-    numPartitions == 0 &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    * window it compares against IS this fast path.
+    *
+    * One class of plan defeats size-only estimation: row-expanding
+    * operators. A Generate (explode/posexplode — e.g. Chunker.splitChunks
+    * feeding rowNumber) reports its CHILD's size, so a small input can
+    * fan out to an arbitrarily larger window input the estimate never
+    * sees. Any Generate in the plan therefore forces the distributed
+    * path — the fast path is an optimization, never worth an OOM risk. */
+  private def useGlobalWindow(df: DataFrame, numPartitions: Int): Boolean = {
+    if (numPartitions != 0) return false
+    val plan = df.queryExecution.optimizedPlan
+    val expanding = plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+      case _ => false
+    }
+    !expanding && plan.stats.sizeInBytes <=
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+  }
 
   private def globalW(order: Seq[String], desc: Boolean = false) =
     Window.orderBy(sortCols(order, desc): _*)

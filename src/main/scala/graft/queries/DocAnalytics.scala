@@ -200,7 +200,8 @@ object DocAnalytics {
         |  SELECT doc_id, ws, len(ws) AS nw,
         |    list_transform(range(1, len(ws) + 1),
         |      j -> strlen(array_to_string(ws[1:j], ' ')) + 1) AS cum
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE text IS NOT NULL AND text <> '')
         |), chunks AS (
         |  SELECT doc_id, ws, nw, cum, 0 AS piece_index, 1 AS s,
         |    ${eOf("1")} AS e

@@ -161,6 +161,15 @@ object TraceQueries {
   private val rcaTraceCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]())
+
+  /** Drop the memoized RCA trace for `s`. Bench calls this between timed
+    * executions (alongside `clearCache`) so trace_rca_loop /
+    * trace_rca_final pay the loop's full cost in every timed pass — the
+    * memo survives `clearCache` by design (it holds rows, not cached
+    * blocks), which would otherwise let the warm-up pass absorb the cost
+    * and the bench under-report it. */
+  private[graft] def evictRcaTraceCache(s: SparkSession): Unit =
+    rcaTraceCache.remove(s)
   private def cachedRcaTrace(s: SparkSession): DataFrame = {
     val (rows, schema) = rcaTraceCache.computeIfAbsent(s, { sess =>
       val fc = cachedFixture(sess)
@@ -448,11 +457,15 @@ object TraceQueries {
         |  FROM ${duckLines(PlaintextFixture)}
         |  WHERE trim(line) <> ''
         |), m AS (
+        |  -- COALESCE over TRY_CASTs mirrors the loader exactly: a line
+        |  -- that is valid JSON but not an OBJECT (bare number/array) maps
+        |  -- to NULL (like from_json with a map schema) and degrades to the
+        |  -- key=value regex fallback, instead of erroring the oracle run
         |  SELECT rn, line,
-        |    CASE WHEN TRY_CAST(trim(line) AS JSON) IS NOT NULL
-        |      THEN CAST(TRY_CAST(trim(line) AS JSON) AS MAP(VARCHAR,VARCHAR))
-        |      ELSE map(regexp_extract_all(line, '(\\w+)=([^\\s]+)', 1),
-        |               regexp_extract_all(line, '(\\w+)=([^\\s]+)', 2)) END AS m
+        |    COALESCE(
+        |      TRY_CAST(TRY_CAST(trim(line) AS JSON) AS MAP(VARCHAR,VARCHAR)),
+        |      map(regexp_extract_all(line, '(\\w+)=([^\\s]+)', 1),
+        |          regexp_extract_all(line, '(\\w+)=([^\\s]+)', 2))) AS m
         |  FROM raw
         |), ev AS (
         |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(m['Time'][1] AS DOUBLE), 1e308), rn) AS event_id,
@@ -564,7 +577,10 @@ object TraceQueries {
         |  FROM ${duckLines(XmlFixture)} WHERE line LIKE '%<Event %')
         |WHERE role IS NOT NULL
         |GROUP BY role ORDER BY n DESC, role LIMIT 10""") { (s, _) =>
-      xmlEvents(s).filter(col("role").isNotNull).groupBy("role")
+      // role =!= "" mirrors the oracle's nullif(..., ''): an empty
+      // Roles="" attribute must be excluded by BOTH engines, not just one
+      xmlEvents(s).filter(col("role").isNotNull && col("role") =!= "")
+        .groupBy("role")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("role")).limit(10)
     },

@@ -196,6 +196,31 @@ class TraceOpsSpec extends SparkSpec {
     }
   }
 
+  test("documents corpus satisfies the splitter-reduction invariants") {
+    // the doc_text_splitter oracle's greedy word-merge reduction is only
+    // valid on single-space word sequences with short words and no other
+    // whitespace — if a future corpus regeneration breaks that, fail HERE
+    // with a named invariant instead of silently diverging from DuckDB
+    import org.apache.spark.sql.functions._
+    Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => new java.io.File(s"/root/testdata/$s/documents.parquet"))
+      .filter(_.exists()).foreach { f =>
+        val d = spark.read.parquet(f.getPath)
+        val bad = d.select(
+          sum(when(col("text").isNull || col("text") === "", 1)
+            .otherwise(0)).as("empty"),
+          sum(when(col("text").rlike("[\\n\\t]|  |^ | $"), 1)
+            .otherwise(0)).as("bad_ws"),
+          max(expr("array_max(transform(split(text, ' '), w -> length(w)))"))
+            .as("max_word")).collect()(0)
+        assert(bad.getAs[Long]("empty") === 0L, s"${f.getPath}: empty docs")
+        assert(bad.getAs[Long]("bad_ws") === 0L,
+          s"${f.getPath}: non-single-space whitespace")
+        assert(bad.getAs[Int]("max_word") <= 100,
+          s"${f.getPath}: word longer than the 100-char overlap")
+      }
+  }
+
   test("anomaly gate: z-score + static thresholds") {
     val base = (1L to 20L).map(i =>
       (i, f"2025-01-01 00:00:${i % 60}%02d", "StorageMetrics", 10,
