@@ -182,6 +182,26 @@ object TraceQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Marker-chunking (W7) re-derived over the raw XML fixture — shared by
+    * the trace_chunks oracle and the S10 chunk-sink roundtrip, whose
+    * written `chunks` table must hash to the same values. */
+  private[queries] lazy val duckChunksSql: String =
+    s"""WITH raw AS (
+      |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
+      |), ev AS (
+      |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
+      |    CASE WHEN regexp_extract(line, ' Type="([^"]*)"', 1) = 'MasterRecoveryState' THEN 1 ELSE 0 END AS is_marker
+      |  FROM raw WHERE line LIKE '%<Event %'
+      |), marked AS (
+      |  SELECT event_id, is_marker,
+      |    CAST(COALESCE(SUM(is_marker) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+      |  FROM ev
+      |)
+      |SELECT chunk_id, MIN(event_id) AS start_event_id,
+      |  MAX(event_id) AS end_event_id, COUNT(*) AS n_events,
+      |  CASE WHEN MAX(is_marker) = 1 THEN 'pre-recovery' ELSE 'final_chunk' END AS chunk_type
+      |FROM marked GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
   /** The 6-member battery summary as one DuckDB query (no outer ORDER
     * BY) — shared verbatim by the trace_detector_battery oracle and the
     * trace_rca_stub oracle, which hashes these same summary rows. */
@@ -1028,22 +1048,7 @@ object TraceQueries {
     // Stable event ids = row_number over (Time attr, line order); chunk id
     // = running marker count over strictly-preceding rows. CAST: DuckDB
     // windowed SUM promotes to HUGEINT.
-    sql("trace_chunks",
-      s"""WITH raw AS (
-        |  SELECT line, row_number() OVER () AS rn FROM ${duckLines(XmlFixture)}
-        |), ev AS (
-        |  SELECT row_number() OVER (ORDER BY COALESCE(TRY_CAST(regexp_extract(line, ' Time="([^"]*)"', 1) AS DOUBLE), 1e308), rn) AS event_id,
-        |    CASE WHEN regexp_extract(line, ' Type="([^"]*)"', 1) = 'MasterRecoveryState' THEN 1 ELSE 0 END AS is_marker
-        |  FROM raw WHERE line LIKE '%<Event %'
-        |), marked AS (
-        |  SELECT event_id, is_marker,
-        |    CAST(COALESCE(SUM(is_marker) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
-        |  FROM ev
-        |)
-        |SELECT chunk_id, MIN(event_id) AS start_event_id,
-        |  MAX(event_id) AS end_event_id, COUNT(*) AS n_events,
-        |  CASE WHEN MAX(is_marker) = 1 THEN 'pre-recovery' ELSE 'final_chunk' END AS chunk_type
-        |FROM marked GROUP BY chunk_id ORDER BY chunk_id""") { (s, _) =>
+    sql("trace_chunks", duckChunksSql) { (s, _) =>
       Chunker.chunkByMarker(xmlEvents(s))
         .select("chunk_id", "start_event_id", "end_event_id", "n_events",
           "chunk_type")
