@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Dev tool: build /tmp/graft_scale/sf1/*.parquet = 10x the sf0.1 tables
+(sf1-equivalent volume) for graft.ScaleRegistrySpec. Keys are shifted per
+replica so FK joins stay consistent (each replica is a self-contained
+shard of the keyspace); dimension tables (nation/region) copy as-is.
+Documents get a distinct per-replica suffix (near-duplicates across
+replicas — the hard dedup path); embeddings replicate exactly (10-way
+duplicate vectors). NOT part of the shipped engine (driver-side python).
+
+Usage: python3 dev/gen_scale_tables.py [K]   (default K=10 replicas)
+"""
+import os, sys
+
+import duckdb
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/graft_scale/sf1"
+os.makedirs(OUT, exist_ok=True)
+
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+
+def gen(table, select):
+    reps = " UNION ALL ".join(
+        f"SELECT {select.format(k=k)} FROM src" for k in range(K))
+    con.execute(f"""
+        CREATE OR REPLACE TEMP VIEW src AS
+        SELECT * FROM read_parquet('{SRC}/{table}.parquet')""")
+    con.execute(f"COPY ({reps}) TO '{OUT}/{table}.parquet' (FORMAT parquet)")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet')"
+    ).fetchone()[0]
+    print(f"{table}: {n} rows")
+
+
+# dimensions: unchanged (broadcast-sized at any sf)
+for t in ("nation", "region"):
+    con.execute(f"""
+        COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
+        TO '{OUT}/{t}.parquet' (FORMAT parquet)""")
+    print(f"{t}: copied")
+
+gen("customer",
+    "c_custkey + {k} * 10000000 AS c_custkey, c_name, c_nationkey, "
+    "c_acctbal, c_mktsegment")
+gen("supplier",
+    "s_suppkey + {k} * 10000000 AS s_suppkey, s_name, s_nationkey, s_acctbal")
+gen("part",
+    "p_partkey + {k} * 10000000 AS p_partkey, p_name, p_brand, p_type, "
+    "p_size, p_retailprice")
+gen("orders",
+    "o_orderkey + {k} * 100000000 AS o_orderkey, "
+    "o_custkey + {k} * 10000000 AS o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderdate, o_orderpriority")
+gen("lineitem",
+    "l_orderkey + {k} * 100000000 AS l_orderkey, "
+    "l_partkey + {k} * 10000000 AS l_partkey, "
+    "l_suppkey + {k} * 10000000 AS l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "l_shipdate")
+gen("events",
+    "event_id + {k} * 10000000 AS event_id, ts, "
+    "user_id + {k} * 1000000 AS user_id, event_type, value, props")
+gen("documents",
+    "doc_id + {k} * 1000000 AS doc_id, text || ' replica{k}' AS text, "
+    "lang, source, n_chars + 9 AS n_chars")
+# Rotating each replica's vector by k dims preserves within-replica dot
+# products exactly (same near-dup structure per shard) while cross-replica
+# cosine collapses toward 0 (sampled max 0.36 < the 0.45 threshold) — so
+# true near-dup output grows ~K, not ~K^2, matching how real corpora grow.
+gen("embeddings",
+    "vec_id + {k} * 1000000 AS vec_id, "
+    "CASE WHEN {k} = 0 THEN embedding ELSE "
+    "list_concat(embedding[{k}+1:], embedding[1:{k}]) END AS embedding, "
+    "label")
+print("done:", OUT)

@@ -101,6 +101,56 @@ class ScanOpsSpec extends SparkSpec {
     assert(rows(got, "id", "p") === rows(expected, "id", "p"))
   }
 
+  test("property: boundary carry == single window at adversarial partition counts") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import spark.implicits._
+
+    // Random inputs with HEAVY duplicate ordering keys (key ∈ [0,8), so
+    // repartitionByRange must split tie runs across partition boundaries)
+    // and a unique tiebreaker id; v is ~40% null so prevNonNull's carry is
+    // exercised, including all-null partitions at high partition counts.
+    val genRows: Gen[List[(Long, Int, Option[Long])]] = for {
+      n <- Gen.choose(1, 180)
+      keys <- Gen.listOfN(n, Gen.choose(0, 7))
+      vs <- Gen.listOfN(n, Gen.frequency(
+        2 -> Gen.const(Option.empty[Long]),
+        3 -> Gen.choose(0L, 50L).map(Option(_))))
+    } yield keys.lazyZip(vs).lazyZip(0 until n).map {
+      case (k, v, i) => (i.toLong, k, v)
+    }.toList
+
+    val order = Seq("key", "id")
+    val prop = Prop.forAll(genRows) { rowsIn =>
+      val base = rowsIn.toDF("id", "key", "v").repartition(5)
+      val w = Window.orderBy("key", "id")
+      val expected = base
+        .withColumn("rs", coalesce(sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("lg", lag(col("v"), 3).over(w))
+      val want = rows(expected, "id", "rs", "rn", "pv", "lg")
+      Seq(1, 2, 7, 64).forall { np =>
+        // one chained plan per partition count; explicit numPartitions pins
+        // the distributed path (the np=1 degenerate case included)
+        var d = ScanOps.runningSum(base, order, col("v"), "rs",
+          inclusive = false, numPartitions = np)
+        d = ScanOps.rowNumber(d, order, "rn", numPartitions = np)
+        d = ScanOps.prevNonNull(d, order, Seq("v" -> "pv"), numPartitions = np)
+        d = ScanOps.lagK(d, order, "v", "lg", k = 3, numPartitions = np)
+        val got = rows(d, "id", "rs", "rn", "pv", "lg")
+        val ok = got == want
+        if (!ok) info(s"MISMATCH at numPartitions=$np for n=${rowsIn.size}:" +
+          s"\n got ${got.take(10)}\nwant ${want.take(10)}")
+        ok
+      }
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"ScanOps property falsified: ${res.status}")
+  }
+
   test("plan stays distributed: no whole-input single-partition window") {
     val got = ScanOps.runningSum(df, Seq("key", "id"), col("mark"), "rs",
       numPartitions = 8)

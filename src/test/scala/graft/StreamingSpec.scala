@@ -113,6 +113,122 @@ class StreamingSpec extends SparkSpec {
     assert(flagged(0).zscore > 3.0)
   }
 
+  // ---- out-of-order / late-data semantics ---------------------------------
+  // The ordered-input tests above prove streaming == batch; these prove the
+  // watermark CONTRACT — out-of-order rows inside the lateness bound still
+  // count, rows beyond it are dropped, and finalized windows never reopen —
+  // which is what bounds state (and makes continuous ingest feasible) at
+  // 100 TB. Watermark advancement is per-batch: wm = max(event time seen in
+  // prior batches) − delay.
+
+  test("rollup stream: out-of-order within watermark counts, late beyond is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String, Double)]
+    val metrics = input.toDF().toDF("ts", "role", "metric_name", "metric_value")
+    val q = StreamingOps.rollupStream(metrics, 60, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("rollup_late")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: window w0=[00:00,00:01) plus a row that pushes wm to 00:03
+    input.addData(
+      (ts("2025-01-01 00:00:10"), "SS", "Lag", 100.0),
+      (ts("2025-01-01 00:05:00"), "SS", "Lag", 1.0))
+    q.processAllAvailable()
+    // w0 finalized with n=1 (its end 00:01 is behind wm 00:03)
+    val afterB1 = spark.table("rollup_late").collect()
+    assert(afterB1.length === 1 && afterB1(0).getAs[Long]("n") === 1L)
+    // batch 2: one LATE row for the finalized w0 (00:00:30 < wm — must be
+    // dropped, the window must NOT reopen or re-emit), one OUT-OF-ORDER
+    // row at 00:04:10 (behind the max event time seen, but ahead of the
+    // watermark — must be aggregated), one row advancing wm past both
+    input.addData(
+      (ts("2025-01-01 00:00:30"), "SS", "Lag", 999.0), // late: dropped
+      (ts("2025-01-01 00:04:10"), "SS", "Lag", 50.0),  // out-of-order: kept
+      (ts("2025-01-01 00:09:00"), "SS", "Lag", 2.0))   // wm → 00:07
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("rollup_late").collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString.take(19) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("max"))).toMap
+    // w0 appears exactly once, still n=1 — the late 999.0 left no trace
+    assert(out("2025-01-01 00:00:00") === (1L, 100.0))
+    // the out-of-order (but in-watermark) row finalized into w4
+    assert(out("2025-01-01 00:04:00") === (1L, 50.0))
+    assert(out("2025-01-01 00:05:00") === (1L, 1.0))
+  }
+
+  test("session stream: out-of-order rows merge sessions; late rows can't reopen") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Int)]
+    val events = input.toDF().toDF("ts", "proc", "severity")
+    val q = StreamingOps.sessionStream(events, "proc", gapSeconds = 60,
+      watermark = "2 minutes")
+      .writeStream.format("memory").queryName("session_late")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two p1 islands 120s apart — separate sessions if nothing
+    // bridges them; wm stays at 00:00:00 (max 00:02:00 − 2min)
+    input.addData(
+      (ts("2025-01-01 00:00:00"), "p1", 10),
+      (ts("2025-01-01 00:02:00"), "p1", 20))
+    q.processAllAvailable()
+    // batch 2: OUT-OF-ORDER bridge rows (≥ wm) — the two islands must
+    // merge into one session spanning 00:00:00 → 00:03:00
+    input.addData(
+      (ts("2025-01-01 00:00:40"), "p1", 30),
+      (ts("2025-01-01 00:01:20"), "p1", 40))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past the session to finalize it
+    input.addData((ts("2025-01-01 00:10:00"), "p2", 5))
+    q.processAllAvailable()
+    val p1 = spark.table("session_late")
+      .filter(col("proc") === "p1").collect()
+    assert(p1.length === 1, s"bridged islands must finalize as ONE session")
+    assert(p1(0).getAs[Long]("n_events") === 4L)
+    assert(p1(0).getAs[Int]("max_severity") === 40)
+    assert(p1(0).getAs[Timestamp]("start").toString.startsWith("2025-01-01 00:00:00"))
+    // batch 4: a late row inside the finalized session's span (far below
+    // wm = 00:08) — dropped, the emitted session must not duplicate/grow
+    input.addData((ts("2025-01-01 00:01:00"), "p1", 50))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("session_late").filter(col("proc") === "p1").collect()
+    assert(after.length === 1 && after(0).getAs[Long]("n_events") === 4L,
+      "late row reopened or re-emitted a finalized session")
+  }
+
+  test("streaming dedup: late rows drop; expired state re-admits old content") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.dedupStream(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_late")
+      .outputMode(OutputMode.Append).start()
+    def emitted(): Set[Long] =
+      spark.table("dedup_late").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    // batch 1: one doc + a horizon row; wm → 00:10:00
+    input.addData(
+      (ts("2025-01-01 00:00:01"), 1L, "alpha beta"),
+      (ts("2025-01-01 00:20:00"), 2L, "horizon"))
+    q.processAllAvailable()
+    assert(emitted() === Set(1L, 2L))
+    // batch 2: a UNIQUE doc that is late beyond the watermark — dropped
+    // entirely (the late-row filter, not the dedup state, rejects it)
+    input.addData((ts("2025-01-01 00:00:05"), 3L, "unique but late"))
+    q.processAllAvailable()
+    assert(emitted() === Set(1L, 2L), "late-beyond-watermark row must drop")
+    // batch 3: push wm past doc 1's state expiry (00:00:01 + 10min)
+    input.addData((ts("2025-01-01 00:40:00"), 4L, "advance"))
+    q.processAllAvailable()
+    // batch 4: doc 1's content re-arrives with a fresh in-watermark ts —
+    // its dedup state has EXPIRED, so it passes: the stream guards the
+    // recent horizon only (bounded state; the batch table is the durable
+    // dedup authority, exactly the §2.9 scale contract)
+    input.addData((ts("2025-01-01 00:41:00"), 5L, "alpha beta"))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted() === Set(1L, 2L, 4L, 5L))
+  }
+
   test("streaming dedup passes first occurrence, drops later duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
