@@ -58,18 +58,22 @@ object Multimodal {
   /** ==== STUB ==== deterministic fake feature extraction: a `dim`-dim
     * pseudo-embedding seeded by the payload's md5. md5-derived — not JVM
     * Random gaussians — so the fake features are reproducible in any
-    * engine (component i = first-4-md5-bytes of "i|md5(payload)" % 1000
-    * on [-1, 1); DuckDB twin: CAST('0x' || substr(md5(...), 1, 8) AS
-    * BIGINT)). Real implementation: model inference over the decoded
-    * tensor, batched per partition. */
+    * engine. All components come from a hex pool stretched from ONE
+    * payload digest (md5(payload) ‖ md5("1|"‖md5) ‖ md5("2|"‖md5) …),
+    * 4 hex chars per component % 1000 on [-1, 1) — ceil(dim/8)+1 digests
+    * total instead of dim+1 per record (the round-3 bench regression).
+    * DuckDB twin: CAST('0x' || substr(pool, i*4+1, 4) AS BIGINT). Real
+    * implementation: model inference over the decoded tensor, batched
+    * per partition. */
   def featureStub(r: MediaRecord, dim: Int = 16): MediaFeature = {
     def md5hex(bytes: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(bytes)
         .map("%02x".format(_)).mkString
     val ph = md5hex(r.payload)
+    val pool = (ph +: Iterator.from(1).map(j => md5hex(s"$j|$ph".getBytes("UTF-8")))
+      .take(((dim * 4 - 32).max(0) + 31) / 32).toSeq).mkString
     val feats = Array.tabulate(dim) { i =>
-      val h = java.lang.Long.parseLong(
-        md5hex(s"$i|$ph".getBytes("UTF-8")).substring(0, 8), 16)
+      val h = java.lang.Long.parseLong(pool.substring(i * 4, i * 4 + 4), 16)
       ((h % 1000) / 500.0 - 1.0).toFloat
     }
     MediaFeature(r.media_id, r.kind, feats)

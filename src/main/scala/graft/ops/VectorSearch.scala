@@ -24,6 +24,19 @@ object VectorSearch {
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Scale-correct signature width: sign-LSH candidate volume is
+    * ~ tables · N² · 2^-bits for unstructured vectors, so FIXED bits is
+    * quadratic in N no matter the constant. Sizing bits ≈ log2(N /
+    * bucketTarget) pins the expected bucket size at `bucketTarget` and the
+    * candidate volume at ~ tables · N · bucketTarget / 2 — linear. The
+    * price is recall ≈ 1-(1-p^bits)^tables with p = 1-θ/π shrinking as N
+    * grows; at dedup thresholds (0.8+, p ≥ 0.79) the decay is gentle and
+    * more tables buy it back. Floor 3 keeps tiny corpora out of
+    * degenerate 1-bucket tables. */
+  def autoBits(n: Long, bucketTarget: Int = 256): Int =
+    math.max(3, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n / bucketTarget.toLong)))
+
   /** Sign-bit bucket id of `vecCol` (array<double>) for one table. */
   def bucketId(vecCol: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
@@ -95,10 +108,16 @@ object VectorSearch {
     * afford bits 8-12 with few tables and tiny buckets; thresholds near
     * 0.5 need coarse bits (2-4) and more tables, and approach all-pairs
     * cost because low-similarity LSH has no free lunch. The all-pairs
-    * form (see emb_neardup_pairs) stays the small-N verification twin. */
+    * form (see emb_neardup_pairs) stays the small-N verification twin.
+    *
+    * `bits = 0` selects the 100 TB mode: the signature width is sized
+    * from the corpus count (autoBits — one cheap count() over ids) so
+    * bucket sizes, and with them the candidate join volume, stay bounded
+    * as the corpus grows instead of quadratic. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bits: Int = 8, tables: Int = 6,
+      dim: Int, threshold: Double, bits: Int = 0, tables: Int = 6,
       seed: Long = 42L): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(corpus.select(idCol).count())
     val withNorm = corpus.withColumn("nrm",
       sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
     // candidate generation and dedup run on bare (id, tbl, bucket) rows —
@@ -106,7 +125,7 @@ object VectorSearch {
     // distinct costs more than the verification itself (measured 15×
     // on the fixture); vectors re-attach afterwards, once per SURVIVING
     // pair side, via two slim joins
-    val bk = explodedBuckets(withNorm, vecCol, dim, bits, tables, seed)
+    val bk = explodedBuckets(withNorm, vecCol, dim, b, tables, seed)
       .select(col(idCol), col("tbl"), col("bucket"))
     val cand = bk.select(col(idCol).as("vec_a"), col("tbl"), col("bucket"))
       .join(bk.select(col(idCol).as("vec_b"), col("tbl"), col("bucket")),

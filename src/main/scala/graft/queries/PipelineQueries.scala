@@ -357,22 +357,25 @@ object PipelineQueries {
     // ---- multimodal feature extraction, full oracle ----------------------
     // The md5-seeded feature stub is re-derived end to end in DuckDB:
     // payload md5 (the payload IS the text's UTF-8 bytes, so md5(text) in
-    // DuckDB = md5 of the payload), per-dimension first-4-md5-bytes
-    // buckets on [-1,1) cast through FLOAT exactly like the Scala stub,
-    // then per-record norms (left-to-right dot product) and an exact
-    // decimal mean per kind. Verifies the distributed feature plumbing's
-    // values, not just its shape.
+    // DuckDB = md5 of the payload) stretched into a 64-hex-char pool
+    // (ph ‖ md5('1|'‖ph)), 4-hex-char slices % 1000 on [-1,1) cast
+    // through FLOAT exactly like the Scala stub, then per-record norms
+    // (left-to-right dot product) and an exact decimal mean per kind.
+    // Verifies the distributed feature plumbing's values, not just its
+    // shape — with 2 digests per record, not 17 (the r3 bench note).
     sql("mm_feature_stats",
       """WITH m AS (
         |  SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
         |    md5(text) AS ph
         |  FROM documents
+        |), p AS (
+        |  SELECT kind, ph || md5('1|' || ph) AS pool FROM m
         |), f AS (
         |  SELECT kind,
         |    list_transform(range(16), i ->
-        |      CAST(CAST(CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || ph), 1, 8) AS BIGINT) % 1000 AS DOUBLE)
+        |      CAST(CAST(CAST(CAST('0x' || substr(pool, CAST(i * 4 + 1 AS INTEGER), 4) AS BIGINT) % 1000 AS DOUBLE)
         |        / 500.0 - 1.0 AS FLOAT) AS DOUBLE)) AS fe
-        |  FROM m
+        |  FROM p
         |), n AS (
         |  SELECT kind, sqrt(list_dot_product(fe, fe)) AS nrm FROM f
         |)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Store
 import QueryDef._
 
 /** Write→read-back oracles for the three file sinks (SURVEY.md §2.1
@@ -84,6 +85,35 @@ object SinkRoundtrip {
         out, "--format", "csv", "--partitions", "2")
       s.read.option("header", "true").schema("severity INT, n BIGINT")
         .csv(out).orderBy("severity")
+    },
+
+    // ---- Store layout: date-partitioned write → pruned read-back --------
+    // The reference keeps DuckDB indexes on ts (tools/database.py:22-24);
+    // the Spark-scale equivalent is the Store's event_date partitioning,
+    // where a date predicate prunes whole directories before any IO. This
+    // query routes the generic events table through Store.writeEvents and
+    // back with a 3-day predicate — and REFUSES to return unless the
+    // predicate actually reached PartitionFilters, so the pruning is
+    // re-proven on every driver run, not just in StoreSpec. The oracle
+    // re-derives the same 3-day aggregate from the flat parquet.
+    sql("ev_store_pruned",
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+        |  COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val store = rtDir(s, "store_pruned")
+      Store.writeEvents(graft.Tables(s, dir, "events"), store)
+      val pruned = Store.readEvents(s, store)
+        .filter(col("event_date").between("2024-01-10", "2024-01-12"))
+        .groupBy(col("event_date").cast("string").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_date", "event_type")
+      require(Store.prunes(pruned),
+        "date predicate must reach PartitionFilters in the store scan")
+      pruned
     },
 
     // ---- S10 chunk sink: chunk command → store/chunks → read back -------
