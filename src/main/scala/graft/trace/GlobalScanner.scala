@@ -80,13 +80,30 @@ object GlobalScanner {
       .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
       .withColumn("duration_seconds",
         unix_timestamp(col("end")) - unix_timestamp(col("start")))
-    episodes.join(events.select(col("ts").as("ets"), col("severity")),
-        col("ets").between(
-          col("start") - expr(s"INTERVAL $severityWindow SECONDS"),
-          col("end") + expr(s"INTERVAL $severityWindow SECONDS")),
-        "left")
-      .groupBy("episode", "start", "end", "duration_seconds")
+    // severity lookup as an EQUI-join on fixed-width time buckets: each
+    // episode explodes to the bucket range its ±window span covers
+    // (sequence()), events carry one bucket, and the exact between()
+    // refine runs only on co-bucketed rows. The plain range join planned
+    // as BroadcastNestedLoopJoin — |episodes| × |events| comparisons,
+    // the same quadratic shape the W9/W10 lookback joins had.
+    val winMicros = severityWindow.toLong * 1000000L
+    val wMicros = math.max(1L, 2L * severityWindow) * 1000000L
+    val epB = episodes
+      .withColumn("bkt", explode(sequence(
+        floor((unix_micros(col("start")) - winMicros) / wMicros),
+        floor((unix_micros(col("end")) + winMicros) / wMicros))))
+    val evB = events
+      .select(col("ts").as("ets"), col("severity"))
+      .withColumn("bkt", floor(unix_micros(col("ets")) / wMicros))
+    val sev = epB.join(evB, Seq("bkt"))
+      .filter(col("ets").between(
+        col("start") - expr(s"INTERVAL $severityWindow SECONDS"),
+        col("end") + expr(s"INTERVAL $severityWindow SECONDS")))
+      .groupBy("episode")
       .agg(max(col("severity")).as("max_severity_nearby"))
+    episodes.join(sev, Seq("episode"), "left")
+      .select(col("episode"), col("start"), col("end"),
+        col("duration_seconds"), col("max_severity_nearby"))
       .orderBy("episode")
   }
 
