@@ -1,34 +1,73 @@
 package graft
 
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Regression net for the scale audit: every registered query must plan
-  * WITHOUT a Cartesian product. The only exceptions are the two
-  * deliberately-all-pairs exact verification twins, which are
-  * input-size-guarded in code (Dedup.jaccardPairs, EmbeddingOps'
-  * emb_neardup_pairs) and exist to anchor the bucketed production paths.
-  * BroadcastNestedLoopJoin is allowed — its broadcast side is a bounded
-  * 1-row stats frame or a small query set by construction everywhere it
-  * appears; CartesianProductExec (both sides partitioned, full product
-  * shuffle) is the plan shape that cannot survive scale.
+  * WITHOUT a Cartesian product, and without a BroadcastNestedLoopJoin
+  * unless its broadcast side is bounded by construction and the bound is
+  * named below. The round-4 scale run proved why the blanket "BNLJ is
+  * fine" assumption had to go: the recovery lookback joins planned as
+  * BNLJ over a GROWING side and measured 26× at 10× volume until they
+  * were re-shaped into time-bucketed equi-joins.
+  *
+  * The product exceptions are the two deliberately-all-pairs exact
+  * verification twins, which are input-size-guarded in code
+  * (Dedup.jaccardPairs, EmbeddingOps' emb_neardup_pairs) and exist to
+  * anchor the bucketed production paths.
   */
 class PlanGuardSpec extends SparkSpec {
 
   private val allowedProducts = Set("emb_neardup_pairs", "doc_neardup_jaccard")
+
+  /** BNLJ allowed ONLY where the broadcast side cannot grow with the
+    * data: each entry names the bound. */
+  private val allowedBnlj: Map[String, String] = Map(
+    // 1-row global stats frame crossJoined onto bucket counts (J4)
+    "ev_zscore_hotspots" -> "broadcast side is a single global-stats row",
+    // fixed literal query set (vec_id < 5) broadcast against the corpus
+    "emb_knn_cosine" -> "broadcast side is the 5-vector query set",
+    // three 1-row aggregate counts crossJoined into one summary row
+    "q14_nation_set_ops" -> "all sides are 1-row aggregates",
+    // AnomalyGate.stats: total-events 1-row agg × anomaly-count 1-row agg
+    "trace_anomaly_gate" -> "both sides are 1-row aggregates",
+    // Detectors.metricAnomalies: window-count agg × flagged-sample agg
+    "trace_metric_anomalies" -> "both sides are 1-row aggregates",
+    // TimelineBuilder: five 1-row first-event aggregates → one row
+    "trace_timeline" -> "all sides are 1-row first-event aggregates",
+    // Rag.retrieve: ONE embedded question broadcast against the chunks
+    "trace_rag_retrieve" -> "broadcast side is the single query embedding"
+  )
 
   // The RCA loop queries execute their bounded driver-side orchestration
   // at DataFrame-construction time (RcaLoopSpec covers them); planning
   // them here would re-run the whole loop for no added plan coverage.
   private val skip = Set("trace_rca_loop", "trace_rca_final")
 
-  test("no registered query plans a Cartesian product") {
-    graft.queries.Registry.all
+  test("no registered query plans a Cartesian product or an unbounded BNLJ") {
+    val bnljSeen = Set.newBuilder[String]
+    val violations = graft.queries.Registry.all
       .filterNot(q => skip(q.name) || allowedProducts(q.name))
-      .foreach { q =>
+      .flatMap { q =>
         val plan = q.run(spark, sf("")).queryExecution.sparkPlan
-        val products = plan.collect { case c: CartesianProductExec => c }
-        assert(products.isEmpty,
-          s"${q.name} plans a CartesianProduct — not scale-safe:\n$plan")
+        val product = plan.collect { case c: CartesianProductExec => c }
+          .headOption.map(_ => s"${q.name}: CartesianProduct")
+        val hasBnlj = plan
+          .collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty
+        if (hasBnlj) bnljSeen += q.name
+        val bnlj =
+          if (hasBnlj && !allowedBnlj.contains(q.name))
+            Some(s"${q.name}: BroadcastNestedLoopJoin")
+          else None
+        product ++ bnlj
       }
+    val stale = allowedBnlj.keySet -- bnljSeen.result()
+    if (stale.nonEmpty)
+      info(s"allowedBnlj entries with no BNLJ in today's plan " +
+        s"(candidates for removal): ${stale.toSeq.sorted.mkString(", ")}")
+    assert(violations.isEmpty,
+      "plans with a product / BNLJ over a side not proven bounded — " +
+        "re-shape as a bucketed equi-join (see RecoveryDetector." +
+        "lookbackJoin) or justify in allowedBnlj:\n" +
+        violations.mkString("\n"))
   }
 }
