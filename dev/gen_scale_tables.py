@@ -7,7 +7,9 @@ Documents get a distinct per-replica suffix (near-duplicates across
 replicas — the hard dedup path); embeddings replicate exactly (10-way
 duplicate vectors). NOT part of the shipped engine (driver-side python).
 
-Usage: python3 dev/gen_scale_tables.py [K]   (default K=10 replicas)
+Usage: python3 dev/gen_scale_tables.py [K] [OUT]
+       (default K=10 replicas -> /tmp/graft_scale/sf1;
+        e.g. 100 /tmp/graft_scale/sf10 for the 100x probe)
 """
 import os, sys
 
@@ -15,7 +17,7 @@ import duckdb
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = "/root/testdata/sf0.1"
-OUT = "/tmp/graft_scale/sf1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_scale/sf1"
 os.makedirs(OUT, exist_ok=True)
 
 con = duckdb.connect()
@@ -43,36 +45,40 @@ for t in ("nation", "region"):
     print(f"{t}: copied")
 
 gen("customer",
-    "c_custkey + {k} * 10000000 AS c_custkey, c_name, c_nationkey, "
+    "c_custkey + {k} * CAST(10000000 AS BIGINT) AS c_custkey, c_name, c_nationkey, "
     "c_acctbal, c_mktsegment")
 gen("supplier",
-    "s_suppkey + {k} * 10000000 AS s_suppkey, s_name, s_nationkey, s_acctbal")
+    "s_suppkey + {k} * CAST(10000000 AS BIGINT) AS s_suppkey, s_name, s_nationkey, s_acctbal")
 gen("part",
-    "p_partkey + {k} * 10000000 AS p_partkey, p_name, p_brand, p_type, "
+    "p_partkey + {k} * CAST(10000000 AS BIGINT) AS p_partkey, p_name, p_brand, p_type, "
     "p_size, p_retailprice")
 gen("orders",
-    "o_orderkey + {k} * 100000000 AS o_orderkey, "
-    "o_custkey + {k} * 10000000 AS o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderkey + {k} * CAST(100000000 AS BIGINT) AS o_orderkey, "
+    "o_custkey + {k} * CAST(10000000 AS BIGINT) AS o_custkey, o_orderstatus, o_totalprice, "
     "o_orderdate, o_orderpriority")
 gen("lineitem",
-    "l_orderkey + {k} * 100000000 AS l_orderkey, "
-    "l_partkey + {k} * 10000000 AS l_partkey, "
-    "l_suppkey + {k} * 10000000 AS l_suppkey, l_linenumber, l_quantity, "
+    "l_orderkey + {k} * CAST(100000000 AS BIGINT) AS l_orderkey, "
+    "l_partkey + {k} * CAST(10000000 AS BIGINT) AS l_partkey, "
+    "l_suppkey + {k} * CAST(10000000 AS BIGINT) AS l_suppkey, l_linenumber, l_quantity, "
     "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
     "l_shipdate")
 gen("events",
-    "event_id + {k} * 10000000 AS event_id, ts, "
-    "user_id + {k} * 1000000 AS user_id, event_type, value, props")
+    "event_id + {k} * CAST(10000000 AS BIGINT) AS event_id, ts, "
+    "user_id + {k} * CAST(1000000 AS BIGINT) AS user_id, event_type, value, props")
 gen("documents",
-    "doc_id + {k} * 1000000 AS doc_id, text || ' replica{k}' AS text, "
+    "doc_id + {k} * CAST(1000000 AS BIGINT) AS doc_id, text || ' replica{k}' AS text, "
     "lang, source, n_chars + 9 AS n_chars")
 # Rotating each replica's vector by k dims preserves within-replica dot
 # products exactly (same near-dup structure per shard) while cross-replica
 # cosine collapses toward 0 (sampled max 0.36 < the 0.45 threshold) — so
 # true near-dup output grows ~K, not ~K^2, matching how real corpora grow.
+# Rotation wraps at the 64-dim width, so replicas k >= 64 additionally
+# negate (cosine -1 against their rotation twin — still not a near-dup).
+rot = ("CASE WHEN {k} % 64 = 0 THEN embedding ELSE "
+       "list_concat(embedding[{k} % 64 + 1:], embedding[1:{k} % 64]) END")
 gen("embeddings",
-    "vec_id + {k} * 1000000 AS vec_id, "
-    "CASE WHEN {k} = 0 THEN embedding ELSE "
-    "list_concat(embedding[{k}+1:], embedding[1:{k}]) END AS embedding, "
+    "vec_id + {k} * CAST(1000000 AS BIGINT) AS vec_id, "
+    f"CASE WHEN {{k}} < 64 THEN {rot} "
+    f"ELSE list_transform({rot}, x -> -x) END AS embedding, "
     "label")
 print("done:", OUT)

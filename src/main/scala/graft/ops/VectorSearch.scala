@@ -66,19 +66,23 @@ object VectorSearch {
       .drop("tb" +: (0 until tables).map(t => s"bucket_t$t"): _*)
 
   /** ANN top-k: candidates = same bucket in any table, re-ranked by exact
-    * cosine. Recall grows with `tables`, cost shrinks with `bits`. */
+    * cosine. Recall grows with `tables`, cost shrinks with `bits`.
+    * `bits = 0` sizes the signature from the corpus count (autoBits) so
+    * per-query candidate volume stays ~ tables × bucketTarget as the
+    * corpus grows instead of ~ tables × N / 2^bits. */
   def annCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 10, bits: Int = 10,
       tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(corpus.select(idCol).count())
     // norms BEFORE the bucket explode — once per vector, not once per table
     val c = explodedBuckets(
       corpus.withColumn("nrm",
         sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol)))),
-      vecCol, dim, bits, tables, seed)
+      vecCol, dim, b, tables, seed)
     val q = explodedBuckets(
       queries.withColumn("qnrm",
         sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol)))),
-      vecCol, dim, bits, tables, seed)
+      vecCol, dim, b, tables, seed)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         col("qnrm"), col("tbl"), col("bucket"))
     val candidates = c
