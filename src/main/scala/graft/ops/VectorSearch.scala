@@ -72,8 +72,9 @@ object VectorSearch {
     * corpus grows instead of ~ tables × N / 2^bits. */
   def annCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 10, bits: Int = 10,
-      tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val b = if (bits > 0) bits else autoBits(corpus.select(idCol).count())
+      tables: Int = 4, seed: Long = 42L, bucketTarget: Int = 256): DataFrame = {
+    val b = if (bits > 0) bits
+      else autoBits(corpus.select(idCol).count(), bucketTarget)
     // norms BEFORE the bucket explode — once per vector, not once per table
     val c = explodedBuckets(
       corpus.withColumn("nrm",
@@ -150,15 +151,34 @@ object VectorSearch {
 
   // ---- IVF (inverted-file) variant ---------------------------------------
 
+  /** Scale-correct cell count: candidates re-ranked per query are
+    * ~ nprobe·N/nCells, so FIXED cells leave a constant fraction of the
+    * corpus in every probe; cells ≈ √N pins both the cell size and the
+    * per-query candidate volume at ~√N. Clamped so tiny corpora keep
+    * meaningful cells and the broadcast centroid array stays bounded
+    * (4096 × dim doubles ≈ 2 MB at dim 64). */
+  def autoCells(n: Long): Int =
+    math.min(4096L, math.max(16L, math.ceil(math.sqrt(
+      math.max(1L, n).toDouble)).toLong)).toInt
+
   /** Deterministic k-means coarse quantizer: seeds are the k corpus
     * vectors with the smallest md5(id) (a reproducible "random" sample —
     * md5, not xxhash64, so the seed order is re-derivable in any engine:
     * ORDER BY md5(CAST(id AS VARCHAR))), refined by `iters` Lloyd steps.
     * Centroids are collected to the driver each step — k×dim doubles,
-    * intentionally tiny — and broadcast back for assignment. */
+    * intentionally tiny — and broadcast back for assignment.
+    * `trainCap > 0` runs the Lloyd refinement over only the trainCap
+    * smallest-md5 corpus vectors (the same reproducible sample as the
+    * seeds): training cost becomes cap×k per step instead of N×k, the
+    * standard IVF trade — the one full N×k pass left is the final
+    * assignment every vector needs anyway. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 2): Array[(Int, Array[Double])] = {
+      k: Int = 16, iters: Int = 2, trainCap: Int = 0): Array[(Int, Array[Double])] = {
     import org.apache.spark.sql.Row
+    val train =
+      if (trainCap > 0)
+        corpus.orderBy(md5(col(idCol).cast("string"))).limit(trainCap)
+      else corpus
     var centroids: Array[(Int, Array[Double])] = corpus
       .orderBy(md5(col(idCol).cast("string")))
       .limit(k)
@@ -168,7 +188,7 @@ object VectorSearch {
         i -> r.getSeq[Double](0).toArray
       }
     (1 to iters).foreach { _ =>
-      val assigned = assign(corpus, vecCol, centroids)
+      val assigned = assign(train, vecCol, centroids)
       val next = assigned
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         // exact decimal mean — shuffle-merge-order independent, so
@@ -193,45 +213,73 @@ object VectorSearch {
   }
 
   /** Nearest-centroid assignment via a broadcast literal centroid array —
-    * no shuffle of the corpus. */
+    * no shuffle of the corpus. Past 32 cells the literal fold's
+    * (cells × dim)-node expression tree breaks codegen, so the matrix
+    * moves into the native NearestCells expression (one referenced
+    * double[][], tight loop); ties resolve to the lowest array position
+    * in both forms, and kmeansCentroids emits centroids cid-ascending. */
   private def assign(df: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val scored = centroids.map { case (cid, c) =>
-      struct(lit(cid).as("cid"),
-        GraftFunctions.dotProduct(col(vecCol),
-          array(c.map(lit(_)): _*)).as("d"))
+    if (centroids.length > 32) {
+      GraftFunctions.register(df.sparkSession)
+      val cidOf = array(centroids.map(c => lit(c._1)): _*)
+      df.withColumn("cid", element_at(cidOf,
+        GraftFunctions.nearestCells(col(vecCol),
+          centroids.map(_._2), 1).getItem(0) + 1))
+    } else {
+      val scored = centroids.map { case (cid, c) =>
+        struct(lit(cid).as("cid"),
+          GraftFunctions.dotProduct(col(vecCol),
+            array(c.map(lit(_)): _*)).as("d"))
+      }
+      // pick the centroid with max dot product (cosine order for
+      // near-unit-norm centroids)
+      df.withColumn("best",
+          aggregate(array(scored: _*),
+            struct(lit(-1).as("cid"), lit(Double.MinValue).as("d")),
+            (acc, s) => when(s.getField("d") > acc.getField("d"), s)
+              .otherwise(acc)))
+        .withColumn("cid", col("best.cid"))
+        .drop("best")
     }
-    // pick the centroid with max dot product (cosine order for
-    // near-unit-norm centroids)
-    df.withColumn("best",
-        aggregate(array(scored: _*),
-          struct(lit(-1).as("cid"), lit(Double.MinValue).as("d")),
-          (acc, s) => when(s.getField("d") > acc.getField("d"), s)
-            .otherwise(acc)))
-      .withColumn("cid", col("best.cid"))
-      .drop("best")
   }
 
   /** IVF ANN: assign corpus once, probe the `nprobe` nearest cells per
     * query, exact-rerank only those cells' members. Candidate volume ≈
-    * nprobe/k of the corpus instead of all of it. */
+    * nprobe/k of the corpus instead of all of it.
+    * `nCells = 0` selects the 100 TB mode: cells ≈ √N (autoCells) with
+    * Lloyd refinement over a bounded md5-ordered sample, so per-query
+    * candidates AND training cost stay ~√N as the corpus grows. */
   def ivfCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nCells: Int = 16, nprobe: Int = 3,
       iters: Int = 2): DataFrame = {
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val (cells, cap) =
+      if (nCells > 0) (nCells, 0)
+      else (autoCells(corpus.select(idCol).count()), 50000)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, cells, iters, cap)
     val indexed = assign(corpus, vecCol, centroids)
       .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
     // per query: nprobe nearest centroids
-    val probeScores = centroids.map { case (cid, c) =>
-      struct((GraftFunctions.dotProduct(col(vecCol),
-        array(c.map(lit(_)): _*)) * -1).as("negd"), lit(cid).as("cid"))
-    }
+    // per-query probe list: same 32-cell switch as assign() — the sorted
+    // literal-struct array and NearestCells order identically (dot desc,
+    // ties to the lowest cid)
+    val probeCol =
+      if (centroids.length > 32) {
+        val cidOf = array(centroids.map(c => lit(c._1)): _*)
+        transform(GraftFunctions.nearestCells(col(vecCol),
+          centroids.map(_._2), nprobe), i => element_at(cidOf, i + 1))
+      } else {
+        val probeScores = centroids.map { case (cid, c) =>
+          struct((GraftFunctions.dotProduct(col(vecCol),
+            array(c.map(lit(_)): _*)) * -1).as("negd"), lit(cid).as("cid"))
+        }
+        transform(slice(array_sort(array(probeScores: _*)), 1, nprobe),
+          s => s.getField("cid"))
+      }
     val probed = queries
       .withColumn("qnrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
-      .withColumn("probe",
-        slice(array_sort(array(probeScores: _*)), 1, nprobe))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        col("qnrm"), explode(expr("transform(probe, s -> s.cid)")).as("cid"))
+        col("qnrm"), explode(probeCol).as("cid"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     indexed.join(probed, Seq("cid"))

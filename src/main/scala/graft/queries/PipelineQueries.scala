@@ -336,6 +336,85 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF ANN, 100 TB regime: cells ≈ √N + native NearestCells --------
+    // The auto mode (nCells = 0) is the scale path: cell count grows as
+    // √corpus so per-query candidate volume stays ~√N, and past 32 cells
+    // the assignment/probing switches from the folded-literal expression
+    // to the native NearestCells codegen loop. The oracle derives the
+    // SAME cell count from COUNT(*) (LEAST(4096, GREATEST(16,
+    // ceil(sqrt(N))))), so at sf0.1 (2000 vectors → 45 cells) the DRIVER
+    // hash-verifies the native expression path, while sf0.001/0.01
+    // (500 → 23 cells) verify the literal path — both against the full
+    // Lloyd re-derivation in DuckDB.
+    sql("emb_ann_ivf_auto", {
+      val (nprobe, k) = (4, 10)
+      def assignSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), prm AS (
+        |  SELECT LEAST(4096, GREATEST(16,
+        |    CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS cells
+        |  FROM v
+        |), c0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < (SELECT cells FROM prm)
+        |), a0 AS (${assignSql("v", "c0")}),
+        |c1 AS (${lloydSql("a0")}),
+        |a1 AS (${assignSql("v", "c1")}),
+        |c2 AS (${lloydSql("a1")}),
+        |idx AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, cid
+        |  FROM (${assignSql("v", "c2")})
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe,
+        |    sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, qe, qnrm, cid FROM (
+        |    SELECT q.query_id, q.qe, q.qnrm, c2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qe, c2.c) DESC, c2.cid) AS rk
+        |    FROM q CROSS JOIN c2) WHERE rk <= $nprobe
+        |), scored AS (
+        |  SELECT p.query_id, i.vec_id AS neighbor_id,
+        |    list_dot_product(p.qe, i.e) / (p.qnrm * i.nrm) AS cosine
+        |  FROM probe p JOIN idx i USING (cid)
+        |  WHERE i.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.ivfCosine(v, v.filter(col("vec_id") < 5), "vec_id", "e",
+        k = 10, nCells = 0, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- multimodal metadata (stubbed decode), full oracle on plumbing ---
     sql("mm_media_meta",
       """SELECT kind, COUNT(*) AS n_media,
