@@ -415,6 +415,67 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- LSH ANN, 100 TB regime: corpus-sized signature width ------------
+    // bits = 0 is the linear scale path: signature width derives from the
+    // corpus count (autoBits — expected bucket size pinned at bucketTarget,
+    // candidate volume ~ tables · N · bucketTarget instead of quadratic).
+    // The oracle re-derives the SAME width from COUNT(*)
+    // (GREATEST(3, length(bin(N // target))) = 64 - numberOfLeadingZeros)
+    // and buckets with the first `b` of 8 embedded hyperplane rows — the
+    // prefix is exact because hyperplanes() fills rows sequentially from
+    // one seeded RNG. sf0.1 (2000 vecs → 5 bits) and sf0.001/0.01
+    // (500 → floor 3) hash-verify two different derived widths.
+    sql("emb_ann_lsh_auto", {
+      val (tables, maxBits, dim, seed, k, target) = (8, 8, 64, 42L, 10, 64)
+      def bucketExpr(t: Int): String =
+        VectorSearch.hyperplanes(dim, maxBits, seed + t).zipWithIndex
+          .map { case (p, i) =>
+            val arr = p.map(_.toString).mkString("[", ",", "]")
+            s"(CASE WHEN $i < prm.b AND list_dot_product(e, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+      val bucketCase = "CASE t.tbl " + (0 until tables)
+        .map(t => s"WHEN $t THEN ${bucketExpr(t)}").mkString(" ") + " END"
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), prm AS (
+        |  SELECT GREATEST(3, CASE WHEN x = 0 THEN 0 ELSE length(bin(x)) END) AS b
+        |  FROM (SELECT CAST(COUNT(*) // $target AS BIGINT) AS x FROM v)
+        |), vn AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        |), bk AS (
+        |  SELECT vec_id, CAST($bucketCase AS BIGINT) AS bucket, t.tbl
+        |  FROM vn, (SELECT unnest(range($tables)) AS tbl) t, prm
+        |), q AS (SELECT * FROM bk WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM bk c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+        |    AND c.vec_id <> q.vec_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS cosine
+        |  FROM cand JOIN vn qv ON qv.vec_id = cand.query_id
+        |            JOIN vn cv ON cv.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.annCosine(v, v.filter(col("vec_id") < 5), "vec_id", "e",
+        dim = 64, k = 10, bits = 0, tables = 8, bucketTarget = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- multimodal metadata (stubbed decode), full oracle on plumbing ---
     sql("mm_media_meta",
       """SELECT kind, COUNT(*) AS n_media,
