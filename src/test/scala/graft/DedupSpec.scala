@@ -142,6 +142,14 @@ class DedupSpec extends SparkSpec {
         "SELECT graft_ewma(x, 0.5) OVER (ORDER BY i) AS e FROM VALUES (1, 2.0), (2, 4.0) AS t(i, x)")
         .collect().map(_.getDouble(0)).toSeq
       assert(e === Seq(2.0, 3.0))
+      // graft_nearest_cells resolves through the injected registry too —
+      // via the Column helper, which ships the centroid matrix as one
+      // folded typedlit Literal (the builder rejects unfolded trees)
+      val cells = Seq(Tuple1(Seq(0.9, 0.1))).toDF("v")
+        .select(graft.functions.GraftFunctions.nearestCells(col("v"),
+          Array(Array(0.0, 1.0), Array(1.0, 0.0)), 2).as("c"))
+        .first().getSeq[Int](0)
+      assert(cells === Seq(1, 0))
     } finally {
       // restore the shared suite session (do NOT stop the context)
       SparkSession.setDefaultSession(spark)
