@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_md5_seeds"), graft.functions.TextFunctions.md5SeedsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash"), graft.functions.MinHashAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_hll"),
+      info("graft_hll"), graft.functions.HllAgg.builder))
   }
 }

@@ -69,6 +69,64 @@ object EventAnalytics {
         .orderBy(col("n_events").desc, col("event_type"))
     },
 
+    // ---- parity-plus: HLL approximate distinct (mergeable sketch) --------
+    // The 100 TB twin of ev_stats_by_type's exact COUNT(DISTINCT): a
+    // native TypedImperativeAggregate with a fixed 256-byte buffer and
+    // map-side partial merge (functions/HllAgg.scala) — the shuffle
+    // carries groups × 256 bytes instead of every distinct key. The
+    // oracle re-derives the IDENTICAL md5-seeded registers, the exact
+    // HUGEINT register sum, and both estimate branches in DuckDB SQL;
+    // n_exact rides along so the record shows the approximation error.
+    sql("ev_hll_users",
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL
+        |), b AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(u), 1, 2) AS INTEGER) AS bucket,
+        |    ltrim(substr(md5(u), 3, 14), '0') AS t
+        |  FROM du
+        |), regs AS (
+        |  SELECT event_type, bucket, MAX(
+        |    CASE WHEN t = '' THEN 57
+        |         ELSE 4 * (14 - len(t)) +
+        |           CASE WHEN substr(t,1,1) = '1' THEN 4
+        |                WHEN substr(t,1,1) IN ('2','3') THEN 3
+        |                WHEN substr(t,1,1) IN ('4','5','6','7') THEN 2
+        |                ELSE 1 END
+        |    END) AS rho
+        |  FROM b GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type, COUNT(*) AS nb,
+        |    SUM(CAST(1 AS BIGINT) << (57 - rho)) AS sp
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT event_type, CAST(256 - nb AS INTEGER) AS zeros,
+        |    0.7213/(1.0 + 1.079/256.0) * 65536.0 * 144115188075855872.0
+        |      / CAST(sp + (256 - nb) * CAST(144115188075855872 AS HUGEINT)
+        |             AS DOUBLE) AS raw
+        |  FROM agg
+        |)
+        |SELECT e.event_type, x.n_exact, e.zeros AS hll_zeros,
+        |  printf('%.6e',
+        |    CASE WHEN e.raw <= 640.0 AND e.zeros > 0
+        |         THEN 256.0 * ln(256.0 / e.zeros) ELSE e.raw END) AS hll_est
+        |FROM est e
+        |JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
+        |  USING (event_type)
+        |ORDER BY e.event_type""") { (s, dir) =>
+      graft.functions.HllAgg.register(s)
+      ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          graft.functions.HllAgg.hll(col("user_id").cast("string")).as("h"))
+        .select(col("event_type"), col("n_exact"),
+          col("h.zeros").as("hll_zeros"),
+          format_string("%.6e", col("h.est")).as("hll_est"))
+        .orderBy("event_type")
+    },
+
     // ---- A3/A4: time span ------------------------------------------------
     sql("ev_time_span",
       """SELECT COUNT(*) AS n_events,

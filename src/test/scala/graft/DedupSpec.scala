@@ -150,6 +150,12 @@ class DedupSpec extends SparkSpec {
           Array(Array(0.0, 1.0), Array(1.0, 0.0)), 2).as("c"))
         .first().getSeq[Int](0)
       assert(cells === Seq(1, 0))
+      // graft_hll injects as an aggregate through the same path
+      val hll = s2.sql(
+        """SELECT graft_hll(CAST(i AS STRING)).est AS est
+          |FROM VALUES (1), (2), (3) AS t(i)""".stripMargin)
+        .first().getDouble(0)
+      assert(hll > 1.0 && hll < 6.0)
     } finally {
       // restore the shared suite session (do NOT stop the context)
       SparkSession.setDefaultSession(spark)
