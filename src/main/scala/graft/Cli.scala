@@ -104,14 +104,24 @@ object Cli {
         (if (files.length > 5) ", ..." else ""))
       TraceEvents.loadAll(ctx.spark, files, stableIds = stable)
     } else TraceEvents.load(ctx.spark, path, stableIds = stable)).cache()
+    // the events write materializes the cache; the five derived tables
+    // then all read cached events and write to independent directories —
+    // submit them as concurrent jobs (same win on a cluster: independent
+    // write stages overlap instead of serializing on the driver)
     ctx.write(events, "events")
     val metrics = DerivedTables.eventMetrics(events)
-    ctx.write(metrics, "event_metrics")
-    ctx.write(DerivedTables.eventsWide(events), "events_wide")
-    ctx.write(DerivedTables.processes(events), "processes")
-    ctx.write(DerivedTables.processRoles(events), "process_roles")
-    ctx.write(DerivedTables.metricBaselines(metrics, minCount = 5),
-      "metric_baselines")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq[(String, () => DataFrame)](
+      "event_metrics" -> (() => metrics),
+      "events_wide" -> (() => DerivedTables.eventsWide(events)),
+      "processes" -> (() => DerivedTables.processes(events)),
+      "process_roles" -> (() => DerivedTables.processRoles(events)),
+      "metric_baselines" ->
+        (() => DerivedTables.metricBaselines(metrics, minCount = 5))
+    ).map { case (t, df) => Future(ctx.write(df(), t)) }
+    writes.foreach(Await.result(_, Duration.Inf))
     println(s"loaded ${events.count()} events from $path into ${ctx.store}")
   }
 
@@ -174,12 +184,17 @@ object Cli {
 
   private def chunk(ctx: Ctx, args: Seq[String]): Unit = {
     val marker = opt(args, "--marker").getOrElse("MasterRecoveryState")
-    val chunks = Chunker.chunkByMarker(ctx.read("events"), marker)
-    ctx.write(chunks, "chunks")
-    ctx.write(Chunker.splitChunks(chunks), "chunk_pieces")
-    println(s"wrote ${chunks.count()} chunks")
-    chunks.select("chunk_id", "start_event_id", "end_event_id", "n_events",
-      "chunk_type").show()
+    // cache: the chunk frame (carried-state scan + collect_list groupBy)
+    // is read by BOTH sinks plus the count/report — without it the whole
+    // chunker recomputes four times
+    val chunks = Chunker.chunkByMarker(ctx.read("events"), marker).cache()
+    try {
+      ctx.write(chunks, "chunks")
+      ctx.write(Chunker.splitChunks(chunks), "chunk_pieces")
+      println(s"wrote ${chunks.count()} chunks")
+      chunks.select("chunk_id", "start_event_id", "end_event_id", "n_events",
+        "chunk_type").show()
+    } finally chunks.unpersist(false)
   }
 
   /** Forced-recovery chunking (forced_recovery/chunk_logs.py:26-69):

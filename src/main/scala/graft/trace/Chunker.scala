@@ -133,15 +133,27 @@ object Chunker {
     * a per-parent piece index, and the reference's GLOBAL chunk_index over
     * the full split output (chunker.py:46-56). */
   def splitChunks(chunks: DataFrame, chunkSize: Int = 500,
-      overlap: Int = 100): DataFrame =
-    ScanOps.rowNumber(
-      chunks
-        .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
-          col("chunk_type"),
-          posexplode(splitUdf(col("chunk_content"), lit(chunkSize),
-            lit(overlap))).as(Seq("piece_index", "content")))
-        .withColumn("chunk_uid",
-          concat(col("chunk_id"), lit("-"), col("piece_index"))),
-      Seq("chunk_id", "piece_index"), "chunk_index")
-      .withColumn("chunk_index", col("chunk_index") - 1)
+      overlap: Int = 100): DataFrame = {
+    // chunk_index is the global 0-based piece number ordered by
+    // (chunk_id, piece_index). A row_number over the EXPLODED frame would
+    // range-shuffle every piece; instead derive it arithmetically — an
+    // exclusive prefix sum of per-chunk piece counts (one tiny row per
+    // chunk) broadcast back onto the pieces, which then never shuffle.
+    val pieces = chunks
+      .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
+        col("chunk_type"),
+        posexplode(splitUdf(col("chunk_content"), lit(chunkSize),
+          lit(overlap))).as(Seq("piece_index", "content")))
+      .withColumn("chunk_uid",
+        concat(col("chunk_id"), lit("-"), col("piece_index")))
+    val offsets = ScanOps.runningSum(
+      chunks.select(col("chunk_id"),
+        size(splitUdf(col("chunk_content"), lit(chunkSize), lit(overlap)))
+          .as("n_pieces")),
+      Seq("chunk_id"), col("n_pieces"), "piece_offset")
+      .select(col("chunk_id"), col("piece_offset"))
+    pieces.join(broadcast(offsets), Seq("chunk_id"))
+      .withColumn("chunk_index", col("piece_offset") + col("piece_index"))
+      .drop("piece_offset")
+  }
 }
