@@ -67,7 +67,10 @@ gen("events",
     "user_id + {k} * CAST(1000000 AS BIGINT) AS user_id, event_type, value, props")
 gen("documents",
     "doc_id + {k} * CAST(1000000 AS BIGINT) AS doc_id, text || ' replica{k}' AS text, "
-    "lang, source, n_chars + 9 AS n_chars")
+    # suffix length varies with the digits of k (9 chars for k<=9, 10 for
+    # k in 10..99, ...) — compute it from the literal so n_chars stays
+    # equal to length(text) on every replica
+    "lang, source, n_chars + length(' replica{k}') AS n_chars")
 # Rotating each replica's vector by k dims preserves within-replica dot
 # products exactly (same near-dup structure per shard) while cross-replica
 # cosine collapses toward 0 (sampled max 0.36 < the 0.45 threshold) — so

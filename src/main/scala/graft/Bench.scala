@@ -46,17 +46,43 @@ object Bench {
     // read the previous bench_results.json total before overwriting it
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results.json")
-    val prevTotal: Option[Double] =
-      try {
-        val prev = java.nio.file.Files.readString(java.nio.file.Paths.get(outFile))
-        """"metric":"total","value":([0-9.eE+-]+)""".r
-          .findFirstMatchIn(prev).map(_.group(1).toDouble)
-      } catch { case _: Exception => None }
+    val prevText: Option[String] =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(outFile)))
+      catch { case _: Exception => None }
+    val prevTotal: Option[Double] = prevText.flatMap { prev =>
+      """"metric":"total","value":([0-9.eE+-]+)""".r
+        .findFirstMatchIn(prev).map(_.group(1).toDouble)
+    }
+    // per-query prior-round map: regression detection needs per-QUERY
+    // ratios, not just the total (a uniform environment drift and a single
+    // 5× regression can produce the same total)
+    val prevQueries: Map[String, Double] = prevText.flatMap { prev =>
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(prev).map(_.group(1))
+    }.map { body =>
+      """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val ratios = results.flatMap { case (n, v) =>
+      prevQueries.get(n).filter(_ > 0).map(p => n -> v / p) }
+    val ratiosJson =
+      if (ratios.isEmpty) ""
+      else {
+        val r = ratios.map { case (n, x) =>
+          "\"" + n + "\":" + f"$x%.3f" }.mkString("{", ",", "}")
+        // >1.5× entries are the ones a round reviewer must attribute; new
+        // queries (no prior entry) are listed separately so a rename can't
+        // silently hide a regression
+        val flagged = ratios.filter(_._2 > 1.5).sortBy(-_._2)
+          .map { case (n, x) => "\"" + n + "\"" }.mkString("[", ",", "]")
+        val newQ = results.map(_._1).filterNot(prevQueries.contains)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","vs_prev":$r,"flagged_over_1_5x":$flagged,"new_queries":$newQ"""
+      }
     val prevJson = prevTotal.map { p =>
       s""","prev_total":$p,"ratio_vs_prev":${total / p}"""
     }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$prevJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"$prevJson$ratiosJson}"""
     println(json)
     // also persist the full line: the driver's stdout tail-capture has
     // truncated the head of the per-query map in past rounds — the file

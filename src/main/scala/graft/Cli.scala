@@ -110,18 +110,33 @@ object Cli {
     // write stages overlap instead of serializing on the driver)
     ctx.write(events, "events")
     val metrics = DerivedTables.eventMetrics(events)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val writes = Seq[(String, () => DataFrame)](
-      "event_metrics" -> (() => metrics),
-      "events_wide" -> (() => DerivedTables.eventsWide(events)),
-      "processes" -> (() => DerivedTables.processes(events)),
-      "process_roles" -> (() => DerivedTables.processRoles(events)),
-      "metric_baselines" ->
-        (() => DerivedTables.metricBaselines(metrics, minCount = 5))
-    ).map { case (t, df) => Future(ctx.write(df(), t)) }
-    writes.foreach(Await.result(_, Duration.Inf))
+    import scala.util.{Failure, Try}
+    // dedicated bounded pool (not the global EC shared with library
+    // callers); every write's outcome is collected so a multi-failure
+    // load reports ALL failed tables, not just the first awaited one
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val writes = Seq[(String, () => DataFrame)](
+        "event_metrics" -> (() => metrics),
+        "events_wide" -> (() => DerivedTables.eventsWide(events)),
+        "processes" -> (() => DerivedTables.processes(events)),
+        "process_roles" -> (() => DerivedTables.processRoles(events)),
+        "metric_baselines" ->
+          (() => DerivedTables.metricBaselines(metrics, minCount = 5))
+      ).map { case (t, df) => Future(t -> Try(ctx.write(df(), t))) }
+      val outcomes = Await.result(Future.sequence(writes), Duration.Inf)
+      val failed = outcomes.collect { case (t, Failure(e)) => t -> e }
+      if (failed.nonEmpty) {
+        failed.foreach { case (t, e) =>
+          System.err.println(s"[load] write of $t failed: ${e.getMessage}") }
+        throw new RuntimeException(
+          s"derived-table writes failed: ${failed.map(_._1).mkString(", ")}",
+          failed.head._2)
+      }
+    } finally pool.shutdown()
     println(s"loaded ${events.count()} events from $path into ${ctx.store}")
   }
 

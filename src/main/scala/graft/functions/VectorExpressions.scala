@@ -92,11 +92,20 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       s"nearest_cells expects ARRAY<DOUBLE>, got ${t.sql}")
   }
 
-  /** cells × nprobe selection shared by eval and codegen. */
+  /** cells × nprobe selection shared by eval and codegen.
+    *
+    * NaN dot products (NaN vector component, or ±Inf×0) are demoted to
+    * -Infinity so degenerate inputs degrade deterministically: the output
+    * is always `np` valid cell ids (all-NaN input yields cells 0..np-1,
+    * the tie-break-by-lowest-cid answer for an all-equal score vector) —
+    * never a -1 sentinel that downstream element_at would trip over. The
+    * literal-fold path in VectorSearch.assign applies the same nanvl
+    * demotion so both physical forms agree on degenerate input. */
   def nearest(v: ArrayData): Array[Int] = {
     val np = math.min(nprobe, centroids.length)
-    val bestD = Array.fill(np)(java.lang.Double.NEGATIVE_INFINITY)
-    val bestC = Array.fill(np)(-1)
+    val bestD = new Array[Double](np)
+    val bestC = new Array[Int](np)
+    var filled = 0
     var c = 0
     while (c < centroids.length) {
       val row = centroids(c)
@@ -104,13 +113,16 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       var d = 0.0
       var i = 0
       while (i < n) { d += row(i) * v.getDouble(i); i += 1 }
-      // strictly-greater insertion: equal d keeps the earlier (lower) cid
-      var j = np
+      if (java.lang.Double.isNaN(d)) d = java.lang.Double.NEGATIVE_INFINITY
+      // strictly-greater insertion among the `filled` live entries: equal
+      // d keeps the earlier (lower) cid; unfilled slots append in cid order
+      var j = filled
       while (j > 0 && d > bestD(j - 1)) j -= 1
       if (j < np) {
-        var m = np - 1
+        var m = math.min(filled, np - 1)
         while (m > j) { bestD(m) = bestD(m - 1); bestC(m) = bestC(m - 1); m -= 1 }
         bestD(j) = d; bestC(j) = c
+        if (filled < np) filled += 1
       }
       c += 1
     }

@@ -161,6 +161,13 @@ object VectorSearch {
     math.min(4096L, math.max(16L, math.ceil(math.sqrt(
       math.max(1L, n).toDouble)).toLong)).toInt
 
+  /** Lloyd-refinement sample cap for the auto (nCells = 0) IVF mode.
+    * Shared with the emb_ann_ivf_auto oracle, which derives its training
+    * set with the SAME cap (QUALIFY row_number over md5 order) — a corpus
+    * larger than the cap trains on a bounded sample in BOTH engines, so
+    * the cross-engine hash check holds at any scale factor. */
+  val DefaultTrainCap: Int = 50000
+
   /** Deterministic k-means coarse quantizer: seeds are the k corpus
     * vectors with the smallest md5(id) (a reproducible "random" sample —
     * md5, not xxhash64, so the seed order is re-derivable in any engine:
@@ -227,16 +234,21 @@ object VectorSearch {
         GraftFunctions.nearestCells(col(vecCol),
           centroids.map(_._2), 1).getItem(0) + 1))
     } else {
+      // NaN dots demote to -Infinity (nanvl) — matching NearestCells'
+      // NaN handling, so the literal fold and the native expression agree
+      // on degenerate input (Spark's `>` ranks NaN ABOVE everything, the
+      // opposite of the skip we want). Seeding the fold with the FIRST
+      // centroid's struct (not a -1 sentinel) means an all-NaN vector
+      // lands in cell 0 — the lowest-cid tie-break — never cid -1.
       val scored = centroids.map { case (cid, c) =>
         struct(lit(cid).as("cid"),
-          GraftFunctions.dotProduct(col(vecCol),
-            array(c.map(lit(_)): _*)).as("d"))
+          nanvl(GraftFunctions.dotProduct(col(vecCol),
+            array(c.map(lit(_)): _*)), lit(Double.NegativeInfinity)).as("d"))
       }
       // pick the centroid with max dot product (cosine order for
       // near-unit-norm centroids)
       df.withColumn("best",
-          aggregate(array(scored: _*),
-            struct(lit(-1).as("cid"), lit(Double.MinValue).as("d")),
+          aggregate(array(scored.tail: _*), scored.head,
             (acc, s) => when(s.getField("d") > acc.getField("d"), s)
               .otherwise(acc)))
         .withColumn("cid", col("best.cid"))
@@ -252,10 +264,10 @@ object VectorSearch {
     * candidates AND training cost stay ~√N as the corpus grows. */
   def ivfCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nCells: Int = 16, nprobe: Int = 3,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, trainCap: Int = DefaultTrainCap): DataFrame = {
     val (cells, cap) =
       if (nCells > 0) (nCells, 0)
-      else (autoCells(corpus.select(idCol).count()), 50000)
+      else (autoCells(corpus.select(idCol).count()), trainCap)
     val centroids = kmeansCentroids(corpus, idCol, vecCol, cells, iters, cap)
     val indexed = assign(corpus, vecCol, centroids)
       .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
@@ -269,9 +281,12 @@ object VectorSearch {
         transform(GraftFunctions.nearestCells(col(vecCol),
           centroids.map(_._2), nprobe), i => element_at(cidOf, i + 1))
       } else {
+        // nanvl: NaN dots sort LAST (as if -Infinity), matching
+        // NearestCells — see assign() above
         val probeScores = centroids.map { case (cid, c) =>
-          struct((GraftFunctions.dotProduct(col(vecCol),
-            array(c.map(lit(_)): _*)) * -1).as("negd"), lit(cid).as("cid"))
+          struct(nanvl(GraftFunctions.dotProduct(col(vecCol),
+            array(c.map(lit(_)): _*)) * -1,
+            lit(Double.PositiveInfinity)).as("negd"), lit(cid).as("cid"))
         }
         transform(slice(array_sort(array(probeScores: _*)), 1, nprobe),
           s => s.getField("cid"))

@@ -348,6 +348,7 @@ object PipelineQueries {
     // Lloyd re-derivation in DuckDB.
     sql("emb_ann_ivf_auto", {
       val (nprobe, k) = (4, 10)
+      val trainCap = VectorSearch.DefaultTrainCap
       def assignSql(src: String, cf: String): String =
         s"""SELECT * EXCLUDE (rk) FROM (
            |  SELECT s.*, $cf.cid AS cid,
@@ -372,9 +373,17 @@ object PipelineQueries {
         |  SELECT cid, e AS c FROM (
         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
         |    FROM v) WHERE cid < (SELECT cells FROM prm)
-        |), a0 AS (${assignSql("v", "c0")}),
+        |), tr AS (
+        |  -- Lloyd trains on the $trainCap smallest-md5 vectors, the SAME
+        |  -- bounded sample VectorSearch.ivfCosine uses (trainCap) — only
+        |  -- the final idx assignment scans the full corpus
+        |  SELECT vec_id, e FROM (
+        |    SELECT vec_id, e,
+        |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS trk
+        |    FROM v) WHERE trk <= $trainCap
+        |), a0 AS (${assignSql("tr", "c0")}),
         |c1 AS (${lloydSql("a0")}),
-        |a1 AS (${assignSql("v", "c1")}),
+        |a1 AS (${assignSql("tr", "c1")}),
         |c2 AS (${lloydSql("a1")}),
         |idx AS (
         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, cid
