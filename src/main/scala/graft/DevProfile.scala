@@ -16,7 +16,19 @@ object DevProfile {
       spark.stop(); return
     }
     val run = graft.queries.Registry.byName("trace_rca_loop").run
+    val runFinal = graft.queries.Registry.byName("trace_rca_final").run
+    // bench protocol: warm-up pass, then evict every cache so the timed
+    // pass pays the query's full standalone cost (what BENCH_r{N} bills)
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      graft.queries.TraceQueries.evictRcaTraceCache(spark)
+      graft.queries.TraceQueries.evictFixtureCache(spark)
+    }
     time("rca_loop cold")(run(spark, "").queryExecution.toRdd.count())
+    reset()
+    time("rca_loop bench-style")(run(spark, "").queryExecution.toRdd.count())
+    reset()
+    time("rca_final bench-style")(runFinal(spark, "").queryExecution.toRdd.count())
     time("rca_loop warm")(run(spark, "").queryExecution.toRdd.count())
     spark.catalog.clearCache()
     // granular: the subtrees the loop touches

@@ -152,35 +152,89 @@ object RcaLoop {
         DerivedTables.eventMetrics(ev), minCount = 3).cache())
     val batteryFrame = shared.map(_.battery)
       .getOrElse(Detectors.battery(ev, baselinesCached))
-    lazy val batteryRows: Seq[(String, String)] =
-      batteryFrame.orderBy("detector").collect().toSeq.map { r =>
-        r.getAs[String]("detector") ->
-          (s"detected=${r.getAs[Boolean]("detected")} " +
-            s"n=${r.getAs[Long]("count")}")
-      }
-    lazy val hotspotRows = Detectors.zscoreHotspots(ev,
-      bucketSeconds = cfg.heatmapBucketSeconds, minZ = 2.0).collect()
-    // timeline evidence as one engine-portable string (epoch seconds +
-    // the "+X.Xs" offsets); concat_ws skips nulls on any engine
-    lazy val timelineStr: String = TimelineBuilder.build(ev).select(
-      concat_ws("|",
-        unix_timestamp(col("start_ts")),
-        unix_timestamp(col("first_severe_ts")),
-        unix_timestamp(col("first_lag_100k_ts")),
-        unix_timestamp(col("first_lag_1m_ts")),
-        unix_timestamp(col("first_recovery_ts")),
-        col("root_cause_signal"), col("first_severe_rel"),
-        col("first_lag_100k_rel"), col("first_lag_1m_rel"),
-        col("first_recovery_rel")).as("s"))
-      .first().getString(0)
-    // full severity-ordered dive-candidate list, collected once (bounded:
-    // it's the bucket aggregate, not events) — per-iteration "uncovered"
-    // selection is then a driver-side set probe instead of re-running the
-    // groupBy + anti-join over the corpus every round
-    lazy val diveCandidates: Seq[Long] = Investigation
-      .highSeverityBuckets(ev, minSeverity = 10,
-        bucketSeconds = cfg.diveBucketSeconds, limit = Int.MaxValue)
-      .collect().toSeq.map(_.getAs[Long]("bucket"))
+    // the four Phase-B statics — battery summaries, timeline string,
+    // z-score hotspot buckets, severity-ordered dive candidates — are all
+    // bounded aggregates over the same immutable input, fetched in ONE
+    // fused action (idx, kd, k2, tool, payload) and re-ordered driver-side
+    // (union row order is arbitrary; each branch carries its sort keys)
+    lazy val (batteryRows: Seq[(String, String)], timelineStr: String,
+        hotspotBuckets: Seq[Long], diveCandidates: Seq[Long]) = {
+      val battery = batteryFrame.select(lit(0).as("idx"),
+        lit(0.0).as("kd"), lit(0L).as("k2"), col("detector").as("tool"),
+        concat(lit("detected="), col("detected").cast("string"),
+          lit(" n="), col("count")).as("payload"))
+      // timeline evidence as one engine-portable string (epoch seconds +
+      // the "+X.Xs" offsets); concat_ws skips nulls on any engine
+      val timeline = TimelineBuilder.build(ev).select(lit(1).as("idx"),
+        lit(0.0).as("kd"), lit(0L).as("k2"), lit("timeline").as("tool"),
+        concat_ws("|",
+          unix_timestamp(col("start_ts")),
+          unix_timestamp(col("first_severe_ts")),
+          unix_timestamp(col("first_lag_100k_ts")),
+          unix_timestamp(col("first_lag_1m_ts")),
+          unix_timestamp(col("first_recovery_ts")),
+          col("root_cause_signal"), col("first_severe_rel"),
+          col("first_lag_100k_rel"), col("first_lag_1m_rel"),
+          col("first_recovery_rel")).as("payload"))
+      val hotspots = Detectors.zscoreHotspots(ev,
+          bucketSeconds = cfg.heatmapBucketSeconds, minZ = 2.0)
+        .select(lit(2).as("idx"), (-col("zscore")).as("kd"),
+          col("bucket").cast("long").as("k2"), lit("hotspot").as("tool"),
+          col("bucket").cast("string").as("payload"))
+      val cands = Investigation.highSeverityBuckets(ev, minSeverity = 10,
+          bucketSeconds = cfg.diveBucketSeconds, limit = Int.MaxValue)
+        .select(lit(3).as("idx"),
+          (-col("max_severity").cast("double")).as("kd"),
+          col("bucket").cast("long").as("k2"), lit("cand").as("tool"),
+          col("bucket").cast("string").as("payload"))
+      val rows = Seq(battery, timeline, hotspots, cands)
+        .reduce(_ unionAll _).collect()
+      (rows.filter(_.getInt(0) == 0).sortBy(_.getString(3))
+         .map(r => r.getString(3) -> r.getString(4)).toSeq,
+       rows.find(_.getInt(0) == 1).map(_.getString(4)).getOrElse(""),
+       rows.filter(_.getInt(0) == 2)
+         .sortBy(r => (r.getDouble(1), r.getLong(2))).map(_.getLong(2)).toSeq,
+       rows.filter(_.getInt(0) == 3)
+         .sortBy(r => (r.getDouble(1), r.getLong(2))).map(_.getLong(2)).toSeq)
+    }
+
+    // ---- batched context-window prefetch --------------------------------
+    // The dive-bucket sequence is fully determined by the STATIC hotspot +
+    // candidate lists (each iteration takes the first uninspected entry;
+    // window CONTENTS never influence the choice) — so all windows the
+    // loop can possibly dive into are known up front and fetched in ONE
+    // action instead of one collect per iteration. Windows may overlap at
+    // bucket boundaries, so events explode into every matching range
+    // (same rows the per-bucket collects produced); per-bucket order and
+    // limit replicate Investigation.contextWindow exactly.
+    def batchWindows(buckets: Seq[Long]): Map[Long, Seq[String]] = {
+      if (buckets.isEmpty) return Map.empty
+      val half = cfg.diveBucketSeconds / 2
+      val ranges = array(buckets.map { b =>
+        struct(lit(b).as("bucket"),
+          lit(new java.sql.Timestamp(b * 1000L)).as("lo"),
+          lit(new java.sql.Timestamp((b + 2L * half) * 1000L)).as("hi"))
+      }: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("m", explode(filter(ranges,
+          r => col("ts").between(r.getField("lo"), r.getField("hi")))))
+        .withColumn("bucket", col("m.bucket"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= cfg.contextLimit)
+        .select(col("bucket"), col("rk"), fmtLine.as("line"))
+        .collect()
+        .groupBy(_.getAs[Long]("bucket"))
+        .map { case (b, rows) =>
+          b -> rows.sortBy(_.getAs[Int]("rk")).toSeq.map(_.getAs[String]("line")) }
+    }
+    // first uninspected hotspot buckets, then uninspected candidates —
+    // the exact order the per-iteration selection walks; capped at the
+    // iteration budget (a few over-fetched windows are bounded by
+    // contextLimit rows each)
+    lazy val prefetchedWindows: Map[Long, Seq[String]] = batchWindows(
+      (hotspotBuckets ++ diveCandidates)
+        .distinct.filterNot(inspected.contains).take(cfg.maxIterations))
 
     var continueLoop = true
     while (continueLoop && iteration < cfg.maxIterations) {
@@ -188,25 +242,39 @@ object RcaLoop {
 
       if (phase == "A") {
         // ---- Phase A: global sweep (investigation_agent.py:976-1096) ----
-        // Three actions total: the top-event lines, the heatmap rows (also
-        // feeding `inspected`), and ONE union of the six summary
-        // aggregates — where the loop previously ran one job per summary.
-        // Every summary is a SQL-built string (epoch seconds, ':'/'='
-        // joins) so the exact evidence bytes are cross-engine derivable.
-        val top = fmtEvents(
-          GlobalScanner.topEvents(ev, severityMin = 30, limit = 500), 500)
-        contextLines ++= top.take(cfg.promptEventLimit)
-        record("top_events", s"n=${top.length}")
-
-        val heat = Investigation.highSeverityBuckets(ev, minSeverity = 0,
-          bucketSeconds = cfg.heatmapBucketSeconds, limit = 100)
-          .select(col("bucket")).collect()
-        heat.take(10).foreach(r => inspected += r.getAs[Long]("bucket"))
-
+        // ONE action total: the top-event lines, the heatmap buckets (also
+        // feeding `inspected`), and the six summary aggregates all ride a
+        // single union with schema (idx, k1, k2, k3, tool, payload) —
+        // union row order is arbitrary, so each multi-row branch carries
+        // its own sort keys and is re-ordered driver-side. Every summary
+        // is a SQL-built string (epoch seconds, ':'/'=' joins) so the
+        // exact evidence bytes are cross-engine derivable.
         def s1(idx: Int, tool: String, df: DataFrame): DataFrame =
-          df.toDF("summary").select(lit(idx).as("idx"), lit(tool).as("tool"),
-            col("summary").cast("string"))
-        val fused = Seq(
+          df.toDF("summary").select(lit(idx).as("idx"), lit(0L).as("k1"),
+            lit(0L).as("k2"), lit(0L).as("k3"), lit(tool).as("tool"),
+            col("summary").cast("string").as("payload"))
+        // topEvents order = (severity desc, ts desc, event_id asc);
+        // unix_micros keeps sub-second ts ties exact, nulls sort last
+        // under desc (negate of MinValue+1 = MaxValue)
+        val topBranch = GlobalScanner
+          .topEvents(ev, severityMin = 30, limit = 500)
+          .select(lit(-2).as("idx"),
+            (-coalesce(col("severity").cast("long"),
+              lit(Long.MinValue + 1))).as("k1"),
+            (-coalesce(unix_micros(col("ts")),
+              lit(Long.MinValue + 1))).as("k2"),
+            col("event_id").cast("long").as("k3"),
+            lit("top_events").as("tool"), fmtLine.as("payload"))
+        // highSeverityBuckets order = (max_severity desc, bucket asc)
+        val heatBranch = Investigation.highSeverityBuckets(ev,
+            minSeverity = 0, bucketSeconds = cfg.heatmapBucketSeconds,
+            limit = 100)
+          .select(lit(-1).as("idx"),
+            (-col("max_severity").cast("long")).as("k1"),
+            col("bucket").cast("long").as("k2"), lit(0L).as("k3"),
+            lit("bucket_heatmap").as("tool"),
+            col("bucket").cast("string").as("payload"))
+        val rows = (Seq(topBranch, heatBranch) ++ Seq(
           s1(0, "severity_counts", GlobalScanner.severityCounts(ev)
             .agg(array_join(transform(array_sort(collect_list(struct(
               // negate as LONG: -Int.MinValue overflows under Spark 4's
@@ -228,11 +296,6 @@ object RcaLoop {
               unix_timestamp(min(col("ts"))).cast("string"), lit("")),
             lit(" last="), coalesce(
               unix_timestamp(max(col("ts"))).cast("string"), lit(""))))),
-          // `heat` above IS this limit-100 frame already collected —
-          // recomputing it inside the fused union would re-aggregate the
-          // cached events for a number we are holding in hand
-          s1(3, "bucket_heatmap", ev.sparkSession.range(1)
-            .select(lit(s"buckets=${heat.length}"))),
           s1(4, "rollback_analysis", GlobalScanner.rollbackStatus(ev)
             .select(concat(lit("detected="), col("detected"),
               lit(" drops="), col("num_drops")))),
@@ -241,9 +304,25 @@ object RcaLoop {
           s1(6, "recovery_episodes",
             GlobalScanner.recoveryEpisodeCount(ev)
               .select(concat(lit("n="), col("n_episodes")))))
-          .reduce(_ unionAll _)
-          .collect().sortBy(_.getInt(0))
-        fused.foreach(r => record(r.getString(1), r.getString(2)))
+          ).reduce(_ unionAll _)
+          .collect()
+        val top = rows.filter(_.getInt(0) == -2)
+          .sortBy(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .map(_.getString(5)).toSeq
+        contextLines ++= top.take(cfg.promptEventLimit)
+        record("top_events", s"n=${top.length}")
+        val heat = rows.filter(_.getInt(0) == -1)
+          .sortBy(r => (r.getLong(1), r.getLong(2)))
+          .map(_.getString(5).toLong)
+        heat.take(10).foreach(inspected += _)
+        // summaries in idx order; the heatmap count (historical idx 3) is
+        // the length of the heat branch we already hold — synthesized
+        // driver-side in its original record position
+        val sums = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+          .map(r => (r.getInt(0), r.getString(4), r.getString(5)))
+        sums.takeWhile(_._1 < 3).foreach { case (_, t, p) => record(t, p) }
+        record("bucket_heatmap", s"buckets=${heat.length}")
+        sums.dropWhile(_._1 < 3).foreach { case (_, t, p) => record(t, p) }
 
         trace += IterationTrace(iteration, "A", llm_called = false,
           confidence, hypothesis, None, contextLines.size, evidence.size,
@@ -253,8 +332,7 @@ object RcaLoop {
       } else {
         // ---- detector battery (investigation_agent.py:1103-1160) --------
         batteryRows.foreach { case (name, s) => record(s"detector:$name", s) }
-        val hotspots = hotspotRows
-        record("detector:zscore_hotspots", s"n=${hotspots.length}")
+        record("detector:zscore_hotspots", s"n=${hotspotBuckets.length}")
         record("timeline", timelineStr)
 
         // ---- LLM analysis over accumulated evidence ---------------------
@@ -290,17 +368,21 @@ object RcaLoop {
         }
 
         // ---- hotspot dive (investigation_agent.py:1243-1305) ------------
-        val chosen: Option[Long] = hotspots.iterator
-          .map(_.getAs[Long]("bucket")).find(!inspected.contains(_))
+        val chosen: Option[Long] = hotspotBuckets
+          .find(!inspected.contains(_))
           .orElse(diveCandidates.find(!inspected.contains(_)))
         var nNew = 0L
         chosen match {
           case Some(bucket) =>
-            val center = new java.sql.Timestamp(
-              (bucket + cfg.diveBucketSeconds / 2) * 1000L)
-            val win = Investigation.contextWindow(ev, center,
-              cfg.diveBucketSeconds / 2, cfg.contextLimit)
-            val lines = fmtEvents(win, cfg.contextLimit)
+            // served from the one-action prefetch; the fallback single
+            // fetch can only trigger if a caller mutates cfg between
+            // iterations (not possible: cfg is immutable)
+            val lines = prefetchedWindows.getOrElse(bucket, {
+              val center = new java.sql.Timestamp(
+                (bucket + cfg.diveBucketSeconds / 2) * 1000L)
+              fmtEvents(Investigation.contextWindow(ev, center,
+                cfg.diveBucketSeconds / 2, cfg.contextLimit), cfg.contextLimit)
+            })
             nNew = lines.size
             if (lines.nonEmpty) { contextLines ++= lines; contextDirty = true }
             inspected += bucket
