@@ -50,18 +50,25 @@ object ScanOps {
     * One class of plan defeats size-only estimation: row-expanding
     * operators. A Generate (explode/posexplode — e.g. Chunker.splitChunks
     * feeding rowNumber) reports its CHILD's size, so a small input can
-    * fan out to an arbitrarily larger window input the estimate never
-    * sees. Any Generate in the plan therefore forces the distributed
-    * path — the fast path is an optimization, never worth an OOM risk. */
+    * fan out to a larger window input the estimate never sees. Instead of
+    * banning the fast path outright (r4 — which cost doc_text_splitter
+    * 2.5× for a KB-scale fixture), each Generate in the plan BILLS a
+    * conservative byte multiplier: the estimate must fit the budget even
+    * if every Generate fans bytes out `GenerateExpansion`-fold. A split +
+    * explode roughly conserves payload bytes (pieces of the parent text,
+    * ~1.25× with 100/400 overlap) plus repeated parent columns, so 16× is
+    * a generous over-bill — a plan anywhere near the budget/16^n line
+    * still forces the (always-correct) distributed path, proven by the
+    * guard-trip case in ScanOpsSpec. */
+  private[ops] val GenerateExpansion = 16L
   private def useGlobalWindow(df: DataFrame, numPartitions: Int): Boolean = {
     if (numPartitions != 0) return false
     val plan = df.queryExecution.optimizedPlan
-    val expanding = plan.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
-      case _ => false
-    }
-    !expanding && plan.stats.sizeInBytes <=
-      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val nGen = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.size
+    plan.stats.sizeInBytes * BigInt(GenerateExpansion).pow(nGen) <=
+      BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
   }
 
   private def globalW(order: Seq[String], desc: Boolean = false) =

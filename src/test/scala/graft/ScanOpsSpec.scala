@@ -151,6 +151,47 @@ class ScanOpsSpec extends SparkSpec {
     assert(res.passed, s"ScanOps property falsified: ${res.status}")
   }
 
+  test("Generate gate is expansion-aware: tiny explodes fast-path, billed expansion trips the guard") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => (i.toLong, Seq.fill(4)(i.toLong)))
+      .toDF("id", "xs")
+    val exploded = base.select(col("id"), explode(col("xs")).as("x"))
+      .withColumn("k", col("id") * 10 + col("x"))
+    // a KB-scale exploded frame: the 16x-per-Generate bill still fits the
+    // default 128 MB budget, so the single-window fast path engages...
+    val fast = ScanOps.rowNumber(exploded, Seq("k", "id"), "rn")
+    assert(!fast.queryExecution.optimizedPlan.toString.contains("__scan_pid"),
+      "expected the global-window fast path for a tiny exploded frame")
+    // ...and produces exactly the distributed answer
+    def sorted(d: DataFrame) = d.select("id", "x", "rn").collect().toSeq
+      .map(_.toSeq).sortBy(r => (r(2).asInstanceOf[Long]))
+    val dist = ScanOps.rowNumber(exploded, Seq("k", "id"), "rn",
+      numPartitions = 8)
+    assert(sorted(fast) === sorted(dist))
+
+    // shrink the budget to 4x the child estimate: the Generate-free frame
+    // still fast-paths, but one Generate (billed GenerateExpansion = 16x)
+    // must trip the guard and force the distributed path — the OOM guard
+    // survives the r5 softening
+    val est = exploded.queryExecution.optimizedPlan.stats.sizeInBytes
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (est * 4).toString)
+      val guarded = ScanOps.rowNumber(exploded, Seq("k", "id"), "rn")
+      assert(guarded.queryExecution.optimizedPlan.toString
+        .contains("__scan_pid"),
+        "expected the distributed path once the billed expansion " +
+          s"(est=$est x 16) exceeds the ${est * 4} budget")
+      val plain = base.select(col("id"), lit(0L).as("x"),
+        (col("id") * 10).as("k"))
+      val plainFast = ScanOps.rowNumber(plain, Seq("k", "id"), "rn")
+      assert(!plainFast.queryExecution.optimizedPlan.toString
+        .contains("__scan_pid"),
+        "a Generate-free plan under the budget must keep the fast path")
+    } finally spark.conf.set(key, old)
+  }
+
   test("plan stays distributed: no whole-input single-partition window") {
     val got = ScanOps.runningSum(df, Seq("key", "id"), col("mark"), "rs",
       numPartitions = 8)
