@@ -79,11 +79,70 @@ object Multimodal {
     MediaFeature(r.media_id, r.kind, feats)
   }
 
+  /** ==== REAL ==== image decode for the formats the JDK ships codecs
+    * for (PNG/JPEG/GIF/BMP via javax.imageio — no external deps): the
+    * pixels are actually decoded (`reader.read`, not just a header
+    * sniff) and width/height/format come from the real bytes. Returns
+    * None for payloads no installed reader claims — the caller degrades
+    * to the documented stub, which remains the boundary for audio/video
+    * (no JDK codec exists for those). */
+  def decodeImage(r: MediaRecord): Option[MediaMeta] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val rd = readers.next()
+        try {
+          rd.setInput(in)
+          val img = rd.read(0) // full pixel decode, not just the header
+          Some(MediaMeta(r.media_id, r.kind, r.payload.length.toLong,
+            format = rd.getFormatName.toLowerCase,
+            width = img.getWidth, height = img.getHeight,
+            duration_ms = -1L,
+            checksum = graft.functions.RollingHash.hash(
+              java.util.Base64.getEncoder.encodeToString(r.payload))))
+        } catch { case _: Exception => None }
+        finally rd.dispose()
+      }
+    } finally if (in != null) in.close()
+  }
+
+  /** Deterministic synthetic PNG (fixture generator for the real-decode
+    * oracle): a width×height RGB gradient keyed by `seed`, encoded by the
+    * JDK's own PNG writer. Byte-level output may vary across JDKs — only
+    * the DECODED metadata (width/height/format) is oracled. */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31L + y * 17L + seed) % 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Decode pass: partition-local, batch-shaped (the iterator is the
     * batch; a real codec would reuse native buffers across records). */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Decode pass with the REAL JDK image codec in front: payloads an
+    * installed ImageIO reader recognizes decode for real; everything else
+    * (audio/video, non-image bytes) degrades to the stub boundary. */
+  def decodeReal(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r => decodeImage(r).getOrElse(decodeStub(r))))
   }
 
   def features(ds: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeature] = {

@@ -503,6 +503,32 @@ object PipelineQueries {
         .orderBy("kind")
     },
 
+    // ---- multimodal REAL image decode (javax.imageio), full oracle -------
+    // The one non-stub codec this environment ships: the JDK's own PNG
+    // reader. Fixtures are synthetic PNGs whose dimensions follow a known
+    // arithmetic progression; the oracle re-derives those dimensions from
+    // the same arithmetic — so a hash match proves an actual pixel decode
+    // ran on the executors (the encoder's byte output never enters the
+    // comparison; only what the DECODER read back does). Audio/video keep
+    // the documented stub boundary — no JDK codec exists for them.
+    sql("mm_png_decode",
+      """SELECT i AS media_id, 'png' AS format,
+        |  CAST(16 + (i * 7) % 97 AS INTEGER) AS width,
+        |  CAST(12 + (i * 5) % 71 AS INTEGER) AS height
+        |FROM (SELECT unnest(range(20)) AS i)
+        |ORDER BY media_id""") { (s, _) =>
+      import s.implicits._
+      val recs = (0 until 20).map { i =>
+        Multimodal.MediaRecord(i.toLong, "image",
+          Multimodal.syntheticPng(16 + (i * 7) % 97, 12 + (i * 5) % 71,
+            i.toLong), "synthetic")
+      }
+      Multimodal.decodeReal(s.createDataset(recs).repartition(4))
+        .toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy("media_id")
+    },
+
     // ---- multimodal feature extraction, full oracle ----------------------
     // The md5-seeded feature stub is re-derived end to end in DuckDB:
     // payload md5 (the payload IS the text's UTF-8 bytes, so md5(text) in

@@ -207,6 +207,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.join(vids, Seq("media_id"), "left_anti").count() === 0)
   }
 
+  test("multimodal: real PNG decode reads true dimensions; non-images fall back to the stub") {
+    // round-trip through the JDK codec: write a known-size PNG, decode it
+    // distributed, and get the true dimensions back from the pixel data
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image",
+        Multimodal.syntheticPng(33, 21, seed = 5L), "t"),
+      Multimodal.MediaRecord(2L, "image",
+        Multimodal.syntheticPng(128, 1, seed = 9L), "t"),
+      // text bytes: no ImageIO reader claims them -> stub fallback
+      Multimodal.MediaRecord(3L, "image",
+        "definitely not an image".getBytes("UTF-8"), "t"))
+    import spark.implicits._
+    val out = Multimodal.decodeReal(spark.createDataset(recs).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(out(0).format === "png" && out(0).width === 33 && out(0).height === 21)
+    assert(out(1).format === "png" && out(1).width === 128 && out(1).height === 1)
+    // the fallback row carries the stub's deterministic fake metadata
+    assert(out(2) === Multimodal.decodeStub(recs(2)))
+    // direct decode of generator output is exact for any dims
+    assert(Multimodal.decodeImage(recs(0)).get.checksum ===
+      Multimodal.decodeStub(recs(0)).checksum)
+  }
+
   test("bpeish token count: matches manual tokenization") {
     val df = Seq("hello, world 42", "a  b").toDF("t")
     val counts = df.select(TextAnalysis.bpeishTokenCount(col("t")))
