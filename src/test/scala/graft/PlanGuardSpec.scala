@@ -60,10 +60,13 @@ class PlanGuardSpec extends SparkSpec {
           else None
         product ++ bnlj
       }
+    // The net stays tight in both directions: an allowlist entry whose
+    // plan no longer contains a BNLJ is dead weight that would silently
+    // excuse a future regression — remove it when the plan improves.
     val stale = allowedBnlj.keySet -- bnljSeen.result()
-    if (stale.nonEmpty)
-      info(s"allowedBnlj entries with no BNLJ in today's plan " +
-        s"(candidates for removal): ${stale.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowedBnlj entries with no BNLJ in today's plan — remove them: " +
+        stale.toSeq.sorted.mkString(", "))
     assert(violations.isEmpty,
       "plans with a product / BNLJ over a side not proven bounded — " +
         "re-shape as a bucketed equi-join (see RecoveryDetector." +
