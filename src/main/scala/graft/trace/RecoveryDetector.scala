@@ -70,7 +70,7 @@ object RecoveryDetector {
     * on the bucket key and only compares co-bucketed rows. Callers
     * pre-filter the event side, so the joined volume is the candidates,
     * not the corpus. */
-  private def lookbackJoin(candidates: DataFrame, recov: DataFrame,
+  private[graft] def lookbackJoin(candidates: DataFrame, recov: DataFrame,
       lookBackSeconds: Double): DataFrame = {
     val lMicros = math.max(1L, math.round(lookBackSeconds * 1e6))
     val ev = candidates

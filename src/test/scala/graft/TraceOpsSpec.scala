@@ -351,4 +351,131 @@ class TraceOpsSpec extends SparkSpec {
     // at least one detector fires on the fixture so the test is not vacuous
     assert(fused.values.exists(_.getAs[Boolean]("detected")))
   }
+
+  // ---- property fuzz of the bucketed range joins (round-6 verdict #2) ----
+  // Both joins rest on the manual coverage argument "a [T-L, T] window
+  // spans at most the two adjacent L-sized buckets floor(T/L)-1 and
+  // floor(T/L)" (and the episode variant's sequence() expansion). The
+  // fixtures pin them on real timestamps; these properties pin the
+  // argument itself on adversarial ones — exact bucket-boundary hits
+  // (k·L and k·L ± 1μs), equal-ts ties across the two sides, and
+  // negative epochs where floor-division sign behavior bites.
+
+  test("property: bucketed lookbackJoin == naive range scan at bucket " +
+      "boundaries, equal-ts ties, negative epochs") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import spark.implicits._
+
+    val lookbacks = Seq(0.5, 1.0, 5.0, 7.3)
+    def tsUniverse(lMicros: Long): Gen[Long] = Gen.frequency(
+      4 -> Gen.choose(-3, 3).map(_ * lMicros),              // exact boundary
+      4 -> (for {k <- Gen.choose(-3, 3); d <- Gen.oneOf(-1L, 1L)}
+        yield k * lMicros + d),                             // boundary ± 1μs
+      3 -> Gen.choose(-3 * lMicros, 3 * lMicros))           // anywhere
+    val genCase = for {
+      sec <- Gen.oneOf(lookbacks)
+      l = math.round(sec * 1e6)
+      nc <- Gen.choose(1, 40)
+      nr <- Gen.choose(1, 12)
+      cts <- Gen.listOfN(nc, tsUniverse(l))
+      rts <- Gen.listOfN(nr, tsUniverse(l))
+      // recovery ids overlap the candidate id range so the equal-ts
+      // c_id < recovery_id tie-break fires both ways
+      rids <- Gen.listOfN(nr, Gen.choose(0L, nc.toLong * 2))
+    } yield (sec, l, cts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      rts.zip(rids))
+
+    val prop = Prop.forAll(genCase) { case (sec, l, cands, recovs) =>
+      val cdf = cands.toDF("c_id", "c_us")
+        .withColumn("c_ts", timestamp_micros(col("c_us"))).drop("c_us")
+      val rdf = recovs.toDF("recovery_us", "recovery_id")
+        .withColumn("recovery_ts", timestamp_micros(col("recovery_us")))
+        .drop("recovery_us")
+      val got = RecoveryDetector.lookbackJoin(cdf, rdf, sec)
+        .select("c_id", "recovery_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // naive O(n·m) range scan over exact micros — the definition
+      val want = (for {
+        (cid, cus) <- cands
+        (rus, rid) <- recovs
+        if cus >= rus - l && (cus < rus || (cus == rus && cid < rid))
+      } yield (cid, rid)).sorted
+      val ok = got == want
+      if (!ok) info(s"lookbackJoin MISMATCH sec=$sec: got=$got want=$want")
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"lookbackJoin property falsified: ${res.status}")
+  }
+
+  test("property: recoveryEpisodes == naive driver model on adversarial " +
+      "gaps and window edges") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import spark.implicits._
+
+    val (gapS, winS) = (7, 3)
+    val wUs = 2L * winS * 1000000L
+    // universe mixes exact multiples of the severity window, the ±2·W
+    // bucket width, the gap length, and ±1μs edges of each
+    val tsGen: Gen[Long] = Gen.frequency(
+      3 -> Gen.choose(0, 15).map(_ * winS.toLong * 1000000L),
+      3 -> Gen.choose(0, 7).map(_ * wUs),
+      3 -> Gen.choose(0, 8).map(_ * gapS.toLong * 1000000L),
+      3 -> (for {k <- Gen.choose(1, 15); d <- Gen.oneOf(-1L, 1L)}
+        yield k * winS.toLong * 1000000L + d),
+      2 -> Gen.choose(0L, 60L * 1000000L))
+    val genEvents = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        us <- tsGen
+        isRecov <- Gen.frequency(2 -> true, 3 -> false)
+        sev <- Gen.frequency(1 -> Gen.const(Option.empty[Int]),
+          4 -> Gen.choose(0, 60).map(Option(_)))
+      } yield (us, if (isRecov) "MasterRecoveryState" else "Other", sev))
+    } yield rows.zipWithIndex.map { case ((us, ev, sev), i) =>
+      (i.toLong, us, ev, sev)
+    }
+
+    val prop = Prop.forAll(genEvents) { rowsIn =>
+      val ev = rowsIn.toDF("event_id", "us", "event", "severity")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val got = GlobalScanner.recoveryEpisodes(ev, gapS, winS)
+        .select(col("episode"), unix_micros(col("start")).as("s"),
+          unix_micros(col("end")).as("e"), col("duration_seconds"),
+          col("max_severity_nearby"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Int]))).toSeq
+
+      // driver model: sort recoveries by (ts, id), split where the
+      // whole-second gap exceeds gapS, then max severity over all events
+      // within [start - winS, end + winS] inclusive
+      def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
+      val recovs = rowsIn.filter(_._3 == "MasterRecoveryState")
+        .map(r => (r._2, r._1)).sorted
+      val want = if (recovs.isEmpty) Seq.empty else {
+        val epIds = recovs.zip(recovs.head +: recovs.dropRight(1))
+          .scanLeft(0L) { case (ep, ((us, _), (pus, _))) =>
+            ep + (if (sec(us) - sec(pus) > gapS) 1 else 0)
+          }.tail
+        recovs.zip(epIds).groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (ep, members) =>
+            val start = members.map(_._1._1).min
+            val end = members.map(_._1._1).max
+            val sevs = rowsIn.filter(r =>
+              r._2 >= start - winS * 1000000L &&
+                r._2 <= end + winS * 1000000L).flatMap(_._4)
+            (ep, start, end, sec(end) - sec(start),
+              if (sevs.isEmpty) None else Some(sevs.max))
+        }
+      }
+      val ok = got == want
+      if (!ok) info(s"recoveryEpisodes MISMATCH:\n got=$got\nwant=$want")
+      ok
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"recoveryEpisodes property falsified: ${res.status}")
+  }
 }
