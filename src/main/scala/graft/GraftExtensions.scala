@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash"), graft.functions.MinHashAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_hll"),
       info("graft_hll"), graft.functions.HllAgg.builder))
+    graft.functions.PyNum.Names.foreach { case (mode, name) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        info(name), graft.functions.PyNum.builder(mode)))
+    }
   }
 }

@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Numeric parsing with the reference's exact (Python) semantics.
   *
@@ -70,19 +75,103 @@ object PyNum {
   }
 
   // ---- Spark surface -------------------------------------------------------
+  // Native codegen expression, not a Scala UDF: these parsers sit inside
+  // the hottest projections of the 100 TB ingest path (eventMetrics
+  // explodes every payload entry, eventsWide calls safe_float ~15× per
+  // row), where a UDF pays catalyst↔JVM conversion and Option boxing per
+  // call and breaks the WholeStageCodegen span.
 
-  val pyFloatUdf = udf((s: String) => pyFloat(s))
-  val safeFloatUdf = udf((s: String) => safeFloat(s))
-  val parseNumericUdf = udf((s: String) => parseNumeric(s))
+  /** Names in the session function registry (also injected by
+    * GraftExtensions at session build time). */
+  val Names: Map[Int, String] = Map(
+    PyParse.PyFloat -> "py_float",
+    PyParse.SafeFloat -> "safe_float",
+    PyParse.ParseNumeric -> "parse_numeric")
 
-  def py_float(c: Column): Column = pyFloatUdf(c)
-  def safe_float(c: Column): Column = safeFloatUdf(c)
-  def parse_numeric(c: Column): Column = parseNumericUdf(c)
+  def builder(mode: Int): Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"${Names(mode)} expects (text), got ${exprs.length} arguments")
+    PyParse(exprs.head, mode)
+  }
 
-  /** Optional SQL registration. */
-  def register(spark: SparkSession): Unit = {
-    spark.udf.register("py_float", pyFloatUdf)
-    spark.udf.register("safe_float", safeFloatUdf)
-    spark.udf.register("parse_numeric", parseNumericUdf)
+  def register(spark: SparkSession): Unit =
+    Names.foreach { case (mode, name) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder(mode), "built-in")
+    }
+
+  private def fn(mode: Int, c: Column): Column = {
+    // idempotent lazy registration on the active (driver-side,
+    // plan-building) session, so Column-level callers with no session in
+    // scope keep working; cluster deployments get the same builders from
+    // GraftExtensions
+    register(SparkSession.active)
+    call_function(Names(mode), c)
+  }
+
+  def py_float(c: Column): Column = fn(PyParse.PyFloat, c)
+  def safe_float(c: Column): Column = fn(PyParse.SafeFloat, c)
+  def parse_numeric(c: Column): Column = fn(PyParse.ParseNumeric, c)
+}
+
+/** Catalyst-native wrapper over the PyNum parsers: interpreted and
+  * generated paths share the exact scala implementations above, so the
+  * randomized PyNumSpec properties pin both. Result is nullable on
+  * non-null input (parse failure → NULL), hence the hand-rolled null
+  * handling in doGenCode. */
+case class PyParse(child: Expression, mode: Int) extends UnaryExpression {
+
+  override def prettyName: String = PyNum.Names(mode)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if PyNum.Names.contains(mode) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"unknown PyParse mode $mode")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PyParse.eval(v.asInstanceOf[UTF8String].toString, mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val parsed = ctx.freshName("parsed")
+      s"""
+      java.lang.Double $parsed =
+        graft.functions.PyParse.eval($c.toString(), $mode);
+      if ($parsed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $parsed.doubleValue();
+      }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PyParse {
+  final val PyFloat = 0
+  final val SafeFloat = 1
+  final val ParseNumeric = 2
+
+  /** Shared by interpreted + generated code paths; null ⇔ unparseable. */
+  def eval(s: String, mode: Int): java.lang.Double = {
+    val opt = mode match {
+      case PyFloat => PyNum.pyFloat(s)
+      case SafeFloat => PyNum.safeFloat(s)
+      case ParseNumeric => PyNum.parseNumeric(s)
+    }
+    opt match {
+      case Some(d) => java.lang.Double.valueOf(d)
+      case None => null
+    }
   }
 }

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The decode step is STUBBED (this environment ships no image/audio
-  * codecs): `decodeStub` derives deterministic fake metadata/features from
-  * the bytes. Everything around it — schema, batched mapPartitions
+  * Image (PNG/JPEG/GIF/BMP via javax.imageio) and audio (WAV/PCM via
+  * javax.sound.sampled) decode REAL pixels/frames with the JDK's own
+  * codecs. Video decode is STUBBED (no JDK codec exists):
+  * `decodeStub` derives deterministic fake metadata/features from the
+  * bytes. Everything around the stub — schema, batched mapPartitions
   * execution, partition sizing, feature schema — is the real distributed
   * plumbing a codec would drop into: replace `decodeStub`'s body with a
   * JNI/javacv call and nothing else changes.
@@ -109,6 +111,79 @@ object Multimodal {
     } finally if (in != null) in.close()
   }
 
+  /** ==== REAL ==== audio decode for the one format the JDK ships a
+    * codec for (WAV/PCM via javax.sound.sampled — no external deps):
+    * every frame is pulled through the decoder (`read` to exhaustion,
+    * not a header sniff), so sample rate, channel count, frame count and
+    * duration come from the actually-decoded stream. None for payloads
+    * the audio system doesn't claim — callers degrade to the documented
+    * stub, which after this remains the boundary only for video. */
+  def decodeWavMeta(r: MediaRecord): Option[WavMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = ais.getFormat
+        // real decode: stream every frame through the codec and count
+        // what actually came out, rather than trusting the header
+        val buf = new Array[Byte](8192)
+        var decoded = 0L
+        var n = ais.read(buf)
+        while (n >= 0) { decoded += n; n = ais.read(buf) }
+        val frameSize = fmt.getFrameSize
+        if (frameSize <= 0 || fmt.getFrameRate <= 0) None
+        else {
+          val frames = decoded / frameSize
+          Some(WavMeta(r.media_id, "wave",
+            sample_rate = fmt.getSampleRate.toInt,
+            channels = fmt.getChannels,
+            n_frames = frames,
+            duration_ms = frames * 1000L / fmt.getFrameRate.toLong))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  case class WavMeta(
+      media_id: Long,
+      format: String,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long)
+
+  /** Audio-real decode pass: WAV payloads decode for real; anything the
+    * audio system rejects is dropped (callers that need a total function
+    * use decodeReal, which falls back to the stub). */
+  def decodeWav(ds: Dataset[MediaRecord]): Dataset[WavMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(decodeWavMeta))
+  }
+
+  /** Deterministic synthetic 16-bit little-endian PCM WAV (fixture
+    * generator for the real-decode oracle): `nFrames` frames of a
+    * seed-keyed sawtooth, encoded by the JDK's own WAV writer. Only the
+    * DECODED metadata (rate/channels/frames/duration) is oracled —
+    * closed-form from the arguments. */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      val s = ((i * 257L + seed * 131L) % 65536L - 32768L).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Deterministic synthetic PNG (fixture generator for the real-decode
     * oracle): a width×height RGB gradient keyed by `seed`, encoded by the
     * JDK's own PNG writer. Byte-level output may vary across JDKs — only
@@ -137,12 +212,22 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeStub))
   }
 
-  /** Decode pass with the REAL JDK image codec in front: payloads an
-    * installed ImageIO reader recognizes decode for real; everything else
-    * (audio/video, non-image bytes) degrades to the stub boundary. */
+  /** Decode pass with the REAL JDK codecs in front: payloads an
+    * installed ImageIO reader or the WAV audio system recognizes decode
+    * for real; everything else (video, non-media bytes) degrades to the
+    * stub boundary. */
   def decodeReal(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(r => decodeImage(r).getOrElse(decodeStub(r))))
+    ds.mapPartitions(_.map { r =>
+      decodeImage(r)
+        .orElse(decodeWavMeta(r).map(w =>
+          MediaMeta(w.media_id, r.kind, r.payload.length.toLong,
+            format = w.format, width = -1, height = -1,
+            duration_ms = w.duration_ms,
+            checksum = graft.functions.RollingHash.hash(
+              java.util.Base64.getEncoder.encodeToString(r.payload)))))
+        .getOrElse(decodeStub(r))
+    })
   }
 
   def features(ds: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeature] = {

@@ -529,6 +529,37 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal REAL audio decode (javax.sound.sampled), full oracle -
+    // Same move as mm_png_decode for the other JDK-shipped codec: WAV/PCM
+    // fixtures whose sample rate / channels / frame count follow known
+    // arithmetic; the engine decodes every frame through the audio system
+    // (reads the stream to exhaustion, counts what came out) and the
+    // oracle re-derives the metadata from the same closed-form arithmetic.
+    // duration_ms = frames * 1000 // rate — integer floor in both engines.
+    // Video remains the one documented stub (no JDK codec).
+    sql("mm_wav_decode",
+      """SELECT i AS media_id, 'wave' AS format,
+        |  ([8000,11025,16000,22050,44100])[CAST(i % 5 + 1 AS INTEGER)] AS sample_rate,
+        |  CAST(1 + i % 2 AS INTEGER) AS channels,
+        |  CAST(1000 + i * 37 AS BIGINT) AS n_frames,
+        |  CAST((1000 + i * 37) * 1000 //
+        |    ([8000,11025,16000,22050,44100])[CAST(i % 5 + 1 AS INTEGER)] AS BIGINT) AS duration_ms
+        |FROM (SELECT unnest(range(20)) AS i)
+        |ORDER BY media_id""") { (s, _) =>
+      import s.implicits._
+      val rates = Seq(8000, 11025, 16000, 22050, 44100)
+      val recs = (0 until 20).map { i =>
+        Multimodal.MediaRecord(i.toLong, "audio",
+          Multimodal.syntheticWav(rates(i % 5), 1 + i % 2, 1000 + i * 37,
+            i.toLong), "synthetic")
+      }
+      Multimodal.decodeWav(s.createDataset(recs).repartition(4))
+        .toDF()
+        .select(col("media_id"), col("format"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("duration_ms"))
+        .orderBy("media_id")
+    },
+
     // ---- multimodal feature extraction, full oracle ----------------------
     // The md5-seeded feature stub is re-derived end to end in DuckDB:
     // payload md5 (the payload IS the text's UTF-8 bytes, so md5(text) in

@@ -1,6 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.functions._
 
 /** Physical layout for the event store at scale.
@@ -32,12 +35,32 @@ object Store {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
-  /** True iff a time-range filter on this store prunes partitions —
-    * checked from the executed plan's partition filters. */
+  /** Walk the physical plan STRUCTURALLY, descending through the AQE
+    * wrappers (`AdaptiveSparkPlanExec` re-plans under its own node,
+    * `QueryStageExec` hides the materialized exchange subtree, reused
+    * exchanges alias an earlier one) — the plan-string rendering of the
+    * same information is format-fragile across Spark versions. */
+  private def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
+    val below = plan match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
+      case r: ReusedExchangeExec => allNodes(r.child)
+      case p => p.children.flatMap(allNodes)
+    }
+    plan +: below
+  }
+
+  /** True iff a time-range filter on this store prunes partitions:
+    * the plan scans at least one partitioned relation and EVERY such
+    * scan carries a non-empty `partitionFilters`. Read off the executed
+    * plan's nodes, not its string form, so a plan-format change can't
+    * silently disable the driver-enforced pruning gate. */
   def prunes(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan.toString()
-    plan.contains("PartitionFilters: [") &&
-      !plan.contains("PartitionFilters: []")
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+          if s.relation.partitionSchema.nonEmpty => s
+    }
+    scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty)
   }
 
   // ---- bucketed layout: co-located joins without a shuffle ---------------
@@ -56,12 +79,21 @@ object Store {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Count shuffle exchanges in the executed plan — 0 for a join of two
-    * same-bucketed tables. Under AQE the plan string repeats as
-    * "== Initial Plan =="; only the final section is counted. */
+  /** Count shuffle exchanges in the executed (post-AQE) plan — 0 for a
+    * join of two same-bucketed tables. Structural: distinct
+    * `ShuffleExchangeExec` nodes (a `ReusedExchangeExec` aliases an
+    * already-counted one), matching the former plan-string count of
+    * hash/range `Exchange` lines in the final AQE section. */
   def shuffleExchanges(df: DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan.toString()
-      .split("== Initial Plan ==")(0)
-    "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[ShuffleExchangeExec, java.lang.Boolean]())
+    // identity dedup, not case-class equality: a ReusedExchangeExec holds
+    // the SAME node instance already counted at its original position,
+    // while two structurally identical but independent exchanges (e.g. an
+    // unreused self-join) are distinct instances and must both count
+    allNodes(df.queryExecution.executedPlan).count {
+      case e: ShuffleExchangeExec => seen.add(e)
+      case _ => false
+    }
   }
 }

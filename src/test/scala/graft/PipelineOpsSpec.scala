@@ -230,6 +230,35 @@ class PipelineOpsSpec extends SparkSpec {
       Multimodal.decodeStub(recs(0)).checksum)
   }
 
+  test("multimodal: real WAV decode reads true rate/channels/frames; non-audio falls back") {
+    // round-trip through the JDK audio system: write known-parameter PCM
+    // WAVs, decode them distributed (every frame pulled through the
+    // codec), and get the true stream parameters back
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio",
+        Multimodal.syntheticWav(16000, 1, 8123, seed = 3L), "t"),
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.syntheticWav(44100, 2, 44100, seed = 7L), "t"))
+    import spark.implicits._
+    val out = Multimodal.decodeWav(spark.createDataset(recs).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(out(0) === Multimodal.WavMeta(1L, "wave", 16000, 1, 8123,
+      8123L * 1000 / 16000))
+    assert(out(1) === Multimodal.WavMeta(2L, "wave", 44100, 2, 44100, 1000L))
+    // non-audio bytes: the audio system rejects them → None, and
+    // decodeReal degrades them to the stub boundary
+    val junk = Multimodal.MediaRecord(3L, "audio",
+      "definitely not audio".getBytes("UTF-8"), "t")
+    assert(Multimodal.decodeWavMeta(junk).isEmpty)
+    val real = Multimodal.decodeReal(spark.createDataset(Seq(recs.head, junk)))
+      .collect().sortBy(_.media_id)
+    // WAV through decodeReal: real duration, audio has no dimensions
+    assert(real(0).format === "wave" &&
+      real(0).duration_ms === 8123L * 1000 / 16000 &&
+      real(0).width === -1 && real(0).height === -1)
+    assert(real(1) === Multimodal.decodeStub(junk))
+  }
+
   test("bpeish token count: matches manual tokenization") {
     val df = Seq("hello, world 42", "a  b").toDF("t")
     val counts = df.select(TextAnalysis.bpeishTokenCount(col("t")))
