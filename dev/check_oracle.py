@@ -62,6 +62,11 @@ def type_mismatches(con, sql, arrow_schema):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # bounded memory + disk spill: the 10x-scale near-dup oracles are
+    # join-heavy enough to draw the OOM killer if DuckDB assumes it owns
+    # the machine while Spark JVMs are resident
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")

@@ -430,12 +430,17 @@ object PipelineQueries {
     // candidate volume ~ tables · N · bucketTarget instead of quadratic).
     // The oracle re-derives the SAME width from COUNT(*)
     // (GREATEST(3, length(bin(N // target))) = 64 - numberOfLeadingZeros)
-    // and buckets with the first `b` of 8 embedded hyperplane rows — the
+    // and buckets with the first `b` of 16 embedded hyperplane rows — the
     // prefix is exact because hyperplanes() fills rows sequentially from
     // one seeded RNG. sf0.1 (2000 vecs → 5 bits) and sf0.001/0.01
-    // (500 → floor 3) hash-verify two different derived widths.
+    // (500 → floor 3) hash-verify two different derived widths; the 10×
+    // generated tables (20k vecs → 9 bits) found the old maxBits=8 row
+    // budget silently clamping the ORACLE below the engine's width — the
+    // engine was right, the oracle ran out of rows. 16 embedded rows keep
+    // the oracle exact to N = target · 2^16 ≈ 4M vectors; past that the
+    // derivation-side must grow again (the engine itself is unbounded).
     sql("emb_ann_lsh_auto", {
-      val (tables, maxBits, dim, seed, k, target) = (8, 8, 64, 42L, 10, 64)
+      val (tables, maxBits, dim, seed, k, target) = (8, 16, 64, 42L, 10, 64)
       def bucketExpr(t: Int): String =
         VectorSearch.hyperplanes(dim, maxBits, seed + t).zipWithIndex
           .map { case (p, i) =>

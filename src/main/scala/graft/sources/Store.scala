@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
 object Store {
 
   /** Write events partitioned by event_date, sorted by ts within each
-    * file — the 100 TB layout. */
-  def writeEvents(events: DataFrame, dir: String): Unit =
+    * file — the 100 TB layout. `mode` is "overwrite" for batch rebuilds,
+    * "append" for the streaming ingest's per-micro-batch adds (same
+    * layout, same reader). */
+  def writeEvents(events: DataFrame, dir: String,
+      mode: String = "overwrite"): Unit =
     events
       .withColumn("event_date", to_date(col("ts")))
       // leading event_date satisfies the partitioned-write's required
@@ -28,7 +31,7 @@ object Store {
       // event_date alone, which need not preserve the ts order
       .repartition(col("event_date"))
       .sortWithinPartitions("event_date", "ts")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("event_date")
       .parquet(dir)
 

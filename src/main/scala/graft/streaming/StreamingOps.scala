@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming forms of the batch semantics (SURVEY.md §2.9):
   * the reference is batch-only, but its rollups/sessionization/anomaly
@@ -56,6 +56,25 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .withColumn("fingerprint", graft.ops.Dedup.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Continuous ingest into the partitioned event store: every
+    * micro-batch is appended through the SAME writer the batch path uses
+    * (`Store.writeEvents` — event_date directory partitioning, ts-sorted
+    * files), so a live stream and a batch rebuild produce the identical
+    * layout and every Store reader (the partition-pruned trace analytics
+    * family) works unchanged over either. Exactly-once at the batch
+    * level comes from the checkpoint; at 100 TB the per-batch
+    * `repartition(event_date)` keeps one writer task per open day
+    * instead of one tiny file per executor per day. */
+  def ingestToStore(events: DataFrame, dir: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sources.Store.writeEvents(batch, dir, mode = "append")
+      }
+      .start()
 
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)
   case class MetricState(n: Long, mean: Double, m2: Double)

@@ -229,6 +229,56 @@ class StreamingSpec extends SparkSpec {
     assert(emitted() === Set(1L, 2L, 4L, 5L))
   }
 
+  test("streaming ingest writes the exact batch Store layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Store
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_store")
+    base.toFile.deleteOnExit()
+    val (batchDir, streamDir, ckpt) =
+      (s"$base/batch", s"$base/stream", s"$base/ckpt")
+
+    // three micro-batches spanning three event dates, out of order within
+    // a date — the partitioned writer must bucket by day either way
+    val batches: Seq[Seq[(Timestamp, Long, String, Int)]] = Seq(
+      Seq((ts("2025-01-01 09:00:01"), 1L, "A", 10),
+        (ts("2025-01-02 00:00:02"), 2L, "B", 20)),
+      Seq((ts("2025-01-01 03:00:03"), 3L, "A", 30),
+        (ts("2025-01-03 12:00:04"), 4L, "C", 40)),
+      Seq((ts("2025-01-02 23:59:59"), 5L, "B", 50)))
+
+    val input = MemoryStream[(Timestamp, Long, String, Int)]
+    val events = input.toDF().toDF("ts", "event_id", "event", "severity")
+    val q = StreamingOps.ingestToStore(events, streamDir, ckpt)
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    Store.writeEvents(
+      batches.flatten.toDF("ts", "event_id", "event", "severity"), batchDir)
+
+    // identical partition directory sets (the layout IS the contract)
+    def partDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("event_date=")).toSet
+    assert(partDirs(streamDir) === partDirs(batchDir))
+    assert(partDirs(streamDir) ===
+      Set("event_date=2025-01-01", "event_date=2025-01-02",
+        "event_date=2025-01-03"))
+
+    // identical content through the Store reader
+    def canon(dir: String): Seq[Seq[Any]] =
+      Store.readEvents(spark, dir)
+        .select("event_id", "ts", "event", "severity", "event_date")
+        .collect().map(_.toSeq.toList).toSeq.sortBy(_.toString)
+    assert(canon(streamDir) === canon(batchDir))
+
+    // the streamed layout serves the pruned read path unchanged
+    val pruned = Store.readEvents(spark, streamDir)
+      .filter(col("event_date") === "2025-01-02")
+    assert(pruned.count() === 2)
+    assert(Store.prunes(pruned),
+      "date filter must reach PartitionFilters on the streamed store")
+  }
+
   test("streaming dedup passes first occurrence, drops later duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
