@@ -60,6 +60,12 @@ object ClusterSmoke {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft-cluster-smoke")
+      // the cluster deployment path for the native expressions: session
+      // extensions injected at build time, exactly as `--conf
+      // spark.sql.extensions=graft.GraftExtensions` would on a real
+      // cluster (the queries' internal register() calls then no-op over
+      // the same shared builders)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // deliberately NOT the local suite's partition count: a query whose
       // answer depended on partitioning would already be a bug (every
       // slice member is hash-verified against partitionless DuckDB)

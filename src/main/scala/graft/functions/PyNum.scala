@@ -101,11 +101,15 @@ object PyNum {
     }
 
   private def fn(mode: Int, c: Column): Column = {
-    // idempotent lazy registration on the active (driver-side,
-    // plan-building) session, so Column-level callers with no session in
-    // scope keep working; cluster deployments get the same builders from
-    // GraftExtensions
-    register(SparkSession.active)
+    // lazy registration on the active (driver-side, plan-building)
+    // session, so Column-level callers with no session in scope keep
+    // working; cluster deployments get the same builders from
+    // GraftExtensions. Skipped when already present — eventsWide builds
+    // ~15 of these per plan and replace-logging is per-call noise.
+    val spark = SparkSession.active
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(Names(mode))))
+      register(spark)
     call_function(Names(mode), c)
   }
 

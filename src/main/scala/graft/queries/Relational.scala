@@ -28,12 +28,25 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
 
     // ---- TPC-H Q1 shape: wide hash aggregate with exact sums -------------
+    // sum_charge's ORACLE needs two exactness guards, both caught by the
+    // 10× gate as a last-ULP drift at 6M rows (the engine was exact —
+    // Spark's precision-adjust keeps the triple product at DECIMAL(38,6)
+    // and BigDecimal→double casts are correctly rounded):
+    //  1. factors cast narrow (DECIMAL(4,2)): DuckDB's multiply rule ADDS
+    //     widths ((18,2)×(19,2)×(19,2) → 56 > 38), leaving exact range;
+    //     (18,2)×(4,2)×(4,2) → width 26 stays exact decimal.
+    //  2. the final decimal→double goes THROUGH VARCHAR: DuckDB's direct
+    //     DECIMAL(38,6)→DOUBLE cast double-rounds (int128 → double, THEN
+    //     ÷10^6) once the scaled integer exceeds 2^53 (here 2.8e16);
+    //     text round-trips are parsed with a single correct rounding.
+    //     Scale-2/scale-4 sums in this registry stay below 2^53 internal
+    //     units, which is why only this column ever drifted.
     sql("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
