@@ -67,6 +67,10 @@ def main(sf_dir, out_dir):
     # the machine while Spark JVMs are resident
     con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # fewer threads = fewer concurrently-resident pipeline buffers; the
+    # list-heavy ANN oracles at 100x volume need this more than CPU
+    if os.environ.get('ORACLE_THREADS'):
+        con.execute(f"SET threads TO {int(os.environ['ORACLE_THREADS'])}")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")

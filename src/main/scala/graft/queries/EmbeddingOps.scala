@@ -75,9 +75,17 @@ object EmbeddingOps {
     },
 
     // ---- per-label centroids (first 8 dims), elementwise mean ------------
+    // Exact-decimal mean, not a raw double SUM: double summation is
+    // order-dependent across engines, and at 100× volume (20k rows per
+    // (label, pos) group) the ULP drift crossed the ROUND(., 4) edge —
+    // caught by the past-fixture-scale oracle gate. The decimal sum is a
+    // deterministic function of the float values on both sides (same
+    // pattern as mm_feature_stats / DerivedTables.exactMean). `+ 0`
+    // normalizes IEEE negative zero, which ROUND can produce on both
+    // engines but value-hashes differently from 0.0.
     sql("emb_label_centroids",
       """SELECT label, pos, COUNT(*) AS n,
-        |  ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 4) AS centroid
+        |  ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) + 0 AS centroid
         |FROM (
         |  SELECT label, unnest(embedding) AS x,
         |    unnest(range(1, len(embedding) + 1)) AS pos
@@ -91,7 +99,8 @@ object EmbeddingOps {
         .filter(col("pos") <= 8)
         .groupBy("label", "pos")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("x").cast("double")) / count(lit(1)), 4).as("centroid"))
+          (round(sum(col("x").cast("double").cast("decimal(30,10)"))
+            .cast("double") / count(lit(1)), 4) + lit(0.0)).as("centroid"))
         .orderBy("label", "pos")
     },
 
