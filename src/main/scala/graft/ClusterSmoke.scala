@@ -30,8 +30,11 @@ object ClusterSmoke {
   /** One query per plan family (the round-6 verdict's list, plus the
     * native-codegen expressions): classic shuffle join, HllAgg merge,
     * Ewma window codegen, boundary-carried scan, MinHashAgg + banded
-    * join, RollingHash codegen, IVF/Lloyd auto mode, and the
-    * partitioned-store trace analytics path. */
+    * join, RollingHash codegen, IVF/Lloyd auto mode, the
+    * partitioned-store trace analytics path — plus the executor-JVM
+    * service paths: JDK codec SPI discovery on executor classloaders
+    * (ImageIO / AudioSystem registries are per-JVM), the custom as-of
+    * join, and the streaming gate's state store across executors. */
   val Slice: Seq[String] = Seq(
     "q3_revenue_by_nation",
     "ev_hll_users",
@@ -40,7 +43,11 @@ object ClusterSmoke {
     "doc_minhash_lsh",
     "doc_fingerprints",
     "emb_ann_ivf_auto",
-    "trace_rollups_60s")
+    "trace_rollups_60s",
+    "mm_png_decode",
+    "mm_wav_decode",
+    "ev_asof_last_signup",
+    "ev_streaming_gate")
 
   /** JDK-17 module opens Spark needs outside spark-submit — mirrored from
     * build.sbt's javaOptions; reused for the spawned driver AND the
