@@ -139,17 +139,25 @@ object Chunker {
     // range-shuffle every piece; instead derive it arithmetically — an
     // exclusive prefix sum of per-chunk piece counts (one tiny row per
     // chunk) broadcast back onto the pieces, which then never shuffle.
-    val pieces = chunks
+    // The split itself is persisted (spill-safe) so BOTH consumers — the
+    // piece explode and the count prefix-sum — bill the recursive
+    // splitter ONCE per row instead of twice; within one action the two
+    // plan branches read the same in-memory relation, and the harness's
+    // between-query cache eviction keeps per-query accounting honest.
+    val split = chunks
       .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
         col("chunk_type"),
-        posexplode(splitUdf(col("chunk_content"), lit(chunkSize),
-          lit(overlap))).as(Seq("piece_index", "content")))
+        splitUdf(col("chunk_content"), lit(chunkSize), lit(overlap))
+          .as("pieces_arr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pieces = split
+      .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
+        col("chunk_type"),
+        posexplode(col("pieces_arr")).as(Seq("piece_index", "content")))
       .withColumn("chunk_uid",
         concat(col("chunk_id"), lit("-"), col("piece_index")))
     val offsets = ScanOps.runningSum(
-      chunks.select(col("chunk_id"),
-        size(splitUdf(col("chunk_content"), lit(chunkSize), lit(overlap)))
-          .as("n_pieces")),
+      split.select(col("chunk_id"), size(col("pieces_arr")).as("n_pieces")),
       Seq("chunk_id"), col("n_pieces"), "piece_offset")
       .select(col("chunk_id"), col("piece_offset"))
     pieces.join(broadcast(offsets), Seq("chunk_id"))
