@@ -204,6 +204,134 @@ object Dedup {
       DataFrame =
     candidatesFrom(shingles(docs, idCol, textCol), hashes, bandCount)
 
+  /** Connected components over an undirected edge list — the clustering
+    * step of corpus near-dedup (LSH/Jaccard pairs → duplicate CLUSTERS →
+    * one representative per cluster), which pairwise keep-min pruning
+    * cannot express (a local minimum of the pair set is not a component
+    * minimum). Alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): both steps
+    * are one groupBy-min plus one equi-join over the edge frame, converge
+    * in O(log²) rounds regardless of component diameter, and never
+    * materialize a component in one task — per-round skew is bounded by
+    * max degree, which small-star halves. Lineage is truncated per round
+    * (localCheckpoint) so the plan stays O(1) deep.
+    *
+    * Returns (id, component) for every node of `edges`, where component
+    * is the minimum node id of the connected component. Nodes absent
+    * from `edges` (singletons) are the caller's to union in.
+    *
+    * `smallGraphEdges` is the broadcast-threshold analogue: a distinct
+    * edge set at or under it (16 bytes/edge — the default bounds driver
+    * heap at ~1.6 MB) is solved in one driver union-find pass instead of
+    * paying several distributed rounds; above it the star loop runs. The
+    * two paths are value-identical (PackCcSpec pins both against the
+    * same model). At 100 TB the candidate graph is far past any such
+    * threshold and the star loop is the path that executes.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 50,
+      smallGraphEdges: Long = 100000L): DataFrame = {
+    // canonical directed-from-larger edge set (u > v), self-loops dropped
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    if (e0.count() <= smallGraphEdges) {
+      val session = edges.sparkSession
+      import session.implicits._
+      val es = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("id", "component")
+    }
+
+    val nodes = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // symmetric neighbor view; m(u) = min(Γ(u) ∪ {u}); emit (v, m(u))
+      // for every STRICTLY LARGER neighbor v of u
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // neighbors here are all smaller than u; connect N(u) ∪ {u} to its
+      // minimum
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // fixpoint: the edge SET (each step ends in distinct) is stable
+    // across a full large+small round — count plus an order-free
+    // bit_xor of per-edge hashes (no overflow under ANSI mode)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var e = e0
+    var prev = checksum(e)
+    var converged = e.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // converged state is a union of stars rooted at component minima
+    val assigned = e.select(col("u").as("id"), col("v").as("component"))
+    val roots = nodes.join(assigned, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    assigned.union(roots)
+  }
+
+  /** Near-dup clustering end to end: LSH candidate pairs → connected
+    * components → every doc labeled with its cluster representative
+    * (minimum doc id of the component; singletons represent themselves).
+    * `docs` survive a 100 TB dedup by keeping rows where
+    * doc_id == component. */
+  def nearDupComponents(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", hashes: Int = 16, bandCount: Int = 4):
+      DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, hashes, bandCount)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   /** End-to-end near-dup dedup at scale: LSH candidates, exact-Jaccard
     * verification of candidates only, then keep-min representatives.
     * Shingles are computed once and shared by both phases. Returns the

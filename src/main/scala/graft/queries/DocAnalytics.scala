@@ -30,6 +30,31 @@ object DocAnalytics {
       |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
+  /** DuckDB twin of graft.ops.Dedup.minhashCandidates as a CTE chain
+    * ending in `pairs(doc_a, doc_b)` — shared by doc_minhash_lsh and the
+    * component-clustering oracle. */
+  private val minhashPairCtes: String = {
+    val mins = (0 until 16)
+      .map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(",\n    ")
+    val bands = (0 until 4)
+      .map(k => s"md5(m${4 * k} || m${4 * k + 1} || m${4 * k + 2} || m${4 * k + 3}) AS b$k")
+      .mkString(", ")
+    val unions = (0 until 4)
+      .map(k => s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n  ")
+    s"""shingles AS (
+      |$shingleSql
+      |), sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM shingles GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, $bands FROM sig
+      |), pairs AS (
+      |  $unions
+      |)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- token/char statistics per source --------------------------------
@@ -154,31 +179,50 @@ object DocAnalytics {
     // 16 md5-based min-hashes per doc, 4 bands × 4 rows; candidate pairs
     // are docs colliding in ≥1 band. md5 makes it engine-portable AND
     // deterministic under any partitioning.
-    sql("doc_minhash_lsh", {
-      val mins = (0 until 16)
-        .map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(",\n    ")
-      val bands = (0 until 4)
-        .map(k => s"md5(m${4 * k} || m${4 * k + 1} || m${4 * k + 2} || m${4 * k + 3}) AS b$k")
-        .mkString(", ")
-      val unions = (0 until 4)
-        .map(k => s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
-        .mkString("\n  UNION\n  ")
-      s"""WITH shingles AS (
-        |$shingleSql
-        |), sig AS (
-        |  SELECT doc_id,
-        |    $mins
-        |  FROM shingles GROUP BY doc_id
-        |), banded AS (
-        |  SELECT doc_id, $bands FROM sig
-        |)
-        |SELECT doc_a, doc_b FROM (
-        |  $unions
-        |)
-        |ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, dir) =>
+    sql("doc_minhash_lsh",
+      s"""WITH $minhashPairCtes
+        |SELECT doc_a, doc_b FROM pairs
+        |ORDER BY doc_a, doc_b""") { (s, dir) =>
       graft.ops.Dedup.minhashCandidates(docs(s, dir))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- near-dup CLUSTERING: LSH pairs → connected components ----------
+    // The dedup decision corpus pipelines actually need: transitive
+    // closure of the candidate-pair graph, one representative (= minimum
+    // doc_id) per cluster. Spark side is alternating large-star /
+    // small-star (Dedup.connectedComponents — O(log²) rounds, skew
+    // bounded by max degree); the oracle replays the closure as a DuckDB
+    // recursive CTE over the identical md5-MinHash pair set.
+    sql("doc_dedup_components",
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |nodes AS (
+        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+        |), comp AS (
+        |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |), labeled AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |)
+        |SELECT doc_id, component,
+        |  COUNT(*) OVER (PARTITION BY component) AS csize,
+        |  CASE WHEN doc_id = component THEN 1 ELSE 0 END AS keep
+        |FROM labeled
+        |ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Dedup.nearDupComponents(docs(s, dir))
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("component"))))
+        .withColumn("keep",
+          when(col("doc_id") === col("component"), 1).otherwise(0))
+        .orderBy("doc_id")
     },
 
     // ---- §2.8 recursive 500/100 text splitter, full oracle ---------------
@@ -224,6 +268,85 @@ object DocAnalytics {
         .select(col("chunk_id").as("doc_id"), col("piece_index"),
           col("content"), col("chunk_index"))
         .orderBy("doc_id", "piece_index")
+    },
+
+    // ---- sequence packing: greedy token-budget bins for training ---------
+    // Bucketed greedy pack (Packing.packGreedy): 8 independent id-mod
+    // streams, ascending id order within each, budget 512 tokens; a doc
+    // that would overflow starts a new bin. The oracle replays the greedy
+    // fold per bucket as a recursive CTE over row_number levels.
+    sql("doc_seq_pack",
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+        |    doc_id % 8 AS bucket,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), rec AS (
+        |  SELECT bucket, rn, doc_id, tokens, tokens AS fill,
+        |    CAST(0 AS BIGINT) AS bin
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.bucket, d.rn, d.doc_id, d.tokens,
+        |    CASE WHEN r.fill + d.tokens <= 512 THEN r.fill + d.tokens
+        |         ELSE d.tokens END,
+        |    CASE WHEN r.fill + d.tokens <= 512 THEN r.bin ELSE r.bin + 1 END
+        |  FROM rec r JOIN docs d ON d.bucket = r.bucket AND d.rn = r.rn + 1
+        |)
+        |SELECT doc_id, bucket, bin, fill FROM rec
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.Packing.packGreedy(
+        docs(s, dir).withColumn("n_tokens",
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)"))),
+        idCol = "doc_id", tokensCol = "n_tokens", budget = 512, buckets = 8)
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic train/val/test split ------------------------------
+    // Salted-md5 split: the first hex nibble of md5(doc_id || salt) maps
+    // 13/16 → train, 2/16 → val, 1/16 → test. Content-independent,
+    // engine-portable, stable under repartitioning and corpus growth —
+    // the property a 100 TB pipeline needs so a doc never migrates
+    // between splits across runs.
+    sql("doc_train_split",
+      """SELECT doc_id, substring(md5(doc_id::VARCHAR || ':split:v1'), 1, 1) AS h,
+        |  CASE WHEN substring(md5(doc_id::VARCHAR || ':split:v1'), 1, 1) < 'd' THEN 'train'
+        |       WHEN substring(md5(doc_id::VARCHAR || ':split:v1'), 1, 1) < 'f' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |WHERE doc_id < 200
+        |ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir)
+        .filter(col("doc_id") < 200)
+        .withColumn("h", substring(
+          md5(concat(col("doc_id").cast("string"), lit(":split:v1"))), 1, 1))
+        .select(col("doc_id"), col("h"),
+          when(col("h") < "d", "train").when(col("h") < "f", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    sql("doc_split_stats",
+      """SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN substring(md5(doc_id::VARCHAR || ':split:v1'), 1, 1) < 'd' THEN 'train'
+        |         WHEN substring(md5(doc_id::VARCHAR || ':split:v1'), 1, 1) < 'f' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split
+        |ORDER BY split""") { (s, dir) =>
+      docs(s, dir)
+        .withColumn("h", substring(
+          md5(concat(col("doc_id").cast("string"), lit(":split:v1"))), 1, 1))
+        .withColumn("split",
+          when(col("h") < "d", "train").when(col("h") < "f", "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")
     }
   )
 }
