@@ -111,6 +111,34 @@ object ClusterSmoke {
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       spark.catalog.clearCache()
     }
+
+    // Closed-form probes for the two ops whose registered queries take
+    // bounded non-distributed paths at fixture scale: the star-loop CC
+    // (smallGraphEdges=0 forces the distributed loop — its localCheckpoint
+    // blocks live on EXECUTOR block managers here, a placement local mode
+    // cannot test) and the sorted-group packer (flatMapSortedGroups
+    // closure + sorted shuffle on executor JVMs).
+    import org.apache.spark.sql.functions._
+    val n = 20000L
+    val k = 97L
+    val chain = spark.range(n).filter(col("id") % k =!= 0)
+      .select(col("id").as("src"), (col("id") - 1).as("dst"))
+    val cc = graft.ops.Dedup.connectedComponents(chain, smallGraphEdges = 0L)
+    val ccBad = cc.filter(
+      col("component") =!= col("id") - (col("id") % k)).count()
+    require(ccBad == 0L && cc.count() == n,
+      s"distributed CC on executors: $ccBad mismatches vs closed form")
+
+    val packed = graft.ops.Packing.packGreedy(
+      spark.range(n).select(col("id").as("doc_id"), lit(100L).as("n_tokens")),
+      "doc_id", "n_tokens", budget = 512, buckets = 64)
+    // bucket = id % 64, rank within bucket = id div 64, 5 docs fit a bin
+    val pBad = packed.filter(
+      col("bin") =!= expr("(doc_id div 64) div 5") ||
+      col("fill") =!= (expr("(doc_id div 64) % 5") + 1) * 100).count()
+    require(pBad == 0L && packed.count() == n,
+      s"distributed packGreedy on executors: $pBad mismatches vs closed form")
+
     println("CLUSTER_SMOKE_OK")
     spark.stop()
   }

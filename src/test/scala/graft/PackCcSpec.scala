@@ -127,6 +127,47 @@ class PackCcSpec extends SparkSpec {
     assert(over.nonEmpty) // oversize docs exist and sit alone
   }
 
+  test("distributed star loop + packer at scale: closed-form correctness, " +
+      "bounded rounds and wall") {
+    import org.apache.spark.sql.functions.expr
+    // 200k nodes in diameter-96 chain blocks — the shape that defeats
+    // plain label propagation (O(diameter) rounds) but not the star
+    // loop (O(log²)); component(id) = id - id % 97 in closed form, so
+    // this runs on every `sbt test` with no generated fixtures. The
+    // wall bound is load-sensitive, so overridable like
+    // ScaleRegistrySpec's (ADVICE r5).
+    val wallBound: Double =
+      sys.env.get("GRAFT_SCALE_WALL_SECS").map(_.toDouble).getOrElse(60.0)
+    val n = 200000L
+    val k = 97L
+    val chain = spark.range(n).filter(col("id") % k =!= 0)
+      .select(col("id").as("src"), (col("id") - 1).as("dst"))
+    val t0 = System.nanoTime()
+    val cc = Dedup.connectedComponents(chain, smallGraphEdges = 0L)
+    val bad = cc.filter(col("component") =!= col("id") - (col("id") % k)).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(bad === 0L, s"$bad/$n nodes disagree with the closed form")
+    assert(cc.count() === n)
+    assert(secs <= wallBound,
+      f"distributed CC took $secs%.1f s at 200k nodes (bound $wallBound%.0f s)")
+
+    // 2M docs, constant 100 tokens, 64 buckets: rank = id div 64,
+    // bin = rank div 5, fill = (rank % 5 + 1) * 100
+    val np = 2000000L
+    val t1 = System.nanoTime()
+    val packed = Packing.packGreedy(
+      spark.range(np).select(col("id").as("doc_id"),
+        lit(100L).as("n_tokens")),
+      "doc_id", "n_tokens", budget = 512, buckets = 64)
+    val pBad = packed.filter(
+      col("bin") =!= expr("(doc_id div 64) div 5") ||
+      col("fill") =!= (expr("(doc_id div 64) % 5") + 1) * 100).count()
+    val pSecs = (System.nanoTime() - t1) / 1e9
+    assert(pBad === 0L, s"$pBad/$np rows disagree with the closed form")
+    assert(pSecs <= wallBound,
+      f"packGreedy took $pSecs%.1f s at 2M rows (bound $wallBound%.0f s)")
+  }
+
   test("packGreedy on the documents fixture fills bins near budget") {
     val docs = Tables(spark, sf(""), "documents")
       .withColumn("n_tokens",
