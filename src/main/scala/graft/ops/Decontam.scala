@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share long
+  * word n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+  * PaLM style 8-gram overlap check).
+  *
+  * Shape at 100 TB: the eval side is a benchmark suite — thousands of
+  * documents, i.e. tiny next to the corpus — so its distinct n-gram set
+  * is BROADCAST and the whole check is a map-side hash probe over the
+  * training corpus: one Generate (n-gram explode) + one broadcast
+  * semi-ish join + one groupBy(doc_id) with map-side partial counts. No
+  * big-side shuffle of text, no corpus self-join. If the eval suite ever
+  * outgrew the broadcast budget the same code degrades to a shuffled
+  * equi-join on the gram hash, still linear.
+  *
+  * Grams are compared via md5 of the joined words, so the probe set
+  * carries 32-byte hashes rather than raw strings, and the computation is
+  * engine-portable (DuckDB md5 is identical) and partitioning-independent.
+  */
+object Decontam {
+
+  /** One row per (id, distinct n-gram hash). Documents shorter than n
+    * words contribute a single gram of the whole text — a short eval doc
+    * is still contamination if it appears verbatim. Tokenization matches
+    * Dedup.shingles: single-space split (the corpus is pre-normalized;
+    * swap in `\\s+` splitting upstream for raw text). */
+  def ngramHashes(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(size(w)-${n - 1}, 1)), i -> md5(concat_ws(' ', slice(w, i, $n))))"
+        ))).as("gram"))
+
+  /** Per-training-doc contamination report against `evalDocs`:
+    * (doc_id, n_grams, n_contaminated, contaminated). n_grams counts the
+    * doc's distinct n-grams, n_contaminated those also present in ANY
+    * eval doc. The eval gram set is deduplicated then broadcast. */
+  def contamination(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainGrams = ngramHashes(trainDocs, n, idCol, textCol)
+    val evalGrams = ngramHashes(evalDocs, n, idCol, textCol)
+      .select(col("gram")).distinct()
+    val hits = trainGrams
+      .join(broadcast(evalGrams).hint("broadcast"), Seq("gram"), "inner")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    trainGrams
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_contaminated"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+  }
+}

@@ -101,4 +101,57 @@ object TextAnalysis {
         (col("n_tokens_q") >= 20) && (col("avg_token_len") between(2, 12)) &&
           (col("punct_ratio") < 0.3) && (col("upper_ratio") < 0.3))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * character mass of the most frequent word 2-gram, and the character
+    * mass of word 3-grams that occur more than once, each as a fraction
+    * of the doc's total text length. High values mark boilerplate /
+    * degenerate repetition that the quality gate should drop.
+    *
+    * All per-doc: one Generate (non-distinct n-gram explode) + one
+    * two-level groupBy — map-side combinable, no cross-doc shuffle keyed
+    * on content, so it scales embarrassingly. The top gram tie-breaks by
+    * (count DESC, gram ASC) so the projection is deterministic under any
+    * partitioning and engine.
+    *
+    * Returns (idCol, n_chars_r, top2_gram, top2_count, top2_frac,
+    * dup3_chars, dup3_frac). */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(n: Int): DataFrame = df
+      .withColumn("w", split(col(textCol), " "))
+      .select(col(idCol), length(col(textCol)).as("n_chars_r"),
+        explode(expr(
+          s"transform(sequence(1, greatest(size(w)-${n - 1}, 1)), i -> concat_ws(' ', slice(w, i, $n)))"
+        )).as("gram"))
+
+    val top2 = grams(2)
+      .groupBy(col(idCol), col("n_chars_r"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n_chars_r"))
+      // highest count wins, ties break to the lexicographically smallest
+      // gram: min_by over the struct key (-cnt, gram) — struct ordering
+      // is lexicographic field-by-field, and min_by is a map-side
+      // combinable aggregate (no window shuffle).
+      .agg(min_by(struct(col("cnt"), col("gram")),
+        struct((-col("cnt")).as("nc"), col("gram"))).as("top"))
+      .select(col(idCol), col("n_chars_r"),
+        col("top.gram").as("top2_gram"), col("top.cnt").as("top2_count"))
+      .withColumn("top2_frac",
+        (col("top2_count") * length(col("top2_gram"))).cast("double") /
+          greatest(col("n_chars_r"), lit(1)))
+
+    val dup3 = grams(3)
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * length(col("gram"))).as("dup3_chars"))
+
+    top2
+      .join(dup3, Seq(idCol), "left")
+      .withColumn("dup3_chars", coalesce(col("dup3_chars"), lit(0L)))
+      .withColumn("dup3_frac",
+        col("dup3_chars").cast("double") / greatest(col("n_chars_r"), lit(1)))
+  }
 }

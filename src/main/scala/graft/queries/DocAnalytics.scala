@@ -347,6 +347,119 @@ object DocAnalytics {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("split")
+    },
+
+    // ---- benchmark decontamination: 8-gram overlap vs an eval set --------
+    // GPT-3/PaLM-style: a training doc is contaminated if it shares any
+    // long word n-gram with the benchmark suite. Eval set = doc_id % 7
+    // (deterministic, populated at every sf); grams are md5'd so the
+    // broadcast probe set carries 32-byte hashes. The Spark plan is one
+    // Generate + one BROADCAST hash join + map-side-combinable counts —
+    // the corpus side never shuffles its text.
+    sql("doc_decontam",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(w)-6, 2)),
+        |      i -> md5(array_to_string(w[i:i+7], ' '))))) AS gram
+        |  FROM w),
+        |eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0),
+        |train_g AS (SELECT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM train_g GROUP BY doc_id),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated
+        |         FROM train_g JOIN eval_g USING (gram) GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, n_grams,
+        |  COALESCE(n_contaminated, 0) AS n_contaminated,
+        |  CASE WHEN COALESCE(n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      graft.ops.Decontam.contamination(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher-style repetition signals ---------------------------------
+    // Character mass of the most frequent word 2-gram and of word 3-grams
+    // occurring more than once, as fractions of doc length (Rae et al.
+    // 2021 §A1.1). Deterministic top pick: (count DESC, gram ASC).
+    sql("doc_repetition",
+      """WITH w AS (SELECT doc_id, strlen(text) AS n_chars_r,
+        |             string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, n_chars_r, unnest(list_transform(
+        |         range(1, greatest(len(w), 2)),
+        |         i -> array_to_string(w[i:i+1], ' '))) AS gram FROM w),
+        |c2 AS (SELECT doc_id, n_chars_r, gram, COUNT(*) AS cnt FROM g2 GROUP BY ALL),
+        |top AS (SELECT doc_id, n_chars_r, gram AS top2_gram, cnt AS top2_count,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |        FROM c2),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |         range(1, greatest(len(w)-1, 2)),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS gram FROM w),
+        |c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY ALL),
+        |d3 AS (SELECT doc_id, CAST(SUM(cnt * strlen(gram)) AS BIGINT) AS dup3_chars
+        |       FROM c3 WHERE cnt > 1 GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, n_chars_r, top2_gram, top2_count,
+        |  CAST(top2_count * strlen(top2_gram) AS DOUBLE) / greatest(n_chars_r, 1) AS top2_frac,
+        |  COALESCE(dup3_chars, 0) AS dup3_chars,
+        |  CAST(COALESCE(dup3_chars, 0) AS DOUBLE) / greatest(n_chars_r, 1) AS dup3_frac
+        |FROM top t LEFT JOIN d3 ON d3.doc_id = t.doc_id
+        |WHERE rn = 1
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.TextAnalysis.repetitionSignals(docs(s, dir))
+        .select(col("doc_id"), col("n_chars_r"), col("top2_gram"),
+          col("top2_count"), col("top2_frac"),
+          col("dup3_chars"), col("dup3_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic token-budget sampling per language ----------------
+    // The training-mix primitive: fill each stratum's TOKEN budget in
+    // salted-md5 order (reproducible permutation; a doc's kept/dropped
+    // status never changes when later-ordered docs are added).
+    sql("doc_budget_sample",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    md5(doc_id::VARCHAR || ':sample:v1') AS smp_hash
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY smp_hash, doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CASE WHEN SUM(n_tokens) OVER (PARTITION BY lang ORDER BY smp_hash, doc_id
+        |                                ROWS UNBOUNDED PRECEDING) - n_tokens < 2000
+        |       THEN 1 ELSE 0 END AS kept
+        |FROM d
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.Sampling.tokenBudgetSample(
+        docs(s, dir).withColumn("n_tokens",
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")),
+        stratumCol = "lang", tokensCol = "n_tokens", budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("kept"))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus-wide top-20 word 3-grams ---------------------------------
+    // Counts are map-side combinable; the global top-k executes as
+    // TakeOrderedAndProject (per-partition heaps, no full sort).
+    sql("doc_top_ngrams",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g3 AS (SELECT unnest(list_transform(range(1, greatest(len(w)-1, 2)),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS gram FROM w),
+        |c AS (SELECT gram, COUNT(*) AS cnt FROM g3 GROUP BY gram)
+        |SELECT gram, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rank
+        |FROM c ORDER BY cnt DESC, gram LIMIT 20""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
+        )).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("gram"))))
     }
   )
 }

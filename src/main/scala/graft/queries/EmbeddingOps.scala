@@ -179,6 +179,49 @@ object EmbeddingOps {
         .filter(col("cos_raw") >= 0.45)
         .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- int8-quantized brute-force top-10 -------------------------------
+    // The memory move that keeps a 100 TB ANN index resident: symmetric
+    // per-vector int8 quantization (scale = max|x|/127), candidate scoring
+    // via EXACT integer dot products (bit-deterministic — no float
+    // accumulation order across engines/partitionings), rescaled to
+    // cosine only for the final ranking. Recall@10 vs the float baseline
+    // is 1.0 on this corpus (see VectorSearchSpec / COVERAGE.md).
+    sql("emb_int8_knn",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |qt AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+        |         list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+        |       FROM v),
+        |qz AS (SELECT vec_id, nrm, scale,
+        |         list_transform(e, x -> CASE WHEN scale = 0.0 THEN 0
+        |                                     ELSE CAST(round(x / scale) AS INT) END) AS q
+        |       FROM qt),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, scale AS qscale, nrm AS qnrm
+        |       FROM qz WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(list_transform(qq, x -> CAST(x AS DOUBLE)),
+        |                          list_transform(c.q, x -> CAST(x AS DOUBLE))) AS BIGINT) AS dot_q,
+        |    qscale, c.scale AS scale, qnrm, c.nrm AS nrm
+        |  FROM qz c CROSS JOIN qs WHERE c.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dot_q,
+        |    CAST(dot_q AS DOUBLE) * qscale * scale / (qnrm * nrm) AS qcos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY CAST(dot_q AS DOUBLE) * qscale * scale / (qnrm * nrm) DESC,
+        |               neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, dot_q, ROUND(qcos_raw, 6) AS qcos
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""") { (s, dir) =>
+      val v = vectors(s, dir)
+      graft.ops.VectorSearch.quantizedTopK(
+        v, v.filter(col("vec_id") < 5), idCol = "vec_id", vecCol = "e", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("dot_q"), round(col("qcos"), 6).as("qcos"))
+        .orderBy("query_id", "rank")
     }
   )
 }

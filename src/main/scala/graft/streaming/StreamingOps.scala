@@ -76,6 +76,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming benchmark-contamination alerts: a stream-static join of
+    * the live ingest's word n-gram hashes against a STATIC eval-set gram
+    * table (graft.ops.Decontam.ngramHashes output). Stream-static joins
+    * are stateless in Structured Streaming — no watermark, no state
+    * store; each micro-batch probes the broadcast eval grams exactly the
+    * way the batch decontamination plan does, so flagged docs surface
+    * DURING ingest instead of in a nightly sweep. Emits one row per
+    * (doc, matching gram hash); dedupe/aggregate downstream if alert
+    * volume matters. */
+  def contaminationAlerts(docs: DataFrame, evalGrams: DataFrame,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .withColumn("w", split(col(textCol), " "))
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(size(w)-${n - 1}, 1)), i -> md5(concat_ws(' ', slice(w, i, $n))))"
+        ))).as("gram"))
+    grams.join(broadcast(evalGrams.select(col("gram")).distinct()),
+      Seq("gram"), "inner")
+  }
+
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)
   case class MetricState(n: Long, mean: Double, m2: Double)
   case class Flagged(metric: String, ts: java.sql.Timestamp, value: Double,

@@ -26,6 +26,8 @@ class PlanGuardSpec extends SparkSpec {
     "ev_zscore_hotspots" -> "broadcast side is a single global-stats row",
     // fixed literal query set (vec_id < 5) broadcast against the corpus
     "emb_knn_cosine" -> "broadcast side is the 5-vector query set",
+    // same shape, int8-quantized scoring (exact integer dots)
+    "emb_int8_knn" -> "broadcast side is the 5-vector quantized query set",
     // three 1-row aggregate counts crossJoined into one summary row
     "q14_nation_set_ops" -> "all sides are 1-row aggregates",
     // AnomalyGate.stats: total-events 1-row agg × anomaly-count 1-row agg

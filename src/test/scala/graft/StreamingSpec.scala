@@ -299,4 +299,47 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(out === Set(1L, 3L))
   }
+
+  test("streaming contamination alerts: stream-static join matches batch decontam") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val evalGrams = graft.ops.Decontam.ngramHashes(evalDocs, 8)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.contaminationAlerts(docs, evalGrams)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      // shares its first 8-word window with the eval doc → alert
+      (1L, "alpha beta gamma delta epsilon zeta eta theta lambda mu"),
+      // word 8 swapped → no 8-gram window matches → clean
+      (2L, "alpha beta gamma delta epsilon zeta eta thorn lambda mu"))
+    q.processAllAvailable()
+    // stream-static joins are stateless: a later batch still probes
+    input.addData((3L, "zeta eta theta iota kappa one two three four"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("contam_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 contains "zeta eta theta iota kappa" but no FULL eval
+    // 8-gram (the eval doc's windows all start at alpha/beta/gamma)
+    assert(hits === Set(1L))
+
+    // per-doc alert counts equal the batch decontamination counts
+    val batch = graft.ops.Decontam.contamination(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta lambda mu"),
+        (2L, "alpha beta gamma delta epsilon zeta eta thorn lambda mu"),
+        (3L, "zeta eta theta iota kappa one two three four"))
+        .toDF("doc_id", "text"),
+      evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamCounts = spark.table("contam_out").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch(1L) === streamCounts.getOrElse(1L, 0L))
+    assert(batch(2L) === 0L && !streamCounts.contains(2L))
+    assert(batch(3L) === 0L && !streamCounts.contains(3L))
+  }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Decontam, Sampling, TextAnalysis, VectorSearch}
+
+/** Training-data pipeline additions: n-gram decontamination, repetition
+  * signals, token-budget sampling, int8 quantization. Each op is pinned
+  * against a naive in-memory re-derivation. */
+class TrainDataOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ngrams(text: String, n: Int): Set[String] = {
+    val w = text.split(" ", -1)
+    if (w.length <= n) Set(w.mkString(" "))
+    else w.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("Decontam: per-doc contaminated gram counts match a naive set intersection") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta thorn lambda mu"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "short doc"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"))
+      .toDF("doc_id", "text")
+    val eval = docs.filter(col("doc_id") === 0L)
+    val train = docs.filter(col("doc_id") =!= 0L)
+
+    val got = Decontam.contamination(train, eval, n = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+
+    val evalGrams = ngrams("alpha beta gamma delta epsilon zeta eta theta iota kappa", 8)
+    val trainTexts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta thorn lambda mu",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "short doc",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi")
+    trainTexts.foreach { case (id, t) =>
+      val g = ngrams(t, 8)
+      val hits = (g & evalGrams).size.toLong
+      assert(got(id) === ((g.size.toLong, hits, if (hits > 0) 1 else 0)),
+        s"doc $id")
+    }
+    // doc 4 contains doc 0's full 8-gram window run → contaminated
+    assert(got(4L)._3 === 1)
+    // doc 1 swaps word 8 (theta -> thorn), so no 8-word window matches
+    assert(got(1L)._3 === 0)
+  }
+
+  test("repetitionSignals: top 2-gram and duplicate 3-gram mass match hand computation") {
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top (a b, 3)
+    // 3-grams = [a b a, b a b, a b a, b a b] → all duplicated, mass
+    // = 2*5 + 2*5 = 20; n_chars = 11
+    val docs = Seq((0L, "a b a b a b"), (1L, "x y z w")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs)
+      .orderBy("doc_id").collect()
+
+    val r0 = got(0)
+    assert(r0.getAs[String]("top2_gram") === "a b")
+    assert(r0.getAs[Long]("top2_count") === 3L)
+    assert(r0.getAs[Double]("top2_frac") === 3.0 * 3 / 11)
+    assert(r0.getAs[Long]("dup3_chars") === 20L)
+    assert(r0.getAs[Double]("dup3_frac") === 20.0 / 11)
+
+    val r1 = got(1)
+    // all 2-grams unique → count 1, tie-break = lexicographically least
+    assert(r1.getAs[Long]("top2_count") === 1L)
+    assert(r1.getAs[String]("top2_gram") === "x y")
+    assert(r1.getAs[Long]("dup3_chars") === 0L)
+  }
+
+  test("tokenBudgetSample: greedy fill in hash order; deterministic under repartition") {
+    val docs = (0L until 200L).map(i => (i, s"s${i % 3}", 100L + i % 7))
+      .toDF("doc_id", "stratum", "n_tokens")
+    val a = Sampling.tokenBudgetSample(docs, "stratum", "n_tokens", 1000L)
+      .select("doc_id", "cum_tokens", "kept")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    val b = Sampling.tokenBudgetSample(docs.repartition(7), "stratum",
+        "n_tokens", 1000L)
+      .select("doc_id", "cum_tokens", "kept")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(a === b)
+
+    // naive replay: md5 order within stratum, cumulative fill
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.digest(s"$id:sample:v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (0 until 3).foreach { s =>
+      val rows = (0L until 200L).filter(_ % 3 == s)
+        .map(i => (i, 100L + i % 7)).sortBy { case (i, _) => (h(i), i) }
+      var cum = 0L
+      rows.foreach { case (id, tok) =>
+        val kept = if (cum < 1000L) 1 else 0
+        cum += tok
+        assert(a(id) === ((cum, kept)), s"doc $id stratum $s")
+      }
+    }
+    // every stratum keeps at least one doc and drops at least one
+    val kept = a.values.map(_._2).sum
+    assert(kept > 0 && kept < 200)
+  }
+
+  test("quantizeInt8: values bounded, reconstruction within half-step, exact integer dots") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val df = vecs.toDF("vec_id", "e").cache()
+
+    val q = VectorSearch.quantizeInt8(df, "e")
+      .select("vec_id", "e", "q", "scale").collect()
+    q.foreach { r =>
+      val e = r.getSeq[Double](1)
+      val qi = r.getSeq[Int](2)
+      val s = r.getDouble(3)
+      assert(qi.forall(v => v >= -127 && v <= 127))
+      // reconstruction error ≤ scale/2 per element
+      e.zip(qi).foreach { case (x, v) =>
+        assert(math.abs(x - v * s) <= s / 2 + 1e-12)
+      }
+      // naive quantization matches
+      val maxAbs = e.map(math.abs).max
+      val es = maxAbs / 127.0
+      assert(math.abs(s - es) < 1e-15)
+      e.zip(qi).foreach { case (x, v) =>
+        assert(v === math.round(x / es).toInt)
+      }
+    }
+
+    // quantized top-k: exact integer dot + high recall vs float baseline
+    val queries = df.filter(col("vec_id") < 5)
+    val topQ = VectorSearch.quantizedTopK(df, queries, "vec_id", "e", k = 10)
+    val rows = topQ.collect()
+    val qmap = q.map(r => r.getLong(0) ->
+      (r.getSeq[Int](2).toArray, r.getDouble(3))).toMap
+    rows.take(20).foreach { r =>
+      val (qa, _) = qmap(r.getAs[Long]("query_id"))
+      val (qb, _) = qmap(r.getAs[Long]("neighbor_id"))
+      val naive = qa.zip(qb).map { case (x, y) => x.toLong * y }.sum
+      assert(r.getAs[Long]("dot_q") === naive)
+    }
+    val exact = VectorSearch.bruteForceCosine(df, queries, "vec_id", "e", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall too low")
+  }
+}
