@@ -47,7 +47,13 @@ object ClusterSmoke {
     "mm_png_decode",
     "mm_wav_decode",
     "ev_asof_last_signup",
-    "ev_streaming_gate")
+    "ev_streaming_gate",
+    // round-6 additions: the int8 quantized scan (zip_with/aggregate
+    // integer dots on executor codegen) and the end-to-end cleaning
+    // pipeline (broadcast decontam probe + CC star-loop + repetition
+    // min_by + quality gate composed across executor JVMs)
+    "emb_int8_knn",
+    "doc_clean_pipeline")
 
   /** JDK-17 module opens Spark needs outside spark-submit — mirrored from
     * build.sbt's javaOptions; reused for the spawned driver AND the

@@ -307,6 +307,56 @@ object VectorSearch {
       .filter(col("rank") <= k)
   }
 
+  /** IVF with int8-quantized re-rank — the memory-bounded 100 TB shape:
+    * the coarse quantizer (float centroids) routes queries to cells, but
+    * the resident per-cell vectors are int8 (4× smaller index) and
+    * candidate scoring is exact integer dots rescaled to approximate
+    * cosine. Same cell assignment/probing as ivfCosine; only the re-rank
+    * arithmetic changes. Returns (query_id, neighbor_id, dot_q, qcos,
+    * rank). */
+  def ivfCosineInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nCells: Int = 16, nprobe: Int = 3,
+      iters: Int = 2, trainCap: Int = DefaultTrainCap): DataFrame = {
+    val (cells, cap) =
+      if (nCells > 0) (nCells, 0)
+      else (autoCells(corpus.select(idCol).count()), trainCap)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, cells, iters, cap)
+    val indexed = quantizeInt8(assign(corpus, vecCol, centroids), vecCol)
+      .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+      .select(col(idCol), col("cid"), col("q"), col("scale"), col("nrm"))
+    val probeCol =
+      if (centroids.length > 32) {
+        val cidOf = array(centroids.map(c => lit(c._1)): _*)
+        transform(GraftFunctions.nearestCells(col(vecCol),
+          centroids.map(_._2), nprobe), i => element_at(cidOf, i + 1))
+      } else {
+        val probeScores = centroids.map { case (cid, c) =>
+          struct(nanvl(GraftFunctions.dotProduct(col(vecCol),
+            array(c.map(lit(_)): _*)) * -1,
+            lit(Double.PositiveInfinity)).as("negd"), lit(cid).as("cid"))
+        }
+        transform(slice(array_sort(array(probeScores: _*)), 1, nprobe),
+          s => s.getField("cid"))
+      }
+    val probed = quantizeInt8(queries, vecCol)
+      .withColumn("qnrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+      .select(col(idCol).as("query_id"), col("q").as("qq"),
+        col("scale").as("qscale"), col("qnrm"),
+        explode(probeCol).as("cid"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    indexed.join(probed, Seq("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("dot_q", quantizedDot("qq", "q"))
+      .withColumn("qcos",
+        col("dot_q").cast("double") * col("qscale") * col("scale") /
+          (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("dot_q"), col("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact brute-force cosine top-k (broadcast query set).
     * `excludeSelf` drops neighbor_id == query_id matches — right for
     * corpus-vs-corpus dedup, wrong for external query sets whose ids

@@ -424,6 +424,92 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF + int8: float coarse quantizer, int8 resident index ---------
+    // The memory-bounded 100 TB shape: cells route queries exactly as
+    // emb_ann_ivf (float centroids, same Lloyd derivation), but the
+    // per-cell resident vectors are int8 (4× smaller index) and the
+    // re-rank is exact integer dots rescaled to approximate cosine —
+    // bit-deterministic scoring, so the oracle needs no float-sum
+    // tolerance anywhere past the (already-decimal-exact) centroids.
+    sql("emb_ivf_int8", {
+      val (nCells, nprobe, k) = (16, 4, 10)
+      def assignSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      val quantize =
+        """list_transform(e, x -> CASE WHEN scale = 0.0 THEN 0
+          |                            ELSE CAST(round(x / scale) AS INT) END)""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < $nCells
+        |), a0 AS (${assignSql("v", "c0")}),
+        |c1 AS (${lloydSql("a0")}),
+        |a1 AS (${assignSql("v", "c1")}),
+        |c2 AS (${lloydSql("a1")}),
+        |idx AS (
+        |  SELECT vec_id, cid, sqrt(list_dot_product(e, e)) AS nrm,
+        |    scale, $quantize AS q
+        |  FROM (SELECT *, list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+        |        FROM (${assignSql("v", "c2")}))
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe,
+        |    sqrt(list_dot_product(e, e)) AS qnrm,
+        |    scale AS qscale, $quantize AS qq
+        |  FROM (SELECT *, list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+        |        FROM v)
+        |  WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, qq, qscale, qnrm, cid FROM (
+        |    SELECT q.query_id, q.qq, q.qscale, q.qnrm, c2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qe, c2.c) DESC, c2.cid) AS rk
+        |    FROM q CROSS JOIN c2) WHERE rk <= $nprobe
+        |), scored AS (
+        |  SELECT query_id, neighbor_id, dot_q,
+        |    CAST(dot_q AS DOUBLE) * qscale * scale / (qnrm * nrm) AS qcos_raw
+        |  FROM (
+        |    SELECT p.query_id, i.vec_id AS neighbor_id,
+        |      CAST(list_dot_product(
+        |        list_transform(p.qq, x -> CAST(x AS DOUBLE)),
+        |        list_transform(i.q, x -> CAST(x AS DOUBLE))) AS BIGINT) AS dot_q,
+        |      p.qscale, i.scale AS scale, p.qnrm, i.nrm AS nrm
+        |    FROM probe p JOIN idx i USING (cid)
+        |    WHERE i.vec_id <> p.query_id)
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, dot_q, qcos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY qcos_raw DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, dot_q, ROUND(qcos_raw, 6) AS qcos
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.ivfCosineInt8(v, v.filter(col("vec_id") < 5), "vec_id",
+        "e", k = 10, nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("dot_q"), round(col("qcos"), 6).as("qcos"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- LSH ANN, 100 TB regime: corpus-sized signature width ------------
     // bits = 0 is the linear scale path: signature width derives from the
     // corpus count (autoBits — expected bucket size pinned at bucketTarget,
