@@ -545,7 +545,12 @@ object DocAnalytics {
         |ORDER BY doc_id"""
     }) { (s, dir) =>
       val d = docs(s, dir)
-      val train = d.filter(col("doc_id") % 7 =!= 0)
+      // the four gates each consume (doc_id, text): cache that projection
+      // once instead of four parquet scans + re-splits (same contract as
+      // Dedup's shingle cache — Verify/Bench clearCache between queries).
+      // At 100 TB the equivalent move is staging this projection as a
+      // columnar intermediate table shared by the stages.
+      val train = d.filter(col("doc_id") % 7 =!= 0).cache()
       val toks = split(col("text"), " ")
       val qual = train.select(col("doc_id"),
         when(size(toks) >= 20 &&
