@@ -480,7 +480,52 @@ object DocAnalytics {
     // is O(log²) rounds. Thresholds are corpus-calibrated so every gate
     // actually drops documents (quality ~15%, repetition ~7%,
     // decontam ~2%, dedup the planted near-dup tail).
-    sql("doc_clean_pipeline", {
+    sql("doc_clean_pipeline",
+      s"""$cleanPipelineCtes
+        |SELECT doc_id, is_quality, not_repetitive, dedup_keep,
+        |  not_contaminated, keep
+        |FROM per_doc
+        |ORDER BY doc_id""") { (s, dir) =>
+      cleanPipelineFrame(s, dir)
+        .select(col("doc_id"), col("is_quality"), col("not_repetitive"),
+          col("dedup_keep"), col("not_contaminated"), col("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- pipeline monitoring: per-source attrition report ----------------
+    // What an operator watches on the 100 TB job: how many docs each gate
+    // drops, per source — a sudden keep-rate shift in one source is the
+    // standard signal of upstream corruption or a miscalibrated gate.
+    sql("doc_pipeline_report",
+      s"""$cleanPipelineCtes
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(is_quality) AS BIGINT) AS n_quality,
+        |  CAST(SUM(not_repetitive) AS BIGINT) AS n_not_repetitive,
+        |  CAST(SUM(dedup_keep) AS BIGINT) AS n_dedup_keep,
+        |  CAST(SUM(not_contaminated) AS BIGINT) AS n_not_contaminated,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate
+        |FROM per_doc
+        |GROUP BY source
+        |ORDER BY source""") { (s, dir) =>
+      cleanPipelineFrame(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_quality")).cast("long").as("n_quality"),
+          sum(col("not_repetitive")).cast("long").as("n_not_repetitive"),
+          sum(col("dedup_keep")).cast("long").as("n_dedup_keep"),
+          sum(col("not_contaminated")).cast("long").as("n_not_contaminated"),
+          sum(col("keep")).cast("long").as("n_kept"),
+          (sum(col("keep")).cast("double") / count(lit(1))).as("keep_rate"))
+        .orderBy("source")
+    }
+  )
+
+  /** CTE prefix shared by doc_clean_pipeline and doc_pipeline_report:
+    * everything up to `per_doc(doc_id, source, lang, is_quality,
+    * not_repetitive, dedup_keep, not_contaminated, keep)`. Lazy because
+    * `all` (declared above) captures it during object init. */
+  private lazy val cleanPipelineCtes: String = {
       val ctes = minhashPairCtesOver("train")
       s"""WITH RECURSIVE train AS (
         |  SELECT * FROM documents WHERE doc_id % 7 <> 0
@@ -528,22 +573,27 @@ object DocAnalytics {
         |contam AS (
         |  SELECT DISTINCT d.doc_id FROM dgr d JOIN ev USING (gram)
         |  WHERE d.doc_id % 7 <> 0
-        |)
-        |SELECT t.doc_id AS doc_id, q.is_quality, r.not_repetitive,
-        |  CASE WHEN COALESCE(c.component, t.doc_id) = t.doc_id
-        |       THEN 1 ELSE 0 END AS dedup_keep,
-        |  CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS not_contaminated,
-        |  CASE WHEN q.is_quality = 1 AND r.not_repetitive = 1
-        |        AND COALESCE(c.component, t.doc_id) = t.doc_id
-        |        AND ct.doc_id IS NULL
-        |       THEN 1 ELSE 0 END AS keep
-        |FROM train t
-        |JOIN qual q ON q.doc_id = t.doc_id
-        |JOIN rep r ON r.doc_id = t.doc_id
-        |LEFT JOIN comp c ON c.id = t.doc_id
-        |LEFT JOIN contam ct ON ct.doc_id = t.doc_id
-        |ORDER BY doc_id"""
-    }) { (s, dir) =>
+        |), per_doc AS (
+        |  SELECT t.doc_id AS doc_id, t.source, t.lang,
+        |    q.is_quality, r.not_repetitive,
+        |    CASE WHEN COALESCE(c.component, t.doc_id) = t.doc_id
+        |         THEN 1 ELSE 0 END AS dedup_keep,
+        |    CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS not_contaminated,
+        |    CASE WHEN q.is_quality = 1 AND r.not_repetitive = 1
+        |          AND COALESCE(c.component, t.doc_id) = t.doc_id
+        |          AND ct.doc_id IS NULL
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM train t
+        |  JOIN qual q ON q.doc_id = t.doc_id
+        |  JOIN rep r ON r.doc_id = t.doc_id
+        |  LEFT JOIN comp c ON c.id = t.doc_id
+        |  LEFT JOIN contam ct ON ct.doc_id = t.doc_id
+        |)""".stripMargin
+  }
+
+  /** Per-doc gate-decision frame shared by doc_clean_pipeline and
+    * doc_pipeline_report — the Spark twin of `cleanPipelineCtes`. */
+  private def cleanPipelineFrame(s: SparkSession, dir: String): DataFrame = {
       val d = docs(s, dir)
       // the four gates each consume (doc_id, text): cache that projection
       // once instead of four parquet scans + re-splits (same contract as
@@ -552,7 +602,7 @@ object DocAnalytics {
       // columnar intermediate table shared by the stages.
       val train = d.filter(col("doc_id") % 7 =!= 0).cache()
       val toks = split(col("text"), " ")
-      val qual = train.select(col("doc_id"),
+      val qual = train.select(col("doc_id"), col("source"), col("lang"),
         when(size(toks) >= 20 &&
           size(filter(toks, x => x.isin("the", "a"))).cast("double") /
             size(toks) < 0.1, 1).otherwise(0).as("is_quality"))
@@ -573,7 +623,5 @@ object DocAnalytics {
           when(col("is_quality") === 1 && col("not_repetitive") === 1 &&
             col("dedup_keep") === 1 && col("not_contaminated") === 1, 1)
             .otherwise(0))
-        .orderBy("doc_id")
-    }
-  )
+  }
 }
