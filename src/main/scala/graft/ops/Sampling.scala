@@ -39,4 +39,27 @@ object Sampling {
       .withColumn("kept",
         when(col("cum_tokens") - col(tokensCol) < budget, 1).otherwise(0))
   }
+
+  /** Weighted training mix: a DIFFERENT token budget per stratum (the
+    * actual shape of a pre-training data recipe — "30B tokens of code,
+    * 5B of forum text, ..."). `budgets` maps stratum value → budget;
+    * strata absent from the map get `defaultBudget`. The map joins in as
+    * a broadcast literal frame, so the plan stays the same single
+    * stratum-keyed window shuffle as the uniform sampler. */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, tokensCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L,
+      idCol: String = "doc_id", salt: String = ":sample:v1"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = budgets.toSeq.sortBy(_._1)
+      .toDF(stratumCol, "stratum_budget")
+    tokenBudgetSample(df, stratumCol, tokensCol, 0L, idCol, salt)
+      .drop("kept")
+      .join(broadcast(b), Seq(stratumCol), "left")
+      .withColumn("stratum_budget",
+        coalesce(col("stratum_budget"), lit(defaultBudget)))
+      .withColumn("kept",
+        when(col("cum_tokens") - col(tokensCol) < col("stratum_budget"), 1)
+          .otherwise(0))
+  }
 }

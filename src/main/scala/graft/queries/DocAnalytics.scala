@@ -445,6 +445,41 @@ object DocAnalytics {
         .orderBy("doc_id")
     },
 
+    // ---- weighted training mix: per-language token budgets ---------------
+    // The actual shape of a pre-training recipe ("X tokens of en, Y of
+    // zh, ..."): same deterministic salted-hash fill as
+    // doc_budget_sample, but each stratum gets its own budget via a
+    // broadcast literal join — plan still one stratum-keyed window.
+    sql("doc_mix_sample",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    md5(doc_id::VARCHAR || ':sample:v1') AS smp_hash
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY smp_hash, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d),
+        |b(lang, stratum_budget) AS (VALUES
+        |  ('en', CAST(4000 AS BIGINT)), ('de', CAST(2000 AS BIGINT)),
+        |  ('fr', CAST(1500 AS BIGINT)), ('es', CAST(1000 AS BIGINT)),
+        |  ('zh', CAST(500 AS BIGINT)))
+        |SELECT doc_id, lang, n_tokens, cum_tokens, stratum_budget,
+        |  CASE WHEN cum_tokens - n_tokens < stratum_budget THEN 1 ELSE 0 END AS kept
+        |FROM c JOIN b USING (lang)
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.Sampling.tokenBudgetMix(
+        docs(s, dir).withColumn("n_tokens",
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")),
+        stratumCol = "lang", tokensCol = "n_tokens",
+        budgets = Map("en" -> 4000L, "de" -> 2000L, "fr" -> 1500L,
+          "es" -> 1000L, "zh" -> 500L))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("stratum_budget"), col("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus-wide top-20 word 3-grams ---------------------------------
     // Counts are map-side combinable; the global top-k executes as
     // TakeOrderedAndProject (per-partition heaps, no full sort).

@@ -50,6 +50,30 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(got(1L)._3 === 0)
   }
 
+  test("Decontam: randomized corpora match the naive model (100 docs, 3 gram sizes)") {
+    val rng = new scala.util.Random(20260814L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    def randDoc(): String =
+      Seq.fill(1 + rng.nextInt(20))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")
+    val texts = (0L until 100L).map(i => (i, randDoc()))
+    val df = texts.toDF("doc_id", "text")
+    val eval = df.filter(col("doc_id") % 5 === 0)
+    val train = df.filter(col("doc_id") % 5 =!= 0)
+    val evalTexts = texts.filter(_._1 % 5 == 0).map(_._2)
+    Seq(2, 4, 8).foreach { n =>
+      val evalGrams = evalTexts.flatMap(t => ngrams(t, n)).toSet
+      val got = Decontam.contamination(train, eval, n)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      texts.filter(_._1 % 5 != 0).foreach { case (id, t) =>
+        val g = ngrams(t, n)
+        assert(got(id) === ((g.size.toLong, (g & evalGrams).size.toLong)),
+          s"n=$n doc $id text '$t'")
+      }
+    }
+  }
+
   test("repetitionSignals: top 2-gram and duplicate 3-gram mass match hand computation") {
     // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top (a b, 3)
     // 3-grams = [a b a, b a b, a b a, b a b] → all duplicated, mass
@@ -101,6 +125,33 @@ class TrainDataOpsSpec extends SparkSpec {
     // every stratum keeps at least one doc and drops at least one
     val kept = a.values.map(_._2).sum
     assert(kept > 0 && kept < 200)
+  }
+
+  test("tokenBudgetMix: per-stratum budgets; absent strata fall to the default") {
+    val docs = (0L until 90L).map(i => (i, s"s${i % 3}", 50L))
+      .toDF("doc_id", "stratum", "n_tokens")
+    val mix = Sampling.tokenBudgetMix(docs, "stratum", "n_tokens",
+      budgets = Map("s0" -> 500L, "s1" -> 100L), defaultBudget = 0L)
+      .select("doc_id", "stratum", "kept", "stratum_budget")
+      .collect()
+    val keptBy = mix.groupBy(_.getString(1))
+      .view.mapValues(_.count(_.getInt(2) == 1)).toMap
+    // 50-token docs: 500 budget keeps 10 (starts at 0..450), 100 keeps 2
+    assert(keptBy("s0") === 10)
+    assert(keptBy("s1") === 2)
+    // s2 is absent from the map → default budget 0 keeps nothing
+    assert(keptBy("s2") === 0)
+    mix.filter(_.getString(1) == "s2").foreach(r =>
+      assert(r.getLong(3) === 0L))
+    // uniform sampler with the same budget for every stratum agrees
+    val uni = Sampling.tokenBudgetSample(docs, "stratum", "n_tokens", 100L)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mixUni = Sampling.tokenBudgetMix(docs, "stratum", "n_tokens",
+      budgets = Map.empty, defaultBudget = 100L)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(uni === mixUni)
   }
 
   test("quantizeInt8: values bounded, reconstruction within half-step, exact integer dots") {
