@@ -204,6 +204,44 @@ object Dedup {
       DataFrame =
     candidatesFrom(shingles(docs, idCol, textCol), hashes, bandCount)
 
+  /** Incremental (bipartite) admission of a NEW ingest batch against the
+    * EXISTING corpus — the continuous-ingest shape of dedup. Per new doc:
+    * `exact_dup` (its content hash already exists), `near_candidates`
+    * (count of existing docs sharing ≥1 LSH band bucket), `admit`
+    * (1 iff neither). The join is new-batch × corpus-index only — never
+    * corpus × corpus — so at 100 TB the standing cost is the batch's own
+    * signatures probing a precomputed banded index (here derived inline;
+    * in production `bands(minhashSignatures(...))` of the corpus is the
+    * stored index this probes). */
+  def incrementalAdmit(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashes: Int = 16, bandCount: Int = 4): DataFrame = {
+    val newBands = bands(minhashSignatures(
+      shingles(newDocs, idCol, textCol), hashes), bandCount,
+      hashes / bandCount)
+    val oldBands = bands(minhashSignatures(
+      shingles(corpus, idCol, textCol), hashes), bandCount,
+      hashes / bandCount)
+      .select(col("doc_id").as("old_id"), col("band"), col("bh"))
+    val near = newBands.join(oldBands, Seq("band", "bh"))
+      .select(col("doc_id"), col("old_id")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("near_candidates"))
+    val oldHashes = corpus
+      .select(md5(col(textCol)).as("content_hash")).distinct()
+    val exact = newDocs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
+      .join(oldHashes.withColumn("__hit", lit(1)), Seq("content_hash"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__hit"), lit(0)).as("exact_dup"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("near_candidates"), lit(0L)).as("near_candidates"),
+        when(col("exact_dup") === 0 &&
+          coalesce(col("near_candidates"), lit(0L)) === 0, 1).otherwise(0)
+          .as("admit"))
+  }
+
   /** Connected components over an undirected edge list — the clustering
     * step of corpus near-dedup (LSH/Jaccard pairs → duplicate CLUSTERS →
     * one representative per cluster), which pairwise keep-min pruning

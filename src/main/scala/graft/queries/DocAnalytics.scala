@@ -32,19 +32,14 @@ object DocAnalytics {
 
   private val shingleSql = shingleSqlOver("documents")
 
-  /** DuckDB twin of graft.ops.Dedup.minhashCandidates as a CTE chain
-    * ending in `pairs(doc_a, doc_b)` — shared by doc_minhash_lsh, the
-    * component-clustering oracle, and the end-to-end cleaning pipeline
-    * (which runs it over the train subset). */
-  private def minhashPairCtesOver(src: String): String = {
+  /** DuckDB twin of Dedup's signature+banding chain: CTEs `shingles`,
+    * `sig`, `banded(doc_id, b0..b3)` over `src`. */
+  private def bandedCtesOver(src: String): String = {
     val mins = (0 until 16)
       .map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(",\n    ")
     val bands = (0 until 4)
       .map(k => s"md5(m${4 * k} || m${4 * k + 1} || m${4 * k + 2} || m${4 * k + 3}) AS b$k")
       .mkString(", ")
-    val unions = (0 until 4)
-      .map(k => s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
-      .mkString("\n  UNION\n  ")
     s"""shingles AS (
       |${shingleSqlOver(src)}
       |), sig AS (
@@ -53,7 +48,18 @@ object DocAnalytics {
       |  FROM shingles GROUP BY doc_id
       |), banded AS (
       |  SELECT doc_id, $bands FROM sig
-      |), pairs AS (
+      |)""".stripMargin
+  }
+
+  /** DuckDB twin of graft.ops.Dedup.minhashCandidates as a CTE chain
+    * ending in `pairs(doc_a, doc_b)` — shared by doc_minhash_lsh, the
+    * component-clustering oracle, and the end-to-end cleaning pipeline
+    * (which runs it over the train subset). */
+  private def minhashPairCtesOver(src: String): String = {
+    val unions = (0 until 4)
+      .map(k => s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n  ")
+    s"""${bandedCtesOver(src)}, pairs AS (
       |  $unions
       |)""".stripMargin
   }
@@ -442,6 +448,43 @@ object DocAnalytics {
         stratumCol = "lang", tokensCol = "n_tokens", budget = 2000L)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("cum_tokens"), col("kept"))
+        .orderBy("doc_id")
+    },
+
+    // ---- incremental admission: a NEW ingest batch vs the corpus ---------
+    // Continuous-ingest dedup: each new doc probes the existing corpus's
+    // banded MinHash index (bipartite join — batch × index only, never
+    // corpus × corpus) plus an exact content-hash anti-check; admit iff
+    // neither fires. New batch = doc_id % 10 = 9 (a 10% "incoming" cut).
+    sql("doc_incr_dedup", {
+      val unions = (0 until 4)
+        .map(k => s"SELECT n.doc_id, o.doc_id AS old_id FROM newb n JOIN oldb o ON n.b$k = o.b$k")
+        .mkString("\n  UNION\n  ")
+      s"""WITH ${bandedCtesOver("documents")},
+        |newb AS (SELECT * FROM banded WHERE doc_id % 10 = 9),
+        |oldb AS (SELECT * FROM banded WHERE doc_id % 10 <> 9),
+        |near AS (
+        |  SELECT doc_id, COUNT(*) AS near_candidates FROM (
+        |  $unions
+        |  ) GROUP BY doc_id
+        |), oldh AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+        |), ex AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+        |  FROM (SELECT doc_id, md5(text) AS nh FROM documents WHERE doc_id % 10 = 9)
+        |  LEFT JOIN oldh ON oldh.h = nh
+        |)
+        |SELECT ex.doc_id AS doc_id, exact_dup,
+        |  COALESCE(near_candidates, 0) AS near_candidates,
+        |  CASE WHEN exact_dup = 0 AND COALESCE(near_candidates, 0) = 0
+        |       THEN 1 ELSE 0 END AS admit
+        |FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
+        |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      graft.ops.Dedup.incrementalAdmit(
+        d.filter(col("doc_id") % 10 === 9), d.filter(col("doc_id") % 10 =!= 9))
         .orderBy("doc_id")
     },
 

@@ -154,6 +154,30 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(uni === mixUni)
   }
 
+  test("incrementalAdmit: exact dup, near dup, and clean docs routed correctly") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different content about spark shuffles and joins here"),
+      (2L, "another unrelated document talking about parquet column pruning"))
+      .toDF("doc_id", "text")
+    val newBatch = Seq(
+      (10L, base), // verbatim copy → exact dup (and LSH-near)
+      // one word changed → not exact, but shares 3/4+ shingles → LSH hit
+      (11L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (12L, "totally novel text with no overlap to the existing corpus docs"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.incrementalAdmit(newBatch, corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got(10L)._1 === 1, "verbatim copy must flag exact_dup")
+    assert(got(10L)._3 === 0)
+    assert(got(11L)._1 === 0)
+    assert(got(11L)._2 >= 1L, "one-word edit must hit the LSH index")
+    assert(got(11L)._3 === 0)
+    assert(got(12L) === ((0, 0L, 1)), "novel doc must be admitted")
+  }
+
   test("quantizeInt8: values bounded, reconstruction within half-step, exact integer dots") {
     graft.functions.GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)
