@@ -98,6 +98,43 @@ object StreamingOps {
       Seq("gram"), "inner")
   }
 
+  /** Streaming near-duplicate ingest alerts: each arriving doc's MinHash
+    * signature is computed STATELESSLY as a per-row projection (array_min
+    * over the doc's shingle array per seed — value-identical to the
+    * batch MinHashAgg, which is a groupBy aggregate and therefore not
+    * stream-friendly without state), banded, and probed against the
+    * STATIC corpus band index (`Dedup.bands(Dedup.minhashSignatures(...))`
+    * of the existing corpus — the same stored index the batch
+    * `incrementalAdmit` probes). Stream-static inner join → stateless,
+    * no watermark. Emits one row per (doc_id, old_id, band) collision —
+    * NOT distinct-ed (distinct on a stream would need state); a pair
+    * colliding in several bands alerts once per band, dedupe downstream
+    * if alert volume matters. */
+  def nearDupAlerts(docs: DataFrame, corpusBands: DataFrame,
+      hashes: Int = 16, bandCount: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rows = hashes / bandCount
+    val sigCols = (0 until hashes).map { i =>
+      array_min(expr(s"transform(__sh, s -> md5(concat('$i|', s)))"))
+        .as(s"m$i")
+    }
+    val bandStructs = (0 until bandCount).map { k =>
+      val cs = (0 until rows).map(r => col(s"m${rows * k + r}"))
+      struct(lit(k).as("band"), md5(concat(cs: _*)).as("bh"))
+    }
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .withColumn("__sh", expr(
+        "array_distinct(transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3))))"))
+      .select(col(idCol) +: sigCols: _*)
+      .select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+      .join(broadcast(
+        corpusBands.select(col("doc_id").as("old_id"), col("band"), col("bh"))),
+        Seq("band", "bh"), "inner")
+      .select(col(idCol), col("old_id"), col("band"))
+  }
+
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)
   case class MetricState(n: Long, mean: Double, m2: Double)
   case class Flagged(metric: String, ts: java.sql.Timestamp, value: Double,

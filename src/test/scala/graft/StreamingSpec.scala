@@ -300,6 +300,46 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(1L, 3L))
   }
 
+  test("streaming near-dup alerts: stateless MinHash probe matches batch incrementalAdmit") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.MinHashAgg.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different content about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    // the STORED index the stream probes: the batch banding chain
+    val corpusBands = graft.ops.Dedup.bands(
+      graft.ops.Dedup.minhashSignatures(graft.ops.Dedup.shingles(corpus)))
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupAlerts(docs, corpusBands)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    val newBatch = Seq(
+      (10L, base), // verbatim → must alert against doc 0
+      (11L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (12L, "totally novel text with no overlap to the existing corpus docs"))
+    input.addData(newBatch: _*)
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("neardup_out").select("doc_id", "old_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch twin: incrementalAdmit's near_candidates over the same split
+    val batch = graft.ops.Dedup.incrementalAdmit(
+      newBatch.toDF("doc_id", "text"), corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    newBatch.foreach { case (id, _) =>
+      val streamed = alerts.count(_._1 == id)
+      assert((batch(id) > 0) === (streamed > 0),
+        s"doc $id: batch near=${batch(id)}, stream alerts=$streamed")
+    }
+    assert(alerts.exists(_ == (10L, 0L)), "verbatim copy must alert vs doc 0")
+    assert(!alerts.exists(_._1 == 12L), "novel doc must not alert")
+  }
+
   test("streaming contamination alerts: stream-static join matches batch decontam") {
     implicit val sqlCtx = spark.sqlContext
     val evalDocs = Seq(
