@@ -146,9 +146,14 @@ case class PyParse(child: Expression, mode: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val parsed = ctx.freshName("parsed")
+      // Call through the companion's MODULE$ singleton: the `PyParse`
+      // *class* inherits a member named `eval` from Expression, which
+      // suppresses scalac's static forwarder for the companion's
+      // eval(String,int) — a bare `PyParse.eval(...)` reference would
+      // fail janino compilation and silently de-codegen the whole stage.
       s"""
       java.lang.Double $parsed =
-        graft.functions.PyParse.eval($c.toString(), $mode);
+        graft.functions.PyParse$$.MODULE$$.eval($c.toString(), $mode);
       if ($parsed == null) {
         ${ev.isNull} = true;
       } else {

@@ -492,7 +492,10 @@ object DocAnalytics {
     // The actual shape of a pre-training recipe ("X tokens of en, Y of
     // zh, ..."): same deterministic salted-hash fill as
     // doc_budget_sample, but each stratum gets its own budget via a
-    // broadcast literal join — plan still one stratum-keyed window.
+    // broadcast literal join — plan keeps the sharded two-level
+    // running-sum shape (see Sampling scaladoc); strata outside the
+    // budget map fall to defaultBudget=0 in BOTH engines (LEFT JOIN +
+    // COALESCE in the twin).
     sql("doc_mix_sample",
       """WITH d AS (
         |  SELECT doc_id, lang,
@@ -508,9 +511,11 @@ object DocAnalytics {
         |  ('en', CAST(4000 AS BIGINT)), ('de', CAST(2000 AS BIGINT)),
         |  ('fr', CAST(1500 AS BIGINT)), ('es', CAST(1000 AS BIGINT)),
         |  ('zh', CAST(500 AS BIGINT)))
-        |SELECT doc_id, lang, n_tokens, cum_tokens, stratum_budget,
-        |  CASE WHEN cum_tokens - n_tokens < stratum_budget THEN 1 ELSE 0 END AS kept
-        |FROM c JOIN b USING (lang)
+        |SELECT doc_id, lang, n_tokens, cum_tokens,
+        |  COALESCE(stratum_budget, CAST(0 AS BIGINT)) AS stratum_budget,
+        |  CASE WHEN cum_tokens - n_tokens < COALESCE(stratum_budget, 0)
+        |       THEN 1 ELSE 0 END AS kept
+        |FROM c LEFT JOIN b USING (lang)
         |ORDER BY doc_id""") { (s, dir) =>
       graft.ops.Sampling.tokenBudgetMix(
         docs(s, dir).withColumn("n_tokens",

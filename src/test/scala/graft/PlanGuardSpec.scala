@@ -46,6 +46,11 @@ class PlanGuardSpec extends SparkSpec {
   private val skip = Set("trace_rca_loop", "trace_rca_final")
 
   test("no registered query plans a Cartesian product or an unbounded BNLJ") {
+    // The numeric parsers were UDFs through round 5 and are native
+    // codegen expressions since round 6; a ScalaUDF under any of their
+    // names in a plan means some call site silently regressed to the
+    // UDF-era path (which de-codegens the enclosing stage).
+    val parserNames = graft.functions.PyNum.Names.values.toSet
     val bnljSeen = Set.newBuilder[String]
     val violations = graft.queries.Registry.all
       .filterNot(q => skip(q.name) || allowedProducts(q.name))
@@ -60,7 +65,12 @@ class PlanGuardSpec extends SparkSpec {
           if (hasBnlj && !allowedBnlj.contains(q.name))
             Some(s"${q.name}: BroadcastNestedLoopJoin")
           else None
-        product ++ bnlj
+        val parserUdfs = plan.flatMap(_.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+              if u.udfName.exists(parserNames) =>
+            s"${q.name}: ScalaUDF ${u.udfName.get} (native PyParse regressed to UDF)"
+        })).distinct
+        product ++ bnlj ++ parserUdfs
       }
     // The net stays tight in both directions: an allowlist entry whose
     // plan no longer contains a BNLJ is dead weight that would silently

@@ -54,6 +54,14 @@ class PyParseExprSpec extends SparkSpec {
 
   test("codegen projection path agrees with the scala parsers") {
     import spark.implicits._
+    // codegen.fallback=false makes a janino compile failure THROW instead
+    // of silently degrading to an interpreted projection — the structural
+    // WholeStageCodegenExec check below can't see execution-time fallback,
+    // so without this the test would pass while every real plan ran
+    // interpreted (the round-6 regression this guards against).
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
     // repartition breaks ConvertToLocalRelation, which would otherwise
     // fold the whole projection at optimize time (interpreted, no codegen)
     val df = corpus.toDF("s").repartition(2)
@@ -91,6 +99,7 @@ class PyParseExprSpec extends SparkSpec {
       assert(sameDouble(got(1), PyNum.safeFloat(s)), s"safe_float <$s>")
       assert(sameDouble(got(2), PyNum.parseNumeric(s)), s"parse_numeric <$s>")
     }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
   test("interpreted eval path agrees with the scala parsers") {
