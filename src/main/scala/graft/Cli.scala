@@ -60,6 +60,9 @@ object Cli {
         case "chunk" => chunk(ctx, rest.tail.toSeq)
         case "forced-recovery" => forcedRecovery(ctx, rest.tail.toSeq)
         case "detect" => detect(ctx)
+        case "clean" => clean(ctx, rest.tail.toSeq)
+        case "split" => splitCmd(ctx, rest.tail.toSeq)
+        case "pack" => pack(ctx, rest.tail.toSeq)
         case other => println(s"unknown command: $other\n$usage"); return 1
       }
       0
@@ -85,6 +88,19 @@ object Cli {
       |                             CodeCoverage whose Comment contains S
       |                             (default "forced recovery", case-insensitive)
       |  detect                     run the detector battery
+      |  clean <docs.parquet> [--eval <bench.parquet>] [--eval-mod N]
+      |                             training-corpus cleaning pipeline (quality +
+      |                             repetition + near-dup CC + decontamination);
+      |                             writes clean_decisions / clean_docs (kept) /
+      |                             clean_report. Eval set = the external
+      |                             benchmark parquet, or the doc_id %% N = 0
+      |                             holdout (default N=7)
+      |  split <docs.parquet>       deterministic salted-md5 train/val/test
+      |                             split; writes doc_splits + prints stats
+      |  pack <docs.parquet> [--budget N] [--buckets N]
+      |                             greedy sequence packing into token-budget
+      |                             bins (default 512 tokens, 8 bucket streams);
+      |                             writes packed
       |""".stripMargin
 
   private def init(ctx: Ctx): Unit = {
@@ -250,6 +266,69 @@ object Cli {
     GlobalScanner.rollbackStatus(events).show(truncate = false)
     println("— timeline —")
     TimelineBuilder.build(events).show(truncate = false)
+  }
+
+  /** Training-corpus cleaning (quality + repetition + near-dup CC +
+    * decontam, one composed plan — ops.CleanPipeline). The eval
+    * (benchmark) set is either an external parquet (--eval) or the
+    * doc_id % N = 0 holdout of the corpus itself (--eval-mod, default 7
+    * — the registered doc_clean_pipeline cut). */
+  private def clean(ctx: Ctx, args: Seq[String]): Unit = {
+    val evalPath = opt(args, "--eval")
+    val evalMod = opt(args, "--eval-mod").map(_.toInt).getOrElse(7)
+    val path = positionals(args, Set("--eval", "--eval-mod")).headOption
+      .getOrElse(sys.error("clean requires a documents parquet path"))
+    val docs = ctx.spark.read.parquet(path)
+    val (train, eval) = evalPath match {
+      case Some(p) => (docs, ctx.spark.read.parquet(p))
+      case None => (docs.filter(col("doc_id") % evalMod =!= 0),
+        docs.filter(col("doc_id") % evalMod === 0))
+    }
+    val decisions = graft.ops.CleanPipeline.decisions(train, eval)
+    ctx.write(decisions, "clean_decisions")
+    // kept corpus: the full original rows of every doc that passed all
+    // gates (broadcast-free equi-join on doc_id; both sides big → SMJ)
+    val decided = ctx.read("clean_decisions")
+    ctx.write(
+      train.join(decided.filter(col("keep") === 1).select("doc_id"), "doc_id"),
+      "clean_docs")
+    val report = graft.ops.CleanPipeline.report(decided).orderBy("source")
+    ctx.write(report, "clean_report")
+    println(s"cleaned ${ctx.read("clean_docs").count()} of ${train.count()} docs kept")
+    report.show(truncate = false)
+  }
+
+  /** Deterministic salted-md5 train/val/test split (13/2/1 of 16). */
+  private def splitCmd(ctx: Ctx, args: Seq[String]): Unit = {
+    val path = positionals(args, Set.empty).headOption
+      .getOrElse(sys.error("split requires a documents parquet path"))
+    val split = graft.ops.Sampling.deterministicSplit(
+      ctx.spark.read.parquet(path))
+    ctx.write(split.select("doc_id", "h", "split"), "doc_splits")
+    println("wrote doc_splits")
+    ctx.read("doc_splits").groupBy("split")
+      .agg(count(lit(1)).as("n_docs")).orderBy("split").show()
+  }
+
+  /** Greedy sequence packing into (bucket, bin) token-budget examples. */
+  private def pack(ctx: Ctx, args: Seq[String]): Unit = {
+    val budget = opt(args, "--budget").map(_.toLong).getOrElse(512L)
+    val buckets = opt(args, "--buckets").map(_.toInt).getOrElse(8)
+    val path = positionals(args, Set("--budget", "--buckets")).headOption
+      .getOrElse(sys.error("pack requires a documents parquet path"))
+    val docs = ctx.spark.read.parquet(path)
+      .withColumn("n_tokens",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")))
+    val packed = graft.ops.Packing.packGreedy(docs,
+      idCol = "doc_id", tokensCol = "n_tokens",
+      budget = budget, buckets = buckets)
+    ctx.write(packed, "packed")
+    val bins = ctx.read("packed")
+    println(s"packed ${bins.count()} docs into " +
+      s"${bins.select("bucket", "bin").distinct().count()} bins " +
+      s"(budget $budget, $buckets bucket streams)")
+    bins.groupBy("bucket").agg(max("bin").as("last_bin"))
+      .orderBy("bucket").show()
   }
 
   private def opt(args: Seq[String], flag: String): Option[String] = {

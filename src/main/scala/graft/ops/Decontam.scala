@@ -42,21 +42,22 @@ object Decontam {
     * eval doc. The eval gram set is deduplicated then broadcast. */
   def contamination(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // ONE pass over the corpus grams: left-probe the broadcast eval set
+    // and count total + hit grams in the same groupBy (count of a
+    // non-null marker column = hits). The earlier two-branch shape ran
+    // the corpus-side Generate+explode — the dominant cost at 100 TB —
+    // twice, once per branch.
     val trainGrams = ngramHashes(trainDocs, n, idCol, textCol)
     val evalGrams = ngramHashes(evalDocs, n, idCol, textCol)
       .select(col("gram")).distinct()
-    val hits = trainGrams
-      .join(broadcast(evalGrams).hint("broadcast"), Seq("gram"), "inner")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumn("hit", lit(1))
     trainGrams
+      .join(broadcast(evalGrams).hint("broadcast"), Seq("gram"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("id"), "left")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
       .select(col("id").as(idCol),
         col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        when(coalesce(col("n_contaminated"), lit(0L)) > 0, 1).otherwise(0)
-          .as("contaminated"))
+        col("n_contaminated"),
+        when(col("n_contaminated") > 0, 1).otherwise(0).as("contaminated"))
   }
 }

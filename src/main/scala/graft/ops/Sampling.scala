@@ -98,6 +98,19 @@ object Sampling {
         when(col("cum_tokens") - col(tokensCol) < budget, 1).otherwise(0))
   }
 
+  /** Deterministic train/val/test split: the first hex nibble of
+    * md5(id || salt) maps 13/16 → train, 2/16 → val, 1/16 → test.
+    * Content-independent, engine-portable, stable under repartitioning
+    * and corpus growth — a doc never migrates between splits across
+    * runs. Adds `h` (the nibble) and `split`. */
+  def deterministicSplit(df: DataFrame, idCol: String = "doc_id",
+      salt: String = ":split:v1"): DataFrame =
+    df.withColumn("h", substring(
+        md5(concat(col(idCol).cast("string"), lit(salt))), 1, 1))
+      .withColumn("split",
+        when(col("h") < "d", "train").when(col("h") < "f", "val")
+          .otherwise("test"))
+
   /** Weighted training mix: a DIFFERENT token budget per stratum (the
     * actual shape of a pre-training data recipe — "30B tokens of code,
     * 5B of forum text, ..."). `budgets` maps stratum value → budget;

@@ -326,13 +326,9 @@ object DocAnalytics {
         |FROM documents
         |WHERE doc_id < 200
         |ORDER BY doc_id""") { (s, dir) =>
-      docs(s, dir)
-        .filter(col("doc_id") < 200)
-        .withColumn("h", substring(
-          md5(concat(col("doc_id").cast("string"), lit(":split:v1"))), 1, 1))
-        .select(col("doc_id"), col("h"),
-          when(col("h") < "d", "train").when(col("h") < "f", "val")
-            .otherwise("test").as("split"))
+      graft.ops.Sampling.deterministicSplit(
+          docs(s, dir).filter(col("doc_id") < 200))
+        .select(col("doc_id"), col("h"), col("split"))
         .orderBy("doc_id")
     },
 
@@ -348,12 +344,7 @@ object DocAnalytics {
         |  FROM documents)
         |GROUP BY split
         |ORDER BY split""") { (s, dir) =>
-      docs(s, dir)
-        .withColumn("h", substring(
-          md5(concat(col("doc_id").cast("string"), lit(":split:v1"))), 1, 1))
-        .withColumn("split",
-          when(col("h") < "d", "train").when(col("h") < "f", "val")
-            .otherwise("test"))
+      graft.ops.Sampling.deterministicSplit(docs(s, dir))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
@@ -591,15 +582,7 @@ object DocAnalytics {
         |FROM per_doc
         |GROUP BY source
         |ORDER BY source""") { (s, dir) =>
-      cleanPipelineFrame(s, dir)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("is_quality")).cast("long").as("n_quality"),
-          sum(col("not_repetitive")).cast("long").as("n_not_repetitive"),
-          sum(col("dedup_keep")).cast("long").as("n_dedup_keep"),
-          sum(col("not_contaminated")).cast("long").as("n_not_contaminated"),
-          sum(col("keep")).cast("long").as("n_kept"),
-          (sum(col("keep")).cast("double") / count(lit(1))).as("keep_rate"))
+      graft.ops.CleanPipeline.report(cleanPipelineFrame(s, dir))
         .orderBy("source")
     }
   )
@@ -678,33 +661,12 @@ object DocAnalytics {
     * doc_pipeline_report — the Spark twin of `cleanPipelineCtes`. */
   private def cleanPipelineFrame(s: SparkSession, dir: String): DataFrame = {
       val d = docs(s, dir)
-      // the four gates each consume (doc_id, text): cache that projection
-      // once instead of four parquet scans + re-splits (same contract as
-      // Dedup's shingle cache — Verify/Bench clearCache between queries).
-      // At 100 TB the equivalent move is staging this projection as a
-      // columnar intermediate table shared by the stages.
-      val train = d.filter(col("doc_id") % 7 =!= 0).cache()
-      val toks = split(col("text"), " ")
-      val qual = train.select(col("doc_id"), col("source"), col("lang"),
-        when(size(toks) >= 20 &&
-          size(filter(toks, x => x.isin("the", "a"))).cast("double") /
-            size(toks) < 0.1, 1).otherwise(0).as("is_quality"))
-      val rep = graft.ops.TextAnalysis.repetitionSignals(train)
-        .select(col("doc_id"),
-          when(col("top2_frac") < 0.18, 1).otherwise(0).as("not_repetitive"))
-      val comp = graft.ops.Dedup.nearDupComponents(train)
-        .select(col("doc_id"),
-          when(col("doc_id") === col("component"), 1).otherwise(0)
-            .as("dedup_keep"))
-      val cont = graft.ops.Decontam.contamination(
-          train, d.filter(col("doc_id") % 7 === 0))
-        .select(col("doc_id"),
-          when(col("contaminated") === 0, 1).otherwise(0)
-            .as("not_contaminated"))
-      qual.join(rep, "doc_id").join(comp, "doc_id").join(cont, "doc_id")
-        .withColumn("keep",
-          when(col("is_quality") === 1 && col("not_repetitive") === 1 &&
-            col("dedup_keep") === 1 && col("not_contaminated") === 1, 1)
-            .otherwise(0))
+      // composition lives in ops.CleanPipeline (also behind `Cli clean`);
+      // the eval holdout here is the registered doc_id % 7 = 0 cut. The
+      // op caches the train projection once instead of four parquet
+      // scans + re-splits (same contract as Dedup's shingle cache —
+      // Verify/Bench clearCache between queries).
+      graft.ops.CleanPipeline.decisions(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0))
   }
 }

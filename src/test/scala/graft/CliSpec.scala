@@ -93,4 +93,54 @@ class CliSpec extends SparkSpec {
       "--partitions", "2") === 0)
     assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".csv")) === 2)
   }
+
+  test("cli: clean/split/pack subcommands hash-match the registered queries") {
+    import org.apache.spark.sql.functions._
+    val store = Files.createTempDirectory("graft-cli-train").toString
+    val docsPath = s"${sf("")}/documents.parquet"
+    def run(args: String*): Int =
+      Cli.run(args.toArray, sessionOverride = Some(spark))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] = {
+      val cols = df.columns.sorted
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf)).toSet
+    }
+
+    // clean — per-doc decisions and the per-source report must equal the
+    // registered doc_clean_pipeline / doc_pipeline_report results
+    assert(run("--db", store, "clean", docsPath) === 0)
+    val decisionCols = Seq("doc_id", "is_quality", "not_repetitive",
+      "dedup_keep", "not_contaminated", "keep")
+    assert(rows(spark.read.parquet(s"$store/clean_decisions")
+        .select(decisionCols.map(col): _*)) ===
+      rows(graft.queries.Registry.byName("doc_clean_pipeline")
+        .run(spark, sf(""))))
+    assert(rows(spark.read.parquet(s"$store/clean_report")) ===
+      rows(graft.queries.Registry.byName("doc_pipeline_report")
+        .run(spark, sf(""))))
+    // kept corpus = exactly the keep=1 decision rows, full original docs
+    val keptIds = spark.read.parquet(s"$store/clean_decisions")
+      .filter(col("keep") === 1).select("doc_id")
+    val cleanDocs = spark.read.parquet(s"$store/clean_docs")
+    assert(cleanDocs.count() === keptIds.count())
+    assert(cleanDocs.join(keptIds, Seq("doc_id"), "left_anti").count() === 0L)
+    assert(cleanDocs.columns.toSet ===
+      spark.read.parquet(docsPath).columns.toSet)
+
+    // split — stats over the written assignment must equal doc_split_stats
+    assert(run("--db", store, "split", docsPath) === 0)
+    val splitStats = spark.read.parquet(s"$store/doc_splits")
+      .join(spark.read.parquet(docsPath).select("doc_id", "n_chars"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    assert(rows(splitStats) ===
+      rows(graft.queries.Registry.byName("doc_split_stats").run(spark, sf(""))))
+
+    // pack — default budget/buckets must equal doc_seq_pack
+    assert(run("--db", store, "pack", docsPath) === 0)
+    assert(rows(spark.read.parquet(s"$store/packed")) ===
+      rows(graft.queries.Registry.byName("doc_seq_pack").run(spark, sf(""))))
+  }
 }
