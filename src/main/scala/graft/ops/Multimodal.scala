@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed in partition-local batches.
   *
-  * Image (PNG/JPEG/GIF/BMP via javax.imageio) and audio (WAV/PCM via
-  * javax.sound.sampled) decode REAL pixels/frames with the JDK's own
-  * codecs. Video decode is STUBBED (no JDK codec exists):
+  * Image (PNG/JPEG/GIF/BMP via javax.imageio), audio (WAV/PCM via
+  * javax.sound.sampled) and multi-frame animated GIF (`decodeGifMeta` —
+  * the one motion format with an in-JDK codec) decode REAL pixels/frames
+  * with the JDK's own codecs. True video containers (mp4 etc.) are
+  * STUBBED (no JDK codec exists):
   * `decodeStub` derives deterministic fake metadata/features from the
   * bytes. Everything around the stub — schema, batched mapPartitions
   * execution, partition sizing, feature schema — is the real distributed
@@ -202,6 +204,101 @@ object Multimodal {
     }
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  case class GifMeta(
+      media_id: Long,
+      format: String,
+      n_frames: Int,
+      width: Int,
+      height: Int)
+
+  /** ==== REAL ==== multi-frame GIF decode (javax.imageio — the one
+    * MOTION format the JDK ships a codec for): every frame's pixels are
+    * pulled through `reader.read(i)` (not a header sniff, not
+    * getNumImages alone), the frame count comes from an exact
+    * `getNumImages(true)` scan, and width/height are the maxima over the
+    * actually-decoded frames. None for payloads the GIF reader doesn't
+    * claim — true video containers (mp4 etc.) remain the documented stub
+    * boundary, this makes the "video" column real for one motion
+    * format. */
+  def decodeGifMeta(r: MediaRecord): Option[GifMeta] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      var found: Option[GifMeta] = None
+      while (found.isEmpty && readers.hasNext) {
+        val rd = readers.next()
+        if (rd.getFormatName.equalsIgnoreCase("gif")) {
+          try {
+            rd.setInput(in)
+            val n = rd.getNumImages(true) // exact: scans the stream
+            var w = 0
+            var h = 0
+            var i = 0
+            while (i < n) {
+              val img = rd.read(i) // full pixel decode of EVERY frame
+              w = w.max(img.getWidth)
+              h = h.max(img.getHeight)
+              i += 1
+            }
+            if (n > 0) found = Some(GifMeta(r.media_id, "gif", n, w, h))
+          } catch { case _: Exception => }
+          finally rd.dispose()
+        } else rd.dispose()
+      }
+      found
+    } finally if (in != null) in.close()
+  }
+
+  /** Motion-decode pass: GIF payloads decode frame-by-frame for real;
+    * anything the GIF reader rejects is dropped (total-function callers
+    * use decodeReal, which falls back through image → wav → stub). */
+  def decodeGif(ds: Dataset[MediaRecord]): Dataset[GifMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(decodeGifMeta))
+  }
+
+  /** Deterministic synthetic animated GIF (fixture generator for the
+    * real-decode oracle): `nFrames` frames of width×height seed-keyed
+    * gradients, written as one sequence by the JDK's own GIF writer.
+    * Byte output may vary across JDKs — only the DECODED metadata
+    * (frame count, dimensions) is oracled, closed-form from the
+    * arguments. */
+  def syntheticGif(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            img.setRGB(x, y,
+              ((x * 31L + y * 17L + f * 101L + seed) % 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      out.close()
+    }
     baos.toByteArray
   }
 

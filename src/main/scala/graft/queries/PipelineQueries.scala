@@ -651,6 +651,34 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal REAL motion decode (multi-frame GIF), full oracle ----
+    // The one motion format with an in-JDK codec: animated GIF via
+    // javax.imageio's sequence reader. Fixtures are synthetic multi-frame
+    // GIFs whose frame counts and dimensions follow known arithmetic; the
+    // engine decodes EVERY frame's pixels (reader.read(i) over an exact
+    // getNumImages(true) scan) and the oracle re-derives the metadata
+    // closed-form — a hash match proves the frame-by-frame decode ran.
+    // True video containers (mp4 etc.) remain the documented stub.
+    sql("mm_gif_frames",
+      """SELECT i AS media_id, 'gif' AS format,
+        |  CAST(1 + i % 6 AS INTEGER) AS n_frames,
+        |  CAST(8 + (i * 5) % 40 AS INTEGER) AS width,
+        |  CAST(6 + (i * 3) % 28 AS INTEGER) AS height
+        |FROM (SELECT unnest(range(18)) AS i)
+        |ORDER BY media_id""") { (s, _) =>
+      import s.implicits._
+      val recs = (0 until 18).map { i =>
+        Multimodal.MediaRecord(i.toLong, "video",
+          Multimodal.syntheticGif(8 + (i * 5) % 40, 6 + (i * 3) % 28,
+            1 + i % 6, i.toLong), "synthetic")
+      }
+      Multimodal.decodeGif(s.createDataset(recs).repartition(4))
+        .toDF()
+        .select(col("media_id"), col("format"), col("n_frames"),
+          col("width"), col("height"))
+        .orderBy("media_id")
+    },
+
     // ---- multimodal feature extraction, full oracle ----------------------
     // The md5-seeded feature stub is re-derived end to end in DuckDB:
     // payload md5 (the payload IS the text's UTF-8 bytes, so md5(text) in

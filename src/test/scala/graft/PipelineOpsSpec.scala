@@ -259,6 +259,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(real(1) === Multimodal.decodeStub(junk))
   }
 
+  test("multimodal: real multi-frame GIF decode counts true frames; non-GIFs drop") {
+    // round-trip through the JDK's GIF sequence codec: write animated
+    // GIFs with known frame counts/dims, decode every frame distributed,
+    // and get the true counts back from the stream scan
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video",
+        Multimodal.syntheticGif(24, 16, nFrames = 5, seed = 3L), "t"),
+      Multimodal.MediaRecord(2L, "video",
+        Multimodal.syntheticGif(9, 7, nFrames = 1, seed = 8L), "t"),
+      // a PNG is an image the imageio stack claims, but NOT a gif — the
+      // motion decoder must not misreport single-frame stills of other
+      // formats as 1-frame movies
+      Multimodal.MediaRecord(3L, "video",
+        Multimodal.syntheticPng(10, 10, seed = 2L), "t"),
+      Multimodal.MediaRecord(4L, "video",
+        "definitely not a gif".getBytes("UTF-8"), "t"))
+    import spark.implicits._
+    val out = Multimodal.decodeGif(spark.createDataset(recs).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(out.toSeq === Seq(
+      Multimodal.GifMeta(1L, "gif", 5, 24, 16),
+      Multimodal.GifMeta(2L, "gif", 1, 9, 7)))
+    // decodeReal still claims the GIF as an image (frame-0 dims), so the
+    // total-function path keeps working for mixed media columns
+    val real = Multimodal.decodeReal(spark.createDataset(recs.take(1)))
+      .collect().head
+    assert(real.format === "gif" && real.width === 24 && real.height === 16)
+  }
+
   test("bpeish token count: matches manual tokenization") {
     val df = Seq("hello, world 42", "a  b").toDF("t")
     val counts = df.select(TextAnalysis.bpeishTokenCount(col("t")))
