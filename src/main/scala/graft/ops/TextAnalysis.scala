@@ -116,6 +116,30 @@ object TextAnalysis {
     *
     * Returns (idCol, n_chars_r, top2_gram, top2_count, top2_frac,
     * dup3_chars, dup3_frac). */
+  /** Stateless per-row twin of repetitionSignals' top-2-gram statistics:
+    * struct(cnt, gram) computed by folding the doc's SORTED 2-gram array
+    * with `aggregate` — no explode, no groupBy — so streaming gates can
+    * project it per row with zero state. Value-identical to the batch
+    * aggregate including the tie-break (count DESC, gram ASC): the fold
+    * walks grams in ascending order and only a STRICTLY longer run
+    * displaces the champion, so ties keep the lexicographically smallest
+    * gram. StreamingSpec pins the equality on the fixture corpus. */
+  def top2GramStats(textCol: Column): Column = {
+    val w = split(textCol, " ")
+    val g2 = transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    aggregate(array_sort(g2),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bc"), lit("").as("bg")),
+      (s, x) => {
+        val run2 = when(x === s("prev"), s("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          when(run2 > s("bc"), run2).otherwise(s("bc")).as("bc"),
+          when(run2 > s("bc"), x).otherwise(s("bg")).as("bg"))
+      },
+      s => struct(s("bc").as("cnt"), s("bg").as("gram")))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     def grams(n: Int): DataFrame = df

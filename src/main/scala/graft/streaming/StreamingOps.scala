@@ -114,25 +114,116 @@ object StreamingOps {
       hashes: Int = 16, bandCount: Int = 4, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val rows = hashes / bandCount
-    val sigCols = (0 until hashes).map { i =>
-      array_min(expr(s"transform(__sh, s -> md5(concat('$i|', s)))"))
-        .as(s"m$i")
-    }
     val bandStructs = (0 until bandCount).map { k =>
-      val cs = (0 until rows).map(r => col(s"m${rows * k + r}"))
-      struct(lit(k).as("band"), md5(concat(cs: _*)).as("bh"))
+      struct(lit(k).as("band"), bandHash(k, rows).as("bh"))
     }
     docs
-      .withColumn("w", split(col(textCol), " "))
-      .withColumn("__sh", expr(
-        "array_distinct(transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3))))"))
-      .select(col(idCol) +: sigCols: _*)
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("__sh", shingleArray)
+      .select(col(idCol) +: sigCols(hashes): _*)
       .select(col(idCol), explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
       .join(broadcast(
         corpusBands.select(col("doc_id").as("old_id"), col("band"), col("bh"))),
         Seq("band", "bh"), "inner")
       .select(col(idCol), col("old_id"), col("band"))
+  }
+
+  /** 3-word shingle array over the pre-split `__w` column — the per-row
+    * twin of Dedup.shingles' explode. */
+  private def shingleArray: org.apache.spark.sql.Column = expr(
+    "array_distinct(transform(sequence(1, greatest(size(__w)-2, 1)), i -> concat_ws(' ', slice(__w, i, 3))))")
+
+  /** Per-row MinHash signature columns `__m0..` over `__sh` —
+    * value-identical to the batch MinHashAgg (min over the shingle set
+    * per seed), as a stateless projection. */
+  private def sigCols(hashes: Int) = (0 until hashes).map { i =>
+    array_min(expr(s"transform(__sh, s -> md5(concat('$i|', s)))"))
+      .as(s"__m$i")
+  }
+
+  /** Band-k hash over `rows` consecutive signature columns. */
+  private def bandHash(k: Int, rows: Int): org.apache.spark.sql.Column =
+    md5(concat((0 until rows).map(r => col(s"__m${rows * k + r}")): _*))
+
+  /** The full cleaning pipeline's per-doc keep decision DURING ingest —
+    * the streaming twin of `ops.CleanPipeline.decisions`, entirely
+    * STATELESS (no watermark, no state store, decisions emit in the same
+    * micro-batch the doc arrives in):
+    *
+    *  - quality + repetition gates are per-row projections (the
+    *    repetition top-gram via `TextAnalysis.top2GramStats`' sorted
+    *    array fold — no explode/groupBy);
+    *  - the dedup gate runs in the INCREMENTAL regime (the only regime a
+    *    stream can see): each doc probes the STATIC corpus index —
+    *    content-hash table + per-band MinHash bucket sets — through
+    *    key-unique stream-static left joins, exactly the batch
+    *    `Dedup.incrementalAdmit` semantics (admit ⇔ no exact hit and no
+    *    band collision). Batch-vs-corpus self-dedup (connected
+    *    components) stays the nightly batch job's business;
+    *  - the decontam gate probes the benchmark suite's gram hashes,
+    *    carried as ONE collected array on a 1-row static frame
+    *    cross-joined in (the J4 1-row-broadcast pattern; the eval suite
+    *    is tiny by definition — at a size where that array strains the
+    *    plan, fall back to the exploded `contaminationAlerts` form).
+    *
+    * Each static side is key-unique (distinct hashes / distinct bucket
+    * hashes per band / one row of grams), so the stream keeps exactly
+    * one output row per ingested doc. Returns (idCol, is_quality,
+    * not_repetitive, dedup_keep, not_contaminated, keep). */
+  def cleanStream(docs: DataFrame, corpusBands: DataFrame,
+      corpusHashes: DataFrame, evalGrams: DataFrame,
+      cfg: graft.ops.CleanPipeline.Config = graft.ops.CleanPipeline.Config(),
+      hashes: Int = 16, bandCount: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rows = hashes / bandCount
+    val n = cfg.decontamN
+    val evalArr = evalGrams.select(col("gram")).distinct()
+      .agg(collect_set(col("gram")).as("__eval_grams"))
+    val base = docs
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("__sh", shingleArray)
+      .withColumn("__g8", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(__w)-${n - 1}, 1)), i -> md5(concat_ws(' ', slice(__w, i, $n)))))"))
+      .withColumn("__top2", graft.ops.TextAnalysis.top2GramStats(col(textCol)))
+      .withColumn("__content_hash", md5(col(textCol)))
+    val withSig = base.select(col("*") +: sigCols(hashes): _*)
+    val withBands = (0 until bandCount).foldLeft(withSig) { (df, k) =>
+      df.withColumn(s"__bh$k", bandHash(k, rows))
+    }
+    val exactIdx = corpusHashes
+      .select(col("content_hash").as("__content_hash")).distinct()
+      .withColumn("__exact_hit", lit(1))
+    val probed = (0 until bandCount).foldLeft(
+        withBands.join(exactIdx, Seq("__content_hash"), "left")) { (df, k) =>
+      val idx = corpusBands.filter(col("band") === k)
+        .select(col("bh").as(s"__bh$k")).distinct()
+        .withColumn(s"__nd$k", lit(1))
+      df.join(idx, Seq(s"__bh$k"), "left")
+    }
+    val ndHit = (0 until bandCount).map(k => col(s"__nd$k").isNotNull)
+      .reduce(_ || _)
+    val toks = col("__w")
+    probed.crossJoin(evalArr)
+      .withColumn("is_quality",
+        when(size(toks) >= cfg.minTokens &&
+          size(filter(toks, x => x.isin(cfg.stopwords: _*))).cast("double") /
+            size(toks) < cfg.maxStopFrac, 1).otherwise(0))
+      .withColumn("not_repetitive",
+        when((col("__top2")("cnt") * length(col("__top2")("gram")))
+          .cast("double") / greatest(length(col(textCol)), lit(1)) <
+            cfg.maxTopGramFrac, 1).otherwise(0))
+      .withColumn("dedup_keep",
+        when(col("__exact_hit").isNull && !ndHit, 1).otherwise(0))
+      .withColumn("not_contaminated",
+        when(!arrays_overlap(col("__g8"), col("__eval_grams")), 1)
+          .otherwise(0))
+      .withColumn("keep",
+        when(col("is_quality") === 1 && col("not_repetitive") === 1 &&
+          col("dedup_keep") === 1 && col("not_contaminated") === 1, 1)
+          .otherwise(0))
+      .select(col(idCol), col("is_quality"), col("not_repetitive"),
+        col("dedup_keep"), col("not_contaminated"), col("keep"))
   }
 
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)

@@ -340,6 +340,114 @@ class StreamingSpec extends SparkSpec {
     assert(!alerts.exists(_._1 == 12L), "novel doc must not alert")
   }
 
+  test("streaming clean pipeline: stateless per-doc keep decisions equal the " +
+      "batch gates across 3 micro-batches incl. late data") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.MinHashAgg.register(spark)
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpusDocs = Seq(
+      (0L, s"the quick brown fox jumps over the lazy dog $filler"),
+      (1L, s"completely different content about spark shuffles and joins $filler"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // the three STATIC index tables a continuously-ingesting deployment
+    // keeps: per-band MinHash buckets, content hashes, benchmark grams
+    val corpusBands = graft.ops.Dedup.bands(
+      graft.ops.Dedup.minhashSignatures(graft.ops.Dedup.shingles(corpusDocs)))
+    val corpusHashes = corpusDocs.select(md5(col("text")).as("content_hash"))
+    val evalGrams = graft.ops.Decontam.ngramHashes(evalDocs, 8)
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.cleanStream(docs, corpusBands, corpusHashes, evalGrams)
+      .writeStream.format("memory").queryName("clean_out")
+      .outputMode(OutputMode.Append).start()
+
+    val batches = Seq(
+      Seq( // batch 1: quality-fail, repetitive, clean
+        (ts("2025-01-01 00:00:01"), 10L, "too short"),
+        (ts("2025-01-01 00:00:02"), 11L,
+          (1 to 15).map(_ => "x y").mkString(" ")),
+        (ts("2025-01-01 00:00:03"), 12L,
+          s"novel clean document with plenty of fresh content $filler")),
+      Seq( // batch 2: exact dup of corpus doc 0, near-dup of corpus doc 1
+        (ts("2025-01-01 00:01:01"), 20L,
+          s"the quick brown fox jumps over the lazy dog $filler"),
+        (ts("2025-01-01 00:01:02"), 21L,
+          s"completely different content about spark shuffles and hashing $filler")),
+      Seq( // batch 3: LATE rows (ts before batch 1) — stateless gates
+           // must decide them identically; one contaminated, one clean
+        (ts("2024-12-31 23:59:58"), 30L,
+          s"alpha beta gamma delta epsilon zeta eta theta iota kappa $filler"),
+        (ts("2024-12-31 23:59:59"), 31L,
+          s"another perfectly ordinary clean training document here $filler")))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("clean_out")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+
+    // batch comparator, gate by gate, over ALL streamed docs at once
+    val newDocs = batches.flatten.map { case (_, id, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val qual = newDocs.select(col("doc_id"),
+      when(size(toks) >= 20 &&
+        size(filter(toks, x => x.isin("the", "a"))).cast("double") /
+          size(toks) < 0.1, 1).otherwise(0).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rep = graft.ops.TextAnalysis.repetitionSignals(newDocs)
+      .select(col("doc_id"),
+        when(col("top2_frac") < 0.18, 1).otherwise(0).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ded = graft.ops.Dedup.incrementalAdmit(newDocs, corpusDocs)
+      .select("doc_id", "admit").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val con = graft.ops.Decontam.contamination(newDocs, evalDocs)
+      .select(col("doc_id"),
+        when(col("contaminated") === 0, 1).otherwise(0).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(streamed.keySet === Set(10L, 11L, 12L, 20L, 21L, 30L, 31L),
+      "exactly one decision row per ingested doc")
+    streamed.foreach { case (id, (sq, sr, sd, sc, sk)) =>
+      assert((sq, sr, sd, sc) === ((qual(id), rep(id), ded(id), con(id))),
+        s"doc $id gate mismatch vs batch")
+      assert(sk === (if (sq == 1 && sr == 1 && sd == 1 && sc == 1) 1 else 0))
+    }
+    // the corpus planted one of each failure mode — prove each gate fired
+    assert(streamed(10L)._1 === 0, "short doc fails quality")
+    assert(streamed(11L)._2 === 0, "degenerate x-y doc fails repetition")
+    assert(streamed(20L)._3 === 0, "exact dup fails dedup")
+    assert(streamed(21L)._3 === 0, "near dup fails dedup")
+    assert(streamed(30L)._4 === 0, "benchmark text fails decontam")
+    assert(streamed(12L)._5 === 1 && streamed(31L)._5 === 1,
+      "clean docs keep=1 (incl. the late-arriving one)")
+  }
+
+  test("per-row top2GramStats fold equals the batch repetitionSignals aggregate") {
+    // fixture corpus + adversarial shapes: ties, single word, empty text
+    val docs = graft.Tables(spark, sf(""), "documents")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((9001L, "x y z w"), (9002L, "solo"), (9003L, ""),
+        (9004L, "b a b a b"), (9005L, "t t t t t t"))
+        .toDF("doc_id", "text"))
+    val perRow = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.top2GramStats(col("text")).as("t"))
+      .select(col("doc_id"), col("t.cnt").as("cnt"), col("t.gram").as("gram"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val batch = graft.ops.TextAnalysis.repetitionSignals(docs)
+      .select("doc_id", "top2_count", "top2_gram")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(perRow.size === batch.size)
+    batch.foreach { case (id, want) =>
+      assert(perRow(id) === want, s"doc $id")
+    }
+  }
+
   test("streaming contamination alerts: stream-static join matches batch decontam") {
     implicit val sqlCtx = spark.sqlContext
     val evalDocs = Seq(
