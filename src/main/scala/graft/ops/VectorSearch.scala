@@ -389,17 +389,24 @@ object VectorSearch {
     * scoring is both cheaper and bit-deterministic — no float
     * accumulation order to worry about across engines or partitionings.
     */
-  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = df
-    .withColumn("scale",
-      expr(s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
-        / 127.0)
-    .withColumn("q",
-      expr(s"transform($vecCol, x -> CASE WHEN scale = 0.0 THEN 0 ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INT) END)"))
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    // typed lambda API (not string-spliced expr SQL) so column names
+    // needing quoting — dots, hyphens, spaces — resolve like everywhere
+    // else in this file
+    val v = col(vecCol)
+    df.withColumn("scale",
+        aggregate(v, lit(0.0), (m, x) => greatest(m, abs(x.cast("double"))))
+          / 127.0)
+      .withColumn("q",
+        transform(v, x => when(col("scale") === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / col("scale")).cast("int"))))
+  }
 
   /** Exact integer dot of two int8 arrays (as a long), rescaled to the
     * approximate float dot: dot_q * scale_a * scale_b. */
   def quantizedDot(qa: String, qb: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($qa, $qb, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    aggregate(zip_with(col(qa), col(qb), (x, y) => x.cast("bigint") * y),
+      lit(0L), (acc, v) => acc + v)
 
   /** Brute-force top-k over int8-quantized vectors (broadcast query set).
     * Scores are cosine over the DEquantized dot: (dot_q·sa·sb)/(|a||b|)

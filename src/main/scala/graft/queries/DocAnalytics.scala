@@ -386,7 +386,7 @@ object DocAnalytics {
     // occurring more than once, as fractions of doc length (Rae et al.
     // 2021 §A1.1). Deterministic top pick: (count DESC, gram ASC).
     sql("doc_repetition",
-      """WITH w AS (SELECT doc_id, strlen(text) AS n_chars_r,
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars_r,
         |             string_split(text, ' ') AS w FROM documents),
         |g2 AS (SELECT doc_id, n_chars_r, unnest(list_transform(
         |         range(1, greatest(len(w), 2)),
@@ -399,10 +399,10 @@ object DocAnalytics {
         |         range(1, greatest(len(w)-1, 2)),
         |         i -> array_to_string(w[i:i+2], ' '))) AS gram FROM w),
         |c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY ALL),
-        |d3 AS (SELECT doc_id, CAST(SUM(cnt * strlen(gram)) AS BIGINT) AS dup3_chars
+        |d3 AS (SELECT doc_id, CAST(SUM(cnt * length(gram)) AS BIGINT) AS dup3_chars
         |       FROM c3 WHERE cnt > 1 GROUP BY doc_id)
         |SELECT t.doc_id AS doc_id, n_chars_r, top2_gram, top2_count,
-        |  CAST(top2_count * strlen(top2_gram) AS DOUBLE) / greatest(n_chars_r, 1) AS top2_frac,
+        |  CAST(top2_count * length(top2_gram) AS DOUBLE) / greatest(n_chars_r, 1) AS top2_frac,
         |  COALESCE(dup3_chars, 0) AS dup3_chars,
         |  CAST(COALESCE(dup3_chars, 0) AS DOUBLE) / greatest(n_chars_r, 1) AS dup3_frac
         |FROM top t LEFT JOIN d3 ON d3.doc_id = t.doc_id
@@ -616,7 +616,7 @@ object DocAnalytics {
         |              x -> x IN ('the', 'a'))) AS st
         |        FROM train)
         |), w2 AS (
-        |  SELECT doc_id, strlen(text) AS nc, string_split(text, ' ') AS w FROM train
+        |  SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w FROM train
         |), c2 AS (
         |  SELECT doc_id, nc, g, COUNT(*) AS cnt
         |  FROM (SELECT doc_id, nc, unnest(list_transform(
@@ -625,7 +625,7 @@ object DocAnalytics {
         |  GROUP BY ALL
         |), rep AS (
         |  SELECT doc_id,
-        |    CASE WHEN CAST(cnt * strlen(g) AS DOUBLE) / greatest(nc, 1) < 0.18
+        |    CASE WHEN CAST(cnt * length(g) AS DOUBLE) / greatest(nc, 1) < 0.18
         |         THEN 1 ELSE 0 END AS not_repetitive
         |  FROM (SELECT doc_id, nc, g, cnt, ROW_NUMBER() OVER
         |          (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM c2)
