@@ -148,6 +148,7 @@ class PackCcSpec extends SparkSpec {
     val secs = (System.nanoTime() - t0) / 1e9
     assert(bad === 0L, s"$bad/$n nodes disagree with the closed form")
     assert(cc.count() === n)
+    info(f"distributed CC: $secs%.1f s at 200k nodes (bound $wallBound%.0f s)")
     assert(secs <= wallBound,
       f"distributed CC took $secs%.1f s at 200k nodes (bound $wallBound%.0f s)")
 
@@ -164,6 +165,7 @@ class PackCcSpec extends SparkSpec {
       col("fill") =!= (expr("(doc_id div 64) % 5") + 1) * 100).count()
     val pSecs = (System.nanoTime() - t1) / 1e9
     assert(pBad === 0L, s"$pBad/$np rows disagree with the closed form")
+    info(f"packGreedy: $pSecs%.1f s at 2M rows (bound $wallBound%.0f s)")
     assert(pSecs <= wallBound,
       f"packGreedy took $pSecs%.1f s at 2M rows (bound $wallBound%.0f s)")
   }
