@@ -53,7 +53,15 @@ object ClusterSmoke {
     // pipeline (broadcast decontam probe + CC star-loop + repetition
     // min_by + quality gate composed across executor JVMs)
     "emb_int8_knn",
-    "doc_clean_pipeline")
+    "doc_clean_pipeline",
+    // round-7 additions: the sharded two-level sampler (shard-local
+    // windows + broadcast offset join across executors), the GIF
+    // sequence-reader SPI on executor ImageIO registries, and the
+    // streaming clean gate's batch-path plan (key-unique probes + the
+    // 1-row eval-array cross join + the per-row top-gram fold)
+    "doc_budget_sample",
+    "mm_gif_frames",
+    "doc_clean_stream_gate")
 
   /** JDK-17 module opens Spark needs outside spark-submit — mirrored from
     * build.sbt's javaOptions; reused for the spawned driver AND the

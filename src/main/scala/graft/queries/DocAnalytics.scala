@@ -479,6 +479,97 @@ object DocAnalytics {
         .orderBy("doc_id")
     },
 
+    // ---- streaming clean-pipeline gate on the batch path -----------------
+    // Driver-visible oracle evidence for StreamingOps.cleanStream (the
+    // ev_streaming_gate move): the EXACT streaming operator — per-row
+    // quality/repetition projections, key-unique stream-static dedup
+    // probes with incrementalAdmit semantics, the 1-row eval-gram-array
+    // cross join — executed on batch frames, hash-matched against a full
+    // DuckDB re-derivation of all four gates. Split: ingest batch =
+    // doc_id % 10 = 9 probing the % 10 <> 9 corpus; benchmark set = the
+    // corpus docs with doc_id % 7 = 0.
+    sql("doc_clean_stream_gate", {
+      val bandHits = (0 until 4)
+        .map(k => s"SELECT DISTINCT n.doc_id FROM newb n JOIN oldb o ON n.b$k = o.b$k")
+        .mkString("\n  UNION\n  ")
+      s"""WITH ${bandedCtesOver("documents")},
+        |newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 20
+        |          AND CAST(len(list_filter(string_split(text, ' '),
+        |                x -> x IN ('the', 'a'))) AS DOUBLE)
+        |              / len(string_split(text, ' ')) < 0.1
+        |         THEN 1 ELSE 0 END AS is_quality
+        |  FROM newd
+        |), w2 AS (
+        |  SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w FROM newd
+        |), c2 AS (
+        |  SELECT doc_id, nc, g, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, nc, unnest(list_transform(
+        |          range(1, greatest(len(w), 2)),
+        |          i -> array_to_string(w[i:i+1], ' '))) AS g FROM w2)
+        |  GROUP BY ALL
+        |), rep AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(cnt * length(g) AS DOUBLE) / greatest(nc, 1) < 0.18
+        |         THEN 1 ELSE 0 END AS not_repetitive
+        |  FROM (SELECT doc_id, nc, g, cnt, ROW_NUMBER() OVER
+        |          (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM c2)
+        |  WHERE rn = 1
+        |), newb AS (SELECT * FROM banded WHERE doc_id % 10 = 9),
+        |oldb AS (SELECT * FROM banded WHERE doc_id % 10 <> 9),
+        |near AS (
+        |  $bandHits
+        |), oldh AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+        |), ex AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+        |  FROM (SELECT doc_id, md5(text) AS nh FROM newd)
+        |  LEFT JOIN oldh ON oldh.h = nh
+        |), dgr AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w)-6, 2)),
+        |    i -> md5(array_to_string(w[i:i+7], ' '))))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newd)
+        |), evg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w)-6, 2)),
+        |    i -> md5(array_to_string(w[i:i+7], ' '))))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 10 <> 9 AND doc_id % 7 = 0)
+        |), contam AS (
+        |  SELECT DISTINCT d.doc_id FROM dgr d JOIN evg USING (gram)
+        |)
+        |SELECT q.doc_id AS doc_id, is_quality, not_repetitive,
+        |  CASE WHEN exact_dup = 0 AND near.doc_id IS NULL
+        |       THEN 1 ELSE 0 END AS dedup_keep,
+        |  CASE WHEN contam.doc_id IS NULL THEN 1 ELSE 0 END AS not_contaminated,
+        |  CASE WHEN is_quality = 1 AND not_repetitive = 1
+        |        AND exact_dup = 0 AND near.doc_id IS NULL
+        |        AND contam.doc_id IS NULL
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM qual q
+        |JOIN rep USING (doc_id)
+        |JOIN ex USING (doc_id)
+        |LEFT JOIN near ON near.doc_id = q.doc_id
+        |LEFT JOIN contam ON contam.doc_id = q.doc_id
+        |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 === 9)
+      val corpus = d.filter(col("doc_id") % 10 =!= 9)
+      val corpusBands = graft.ops.Dedup.bands(
+        graft.ops.Dedup.minhashSignatures(graft.ops.Dedup.shingles(corpus)))
+      val corpusHashes = corpus.select(md5(col("text")).as("content_hash"))
+      val evalGrams = graft.ops.Decontam.ngramHashes(
+        corpus.filter(col("doc_id") % 7 === 0), 8)
+      graft.streaming.StreamingOps.cleanStream(
+          batch, corpusBands, corpusHashes, evalGrams)
+        .orderBy("doc_id")
+    },
+
     // ---- weighted training mix: per-language token budgets ---------------
     // The actual shape of a pre-training recipe ("X tokens of en, Y of
     // zh, ..."): same deterministic salted-hash fill as

@@ -37,7 +37,10 @@ class PlanGuardSpec extends SparkSpec {
     // TimelineBuilder: five 1-row first-event aggregates → one row
     "trace_timeline" -> "all sides are 1-row first-event aggregates",
     // Rag.retrieve: ONE embedded question broadcast against the chunks
-    "trace_rag_retrieve" -> "broadcast side is the single query embedding"
+    "trace_rag_retrieve" -> "broadcast side is the single query embedding",
+    // cleanStream's decontam gate: the benchmark gram set collected to a
+    // 1-row array frame, cross-joined onto the ingest batch
+    "doc_clean_stream_gate" -> "broadcast side is the 1-row eval-gram-array aggregate"
   )
 
   // The RCA loop queries execute their bounded driver-side orchestration
