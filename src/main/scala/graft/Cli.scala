@@ -63,6 +63,7 @@ object Cli {
         case "clean" => clean(ctx, rest.tail.toSeq)
         case "split" => splitCmd(ctx, rest.tail.toSeq)
         case "pack" => pack(ctx, rest.tail.toSeq)
+        case "sample" => sample(ctx, rest.tail.toSeq)
         case other => println(s"unknown command: $other\n$usage"); return 1
       }
       0
@@ -101,6 +102,12 @@ object Cli {
       |                             greedy sequence packing into token-budget
       |                             bins (default 512 tokens, 8 bucket streams);
       |                             writes packed
+      |  sample <docs.parquet> [--stratum COL] [--budget N]
+      |         [--budgets k=v,k=v,...] [--default-budget N]
+      |                             deterministic token-budget sampling per
+      |                             stratum (default lang, 2000 tokens) or a
+      |                             weighted per-stratum mix via --budgets;
+      |                             writes doc_sample
       |""".stripMargin
 
   private def init(ctx: Ctx): Unit = {
@@ -329,6 +336,40 @@ object Cli {
       s"(budget $budget, $buckets bucket streams)")
     bins.groupBy("bucket").agg(max("bin").as("last_bin"))
       .orderBy("bucket").show()
+  }
+
+  /** Deterministic token-budget sampling (uniform per-stratum budget) or
+    * a weighted per-stratum mix (--budgets lang=N,...). Token counts are
+    * whitespace-token counts over `text` (the registered queries'
+    * derivation). */
+  private def sample(ctx: Ctx, args: Seq[String]): Unit = {
+    val stratum = opt(args, "--stratum").getOrElse("lang")
+    val budget = opt(args, "--budget").map(_.toLong).getOrElse(2000L)
+    val dflt = opt(args, "--default-budget").map(_.toLong).getOrElse(0L)
+    val budgets = opt(args, "--budgets").map(_.split(",").map { kv =>
+      kv.split("=") match {
+        case Array(k, v) => k -> v.toLong
+        case _ => sys.error(s"--budgets expects k=v pairs, got '$kv'")
+      }
+    }.toMap)
+    val path = positionals(args,
+      Set("--stratum", "--budget", "--budgets", "--default-budget")).headOption
+      .getOrElse(sys.error("sample requires a documents parquet path"))
+    val docs = ctx.spark.read.parquet(path)
+      .withColumn("n_tokens",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+    val sampled = budgets match {
+      case Some(b) => graft.ops.Sampling.tokenBudgetMix(
+        docs, stratum, "n_tokens", b, defaultBudget = dflt)
+      case None => graft.ops.Sampling.tokenBudgetSample(
+        docs, stratum, "n_tokens", budget)
+    }
+    ctx.write(sampled, "doc_sample")
+    println("wrote doc_sample")
+    ctx.read("doc_sample").groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_tokens"))).as("kept_tokens"))
+      .orderBy(stratum).show()
   }
 
   private def opt(args: Seq[String], flag: String): Option[String] = {

@@ -142,5 +142,20 @@ class CliSpec extends SparkSpec {
     assert(run("--db", store, "pack", docsPath) === 0)
     assert(rows(spark.read.parquet(s"$store/packed")) ===
       rows(graft.queries.Registry.byName("doc_seq_pack").run(spark, sf(""))))
+
+    // sample — default budget must equal doc_budget_sample; a --budgets
+    // mix must equal doc_mix_sample
+    val sampleCols = Seq("doc_id", "lang", "n_tokens", "cum_tokens", "kept")
+    assert(run("--db", store, "sample", docsPath) === 0)
+    assert(rows(spark.read.parquet(s"$store/doc_sample")
+        .select(sampleCols.map(col): _*)) ===
+      rows(graft.queries.Registry.byName("doc_budget_sample")
+        .run(spark, sf(""))))
+    assert(run("--db", store, "sample", docsPath, "--budgets",
+      "en=4000,de=2000,fr=1500,es=1000,zh=500") === 0)
+    assert(rows(spark.read.parquet(s"$store/doc_sample")
+        .select((sampleCols :+ "stratum_budget").map(col): _*)) ===
+      rows(graft.queries.Registry.byName("doc_mix_sample")
+        .run(spark, sf(""))))
   }
 }
