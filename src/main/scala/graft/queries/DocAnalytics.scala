@@ -560,6 +560,14 @@ object DocAnalytics {
       val d = docs(s, dir)
       val batch = d.filter(col("doc_id") % 10 === 9)
       val corpus = d.filter(col("doc_id") % 10 =!= 9)
+      // cleanStream probes the band index once PER BAND (4 key-unique
+      // left joins), but NO cache here: the shingle→MinHash aggregation
+      // subtree is identical under all four probes, so Spark's
+      // ReuseExchange computes it once and the per-band filters run over
+      // the reused exchange (measured: caching is ~12% SLOWER at sf0.1 —
+      // materialization cost with no recompute to save). In a real
+      // deployment this frame is the STORED corpus index the stream
+      // probes.
       val corpusBands = graft.ops.Dedup.bands(
         graft.ops.Dedup.minhashSignatures(graft.ops.Dedup.shingles(corpus)))
       val corpusHashes = corpus.select(md5(col("text")).as("content_hash"))
