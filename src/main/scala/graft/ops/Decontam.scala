@@ -60,4 +60,34 @@ object Decontam {
         col("n_contaminated"),
         when(col("n_contaminated") > 0, 1).otherwise(0).as("contaminated"))
   }
+
+  /** The REVERSE direction of `contamination` — the report a benchmark
+    * owner reads: per EVAL doc, how much of it leaked into the training
+    * corpus. (doc_id, n_grams, n_leaked_grams, n_train_docs): the eval
+    * doc's distinct n-gram count, how many of those grams appear in ANY
+    * training doc, and how many distinct training docs carry at least
+    * one of them. Same 100 TB shape as the forward check: the eval
+    * (id, gram) pairs broadcast, the corpus side is one Generate + a
+    * broadcast hash probe + map-side-combinable distinct aggregation —
+    * no big-side shuffle of text. */
+  def contaminationReport(trainDocs: DataFrame, evalDocs: DataFrame,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalGrams = ngramHashes(evalDocs, n, idCol, textCol)
+      .select(col("id").as("eval_id"), col("gram"))
+    val trainGrams = ngramHashes(trainDocs, n, idCol, textCol)
+    val leaks = trainGrams
+      .join(broadcast(evalGrams).hint("broadcast"), Seq("gram"), "inner")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("gram")).as("n_leaked_grams"),
+        countDistinct(col("id")).as("n_train_docs"))
+    evalGrams
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(leaks, Seq("eval_id"), "left")
+      .select(col("eval_id").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+  }
 }

@@ -178,4 +178,44 @@ object TextAnalysis {
       .withColumn("dup3_frac",
         col("dup3_chars").cast("double") / greatest(col("n_chars_r"), lit(1)))
   }
+
+  /** PII-style scrubbing patterns for training corpora, ordered — emails
+    * must be rewritten before digit runs so the local part's digits don't
+    * get mangled first. Deliberately RE2-compatible (no backreferences or
+    * lookaround) so the exact same patterns run in Spark (Java regex) and
+    * in external engines, making the scrub oracle-checkable. */
+  val RedactPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("num", """\d{7,}""", "<NUM>"))
+
+  /** Redacted text: every pattern replaced by its tag, applied in
+    * `RedactPatterns` order. A pure per-row projection — codegen'd
+    * regexp_replace chain, runs inline with the scan at any scale. */
+  def redact(textCol: Column): Column =
+    RedactPatterns.foldLeft(textCol) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Per-pattern match counts (email/ip/num) as one struct column —
+    * the audit signal next to the scrub: a source whose PII density
+    * jumps is the upstream-corruption alarm. Counted on the PRE-redaction
+    * text, in the same pattern order. */
+  def redactCounts(textCol: Column): Column = {
+    // count email/ip on the raw text, but count digit runs on the text
+    // AFTER the earlier patterns are removed — exactly what the redact
+    // chain rewrites (an email's 7+ digit local part must not double-bill
+    // as a <NUM>)
+    val afterEmail = regexp_replace(textCol,
+      RedactPatterns(0)._2, RedactPatterns(0)._3)
+    val afterIp = regexp_replace(afterEmail,
+      RedactPatterns(1)._2, RedactPatterns(1)._3)
+    struct(
+      size(regexp_extract_all(textCol, lit(RedactPatterns(0)._2), lit(0)))
+        .as("n_email"),
+      size(regexp_extract_all(afterEmail, lit(RedactPatterns(1)._2), lit(0)))
+        .as("n_ip"),
+      size(regexp_extract_all(afterIp, lit(RedactPatterns(2)._2), lit(0)))
+        .as("n_num"))
+  }
 }

@@ -381,6 +381,79 @@ object DocAnalytics {
         .orderBy("doc_id")
     },
 
+    // ---- decontamination LEAK REPORT (the reverse direction) -------------
+    // Per EVAL doc: how much of it leaked into the training corpus — the
+    // report a benchmark owner reads before trusting a score. Same
+    // broadcast shape as the forward check (eval grams tiny, corpus side
+    // one Generate + probe + map-side distinct counts).
+    sql("doc_decontam_report",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(w)-6, 2)),
+        |      i -> md5(array_to_string(w[i:i+7], ' '))))) AS gram
+        |  FROM w),
+        |eval_g AS (SELECT doc_id, gram FROM grams WHERE doc_id % 7 = 0),
+        |train_g AS (SELECT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM eval_g GROUP BY doc_id),
+        |lk AS (SELECT e.doc_id AS doc_id,
+        |         COUNT(DISTINCT e.gram) AS n_leaked_grams,
+        |         COUNT(DISTINCT t.doc_id) AS n_train_docs
+        |       FROM eval_g e JOIN train_g t USING (gram) GROUP BY e.doc_id)
+        |SELECT t.doc_id AS doc_id, n_grams,
+        |  COALESCE(n_leaked_grams, 0) AS n_leaked_grams,
+        |  COALESCE(n_train_docs, 0) AS n_train_docs
+        |FROM tot t LEFT JOIN lk ON lk.doc_id = t.doc_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      graft.ops.Decontam.contaminationReport(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id")
+    },
+
+    // ---- PII-style redaction (emails, IPs, long digit runs) --------------
+    // The compliance scrub a training pipeline runs before packing: the
+    // RE2-compatible pattern chain (email → ip → digit-run, order
+    // matters) applied as a codegen'd regexp_replace projection, with
+    // per-pattern match counts as the audit signal. The fixture corpus
+    // carries no PII, so both engines plant the SAME deterministic
+    // synthetic PII per doc and must agree on the scrubbed text and the
+    // counts.
+    sql("doc_redact",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || doc_id || '@ex-mail.com from 10.0.' ||
+        |      (doc_id % 256) || '.7 ref ' || (1234567 + doc_id) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |a AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                 '<EMAIL>', 'g') AS t1 FROM d),
+        |b AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |                 '<IP>', 'g') AS t2 FROM a)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\d{7,}', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t2, '\d{7,}')) AS n_num
+        |FROM b
+        |ORDER BY doc_id""") { (s, dir) =>
+      val t = concat(col("text"), lit(" contact u"),
+        col("doc_id").cast("string"), lit("@ex-mail.com from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 ref "),
+        (col("doc_id") + 1234567).cast("string"))
+      docs(s, dir)
+        .filter(col("doc_id") < 300)
+        .withColumn("t", t)
+        .withColumn("counts", graft.ops.TextAnalysis.redactCounts(col("t")))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.redact(col("t")).as("redacted"),
+          col("counts.n_email").as("n_email"),
+          col("counts.n_ip").as("n_ip"),
+          col("counts.n_num").as("n_num"))
+        .orderBy("doc_id")
+    },
+
     // ---- Gopher-style repetition signals ---------------------------------
     // Character mass of the most frequent word 2-gram and of word 3-grams
     // occurring more than once, as fractions of doc length (Rae et al.

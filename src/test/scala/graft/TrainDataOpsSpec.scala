@@ -74,6 +74,57 @@ class TrainDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport: per-eval-doc leak counts match a naive model") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (7L, "one two three four five six seven eight nine ten"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa nu"),
+      (2L, "x alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally unrelated words live in this training document here"))
+      .toDF("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val got = Decontam.contaminationReport(train, eval)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // naive model over the same 8-gram definition
+    val texts = Map(0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      7L -> "one two three four five six seven eight nine ten")
+    val trains = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa nu",
+      2L -> "x alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "totally unrelated words live in this training document here")
+    texts.foreach { case (id, t) =>
+      val eg = ngrams(t, 8)
+      val leaked = eg.filter(g => trains.values.exists(tt => ngrams(tt, 8)(g)))
+      val carriers = trains.count { case (_, tt) => (ngrams(tt, 8) & eg).nonEmpty }
+      assert(got(id) === ((eg.size.toLong, leaked.size.toLong, carriers.toLong)),
+        s"eval doc $id")
+    }
+    // doc 0's windows leak into docs 1 and 2 but not 3; doc 7 is clean
+    assert(got(0L)._3 === 2L)
+    assert(got(7L) === ((3L, 0L, 0L)))
+  }
+
+  test("redact: email/ip/digit-run scrub and counts, in chain order") {
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@sub.ex-mail.com or 10.0.37.7 ref 12345678 ok"),
+      (2L, "no pii here just words and 123456"), // 6 digits: below threshold
+      (3L, "two mails a@b.co c@d.org one ip 255.1.2.3"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+      graft.ops.TextAnalysis.redact(col("text")).as("r"),
+      graft.ops.TextAnalysis.redactCounts(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getStruct(2).getInt(0), r.getStruct(2).getInt(1),
+          r.getStruct(2).getInt(2)))).toMap
+    assert(got(1L) === (("mail me at <EMAIL> or <IP> ref <NUM> ok", 1, 1, 1)))
+    assert(got(2L) === (("no pii here just words and 123456", 0, 0, 0)))
+    assert(got(3L) === (("two mails <EMAIL> <EMAIL> one ip <IP>", 2, 1, 0)))
+    assert(got(4L) === (("", 0, 0, 0)))
+  }
+
   test("repetitionSignals: top 2-gram and duplicate 3-gram mass match hand computation") {
     // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top (a b, 3)
     // 3-grams = [a b a, b a b, a b a, b a b] → all duplicated, mass
