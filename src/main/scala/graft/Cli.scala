@@ -64,6 +64,7 @@ object Cli {
         case "split" => splitCmd(ctx, rest.tail.toSeq)
         case "pack" => pack(ctx, rest.tail.toSeq)
         case "sample" => sample(ctx, rest.tail.toSeq)
+        case "redact" => redact(ctx, rest.tail.toSeq)
         case other => println(s"unknown command: $other\n$usage"); return 1
       }
       0
@@ -108,6 +109,10 @@ object Cli {
       |                             stratum (default lang, 2000 tokens) or a
       |                             weighted per-stratum mix via --budgets;
       |                             writes doc_sample
+      |  redact <docs.parquet>      PII-style scrub (emails, IPv4, 7+-digit
+      |                             runs) of the text column; writes
+      |                             doc_redacted (scrubbed text + per-pattern
+      |                             counts) and prints per-source PII density
       |""".stripMargin
 
   private def init(ctx: Ctx): Unit = {
@@ -370,6 +375,28 @@ object Cli {
       .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
         sum(when(col("kept") === 1, col("n_tokens"))).as("kept_tokens"))
       .orderBy(stratum).show()
+  }
+
+  /** PII-style scrub of the corpus text: replaces the original text with
+    * the redacted form, keeps per-pattern counts as audit columns, and
+    * prints PII density per source (the upstream-corruption alarm). */
+  private def redact(ctx: Ctx, args: Seq[String]): Unit = {
+    val path = positionals(args, Set.empty).headOption
+      .getOrElse(sys.error("redact requires a documents parquet path"))
+    val docs = ctx.spark.read.parquet(path)
+    val out = docs
+      .withColumn("__c", graft.ops.TextAnalysis.redactCounts(col("text")))
+      .withColumn("text", graft.ops.TextAnalysis.redact(col("text")))
+      .withColumn("n_email", col("__c.n_email"))
+      .withColumn("n_ip", col("__c.n_ip"))
+      .withColumn("n_num", col("__c.n_num"))
+      .drop("__c")
+    ctx.write(out, "doc_redacted")
+    println("wrote doc_redacted")
+    ctx.read("doc_redacted").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email") + col("n_ip") + col("n_num")).as("pii_hits"))
+      .orderBy("source").show()
   }
 
   private def opt(args: Seq[String], flag: String): Option[String] = {

@@ -157,5 +157,19 @@ class CliSpec extends SparkSpec {
         .select((sampleCols :+ "stratum_budget").map(col): _*)) ===
       rows(graft.queries.Registry.byName("doc_mix_sample")
         .run(spark, sf(""))))
+
+    // redact — written corpus carries the scrubbed text + audit counts,
+    // equal to applying the ops directly
+    assert(run("--db", store, "redact", docsPath) === 0)
+    val redacted = spark.read.parquet(s"$store/doc_redacted")
+    val want = spark.read.parquet(docsPath)
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.redact(col("text")).as("text"),
+        graft.ops.TextAnalysis.redactCounts(col("text")).as("c"))
+      .select(col("doc_id"), col("text"), col("c.n_email").as("n_email"),
+        col("c.n_ip").as("n_ip"), col("c.n_num").as("n_num"))
+    assert(rows(redacted.select("doc_id", "text", "n_email", "n_ip", "n_num"))
+      === rows(want))
+    assert(redacted.count() === spark.read.parquet(docsPath).count())
   }
 }

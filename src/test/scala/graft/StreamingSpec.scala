@@ -429,11 +429,20 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("per-row top2GramStats fold equals the batch repetitionSignals aggregate") {
-    // fixture corpus + adversarial shapes: ties, single word, empty text
+    // fixture corpus + adversarial shapes (ties, single word, empty text,
+    // double spaces → empty tokens, non-ASCII) + 300 fuzzed docs over a
+    // tiny vocabulary so tie-breaks and repeated runs fire constantly
+    val rng = new scala.util.Random(20260814L)
+    val vocab = Array("a", "b", "aa", "ab", "ü", "", "xy")
+    val fuzzed = (9100L until 9400L).map(i => (i,
+      Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")))
     val docs = graft.Tables(spark, sf(""), "documents")
       .select(col("doc_id"), col("text"))
-      .unionAll(Seq((9001L, "x y z w"), (9002L, "solo"), (9003L, ""),
-        (9004L, "b a b a b"), (9005L, "t t t t t t"))
+      .unionAll((Seq((9001L, "x y z w"), (9002L, "solo"), (9003L, ""),
+        (9004L, "b a b a b"), (9005L, "t t t t t t"),
+        (9006L, "a  b  a  b"), (9007L, "ü ü ö ü"))
+        ++ fuzzed)
         .toDF("doc_id", "text"))
     val perRow = docs.select(col("doc_id"),
       graft.ops.TextAnalysis.top2GramStats(col("text")).as("t"))
