@@ -24,8 +24,17 @@ object Cli {
       * rollups_{N}s, chunks, ...), so `query`/`export` SQL can reach it. */
     def registerAll(): Unit = {
       val dirs = Option(new java.io.File(store).listFiles()).getOrElse(Array())
+      // a completed PARQUET table: _SUCCESS plus at least one .parquet
+      // data file (directly, or one level down for partitioned layouts).
+      // The marker alone is not enough — csv/json exports written into
+      // the store dir also carry _SUCCESS and must not register.
+      def hasParquet(d: java.io.File): Boolean = {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
+          kids.exists(f => f.isDirectory && hasParquet(f))
+      }
       dirs.filter(d => d.isDirectory &&
-          new java.io.File(d, "_SUCCESS").exists())
+          new java.io.File(d, "_SUCCESS").exists() && hasParquet(d))
         .foreach(d => read(d.getName).createOrReplaceTempView(d.getName))
     }
   }
@@ -65,6 +74,10 @@ object Cli {
         case "pack" => pack(ctx, rest.tail.toSeq)
         case "sample" => sample(ctx, rest.tail.toSeq)
         case "redact" => redact(ctx, rest.tail.toSeq)
+        case "compact" =>
+          val (b, a) = graft.sources.Store.compactEvents(
+            ctx.spark, ctx.path("events"))
+          println(s"compacted events: $b files -> $a files")
         case other => println(s"unknown command: $other\n$usage"); return 1
       }
       0
@@ -113,6 +126,9 @@ object Cli {
       |                             runs) of the text column; writes
       |                             doc_redacted (scrubbed text + per-pattern
       |                             counts) and prints per-source PII density
+      |  compact                    rewrite the events table into one ts-sorted
+      |                             file per date partition (merges the small
+      |                             files streaming ingest appends)
       |""".stripMargin
 
   private def init(ctx: Ctx): Unit = {

@@ -38,6 +38,46 @@ object Store {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Compact the store's small files — the operational companion to
+    * `StreamingOps.ingestToStore`, whose per-micro-batch appends leave
+    * one file per batch per open day: at continuous-ingest scale a day's
+    * partition accumulates thousands of tiny parquet files and scan
+    * planning (file listing + one row group per file) degrades long
+    * before data volume does. Rewrites the WHOLE store through the exact
+    * batch writer (one ts-sorted file set per event_date partition, same
+    * layout, same readers) via an atomic-rename swap: write to a temp
+    * sibling, swap directories, delete the old. Readers between the two
+    * renames see the store briefly missing — on a real deployment the
+    * swap is a metastore partition repoint or a view flip (per-partition
+    * selective compaction composes from the same pieces); the local form
+    * keeps the test surface honest without a metastore.
+    *
+    * Returns (filesBefore, filesAfter) parquet data-file counts. */
+  def compactEvents(spark: SparkSession, dir: String): (Int, Int) = {
+    def dataFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(dataFiles)
+    }
+    val dirFile = new java.io.File(dir)
+    val before = dataFiles(dirFile).size
+    val tmp = new java.io.File(dirFile.getParentFile,
+      dirFile.getName + ".__compact_tmp")
+    val old = new java.io.File(dirFile.getParentFile,
+      dirFile.getName + ".__compact_old")
+    // event_date is re-derived from ts by writeEvents, so read the data
+    // columns only (the partition column would collide with the derive)
+    val events = readEvents(spark, dir).drop("event_date")
+    writeEvents(events, tmp.getAbsolutePath)
+    if (!dirFile.renameTo(old) || !tmp.renameTo(dirFile))
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    rmTree(old)
+    (before, dataFiles(dirFile).size)
+  }
+
   /** Walk the physical plan STRUCTURALLY, descending through the AQE
     * wrappers (`AdaptiveSparkPlanExec` re-plans under its own node,
     * `QueryStageExec` hides the materialized exchange subtree, reused

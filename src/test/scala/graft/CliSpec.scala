@@ -31,6 +31,15 @@ class CliSpec extends SparkSpec {
       "--format", "csv") === 0)
     assert(new java.io.File(out).exists())
     assert(run("--db", store, "detect") === 0)
+
+    // compact migrates the flat events dir into the date-partitioned
+    // ts-sorted Store layout; readers and SQL keep working over it
+    assert(run("--db", store, "compact") === 0)
+    assert(spark.read.parquet(s"$store/events").count() === 319)
+    assert(run("--db", store, "query",
+      "SELECT COUNT(*) n FROM events WHERE severity >= 20") === 0)
+    assert(run("--db", store, "stats") === 0)
+
     assert(run("--db", store, "nope") === 1)
   }
 

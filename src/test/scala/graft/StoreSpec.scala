@@ -36,6 +36,38 @@ class StoreSpec extends SparkSpec {
     assert(narrow.count() < ranged.count())
   }
 
+  test("compaction merges streaming-append small files, preserving content " +
+      "and pruning") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/events"
+    val events = Tables(spark, sf(""), "events").cache()
+    // simulate the streaming ingest's per-micro-batch appends: 6 slices
+    // written separately → one file set per append per touched date
+    val sliced = events.withColumn("__s", pmod(col("event_id"), lit(6)))
+    (0 until 6).foreach { s =>
+      Store.writeEvents(sliced.filter(col("__s") === s).drop("__s"), dir,
+        mode = if (s == 0) "overwrite" else "append")
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.drop("event_date").collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val before = canon(Store.readEvents(spark, dir))
+
+    val (nBefore, nAfter) = Store.compactEvents(spark, dir)
+    assert(nBefore > nAfter,
+      s"expected fewer files after compaction ($nBefore -> $nAfter)")
+    // one writer task per date partition → exactly one file per partition
+    val partitions = Option(new java.io.File(dir).listFiles()).get
+      .count(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(nAfter === partitions)
+
+    val after = Store.readEvents(spark, dir)
+    assert(canon(after) === before, "compaction must not change content")
+    val ranged = after.filter(col("event_date") === "2024-01-05")
+    ranged.collect()
+    assert(Store.prunes(ranged), "compacted store must still prune")
+    events.unpersist()
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     // managed tables land in the default warehouse dir; drop leftovers
     // from any prior aborted run before writing, and again at the end
