@@ -338,10 +338,13 @@ object Cli {
       .agg(count(lit(1)).as("n_docs")).orderBy("split").show()
   }
 
-  /** Greedy sequence packing into (bucket, bin) token-budget examples. */
+  /** Greedy sequence packing into (bucket, bin) token-budget examples;
+    * --examples additionally materializes one row per bin with the
+    * ordered member list and the concatenated text the tokenizer sees. */
   private def pack(ctx: Ctx, args: Seq[String]): Unit = {
     val budget = opt(args, "--budget").map(_.toLong).getOrElse(512L)
     val buckets = opt(args, "--buckets").map(_.toInt).getOrElse(8)
+    val examples = args.contains("--examples")
     val path = positionals(args, Set("--budget", "--buckets")).headOption
       .getOrElse(sys.error("pack requires a documents parquet path"))
     val docs = ctx.spark.read.parquet(path)
@@ -351,6 +354,22 @@ object Cli {
       idCol = "doc_id", tokensCol = "n_tokens",
       budget = budget, buckets = buckets)
     ctx.write(packed, "packed")
+    if (examples) {
+      ctx.write(ctx.read("packed")
+        .join(docs.select(col("doc_id"), col("text"), col("n_tokens")),
+          "doc_id")
+        .groupBy("bucket", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          concat_ws("|", transform(
+            array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("doc_ids"),
+          concat_ws("\n\n", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text"))).as("example_text")),
+        "packed_examples")
+      println("wrote packed_examples")
+    }
     val bins = ctx.read("packed")
     println(s"packed ${bins.count()} docs into " +
       s"${bins.select("bucket", "bin").distinct().count()} bins " +

@@ -312,6 +312,61 @@ object DocAnalytics {
         .orderBy("doc_id")
     },
 
+    // ---- packed training EXAMPLES (materialized bins) --------------------
+    // The step after bin assignment: each (bucket, bin) becomes one
+    // training example — ordered member list + the concatenated text the
+    // tokenizer will actually see. One groupBy over the pack assignment
+    // joined back to the docs; per-bin collect is bounded by the token
+    // budget, so example size is capped by construction. Restricted to
+    // doc_id < 1500 to bound the oracle's recursive-CTE replay.
+    sql("doc_pack_examples", {
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+        |    doc_id % 8 AS bucket,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id < 1500
+        |), rec AS (
+        |  SELECT bucket, rn, doc_id, tokens, tokens AS fill,
+        |    CAST(0 AS BIGINT) AS bin
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.bucket, d.rn, d.doc_id, d.tokens,
+        |    CASE WHEN r.fill + d.tokens <= 512 THEN r.fill + d.tokens
+        |         ELSE d.tokens END,
+        |    CASE WHEN r.fill + d.tokens <= 512 THEN r.bin ELSE r.bin + 1 END
+        |  FROM rec r JOIN docs d ON d.bucket = r.bucket AND d.rn = r.rn + 1
+        |)
+        |SELECT r.bucket AS bucket, r.bin AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(r.tokens) AS BIGINT) AS total_tokens,
+        |  string_agg(r.doc_id::VARCHAR, '|' ORDER BY r.doc_id) AS doc_ids,
+        |  string_agg(d.text, E'\n\n' ORDER BY r.doc_id) AS example_text
+        |FROM rec r JOIN docs d ON d.doc_id = r.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY bucket, bin"""
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+        .filter(col("doc_id") < 1500)
+        .withColumn("n_tokens",
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+      val packed = graft.ops.Packing.packGreedy(
+        d, idCol = "doc_id", tokensCol = "n_tokens",
+        budget = 512, buckets = 8)
+      packed.join(d.select(col("doc_id"), col("text"), col("n_tokens")),
+          "doc_id")
+        .groupBy("bucket", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          concat_ws("|", transform(
+            array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("doc_ids"),
+          concat_ws("\n\n", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text"))).as("example_text"))
+        .orderBy("bucket", "bin")
+    },
+
     // ---- deterministic train/val/test split ------------------------------
     // Salted-md5 split: the first hex nibble of md5(doc_id || salt) maps
     // 13/16 → train, 2/16 → val, 1/16 → test. Content-independent,

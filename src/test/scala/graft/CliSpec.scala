@@ -147,10 +147,20 @@ class CliSpec extends SparkSpec {
     assert(rows(splitStats) ===
       rows(graft.queries.Registry.byName("doc_split_stats").run(spark, sf(""))))
 
-    // pack — default budget/buckets must equal doc_seq_pack
-    assert(run("--db", store, "pack", docsPath) === 0)
+    // pack — default budget/buckets must equal doc_seq_pack; --examples
+    // materializes one consistent row per bin
+    assert(run("--db", store, "pack", docsPath, "--examples") === 0)
     assert(rows(spark.read.parquet(s"$store/packed")) ===
       rows(graft.queries.Registry.byName("doc_seq_pack").run(spark, sf(""))))
+    val ex = spark.read.parquet(s"$store/packed_examples")
+    val nDocs = spark.read.parquet(docsPath).count()
+    assert(ex.agg(sum("n_docs")).first().getLong(0) === nDocs)
+    // every example's member count matches its id list and its text join
+    assert(ex.filter(size(split(col("doc_ids"), "\\|")) =!= col("n_docs"))
+      .count() === 0L)
+    assert(ex.filter(col("total_tokens") > 512)
+      .filter(col("n_docs") > 1).count() === 0L,
+      "only oversize singleton docs may exceed the budget")
 
     // sample — default budget must equal doc_budget_sample; a --budgets
     // mix must equal doc_mix_sample
