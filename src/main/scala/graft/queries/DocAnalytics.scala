@@ -543,6 +543,64 @@ object DocAnalytics {
         .orderBy("doc_id")
     },
 
+    // ---- repetition-gate CALIBRATION -------------------------------------
+    // How an operator tunes the gate: for target keep-rates, derive the
+    // top2_frac threshold as the corresponding percentile over the
+    // corpus and report the exact keep count it would produce. Exact
+    // `percentile` == DuckDB quantile_cont (the ev_percentiles
+    // precedent); both the threshold and the per-doc frac compare at 6
+    // rounded decimals so the boundary decision is engine-stable. The
+    // 3-row rate/threshold frame broadcasts over the corpus (J4 shape).
+    sql("doc_gate_calibration",
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars_r,
+        |             string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, n_chars_r, unnest(list_transform(
+        |         range(1, greatest(len(w), 2)),
+        |         i -> array_to_string(w[i:i+1], ' '))) AS gram FROM w),
+        |c2 AS (SELECT doc_id, n_chars_r, gram, COUNT(*) AS cnt FROM g2 GROUP BY ALL),
+        |rep AS (SELECT doc_id,
+        |          CAST(cnt * length(gram) AS DOUBLE) / greatest(n_chars_r, 1) AS top2_frac
+        |        FROM (SELECT doc_id, n_chars_r, gram, cnt, ROW_NUMBER() OVER
+        |                (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2)
+        |        WHERE rn = 1),
+        |thr AS (SELECT ROUND(quantile_cont(top2_frac, 0.80), 6) AS t80,
+        |          ROUND(quantile_cont(top2_frac, 0.90), 6) AS t90,
+        |          ROUND(quantile_cont(top2_frac, 0.95), 6) AS t95,
+        |          COUNT(*) AS n_docs FROM rep),
+        |rates AS (
+        |  SELECT CAST(0.80 AS DOUBLE) AS target_rate, t80 AS threshold, n_docs FROM thr
+        |  UNION ALL
+        |  SELECT CAST(0.90 AS DOUBLE), t90, n_docs FROM thr
+        |  UNION ALL
+        |  SELECT CAST(0.95 AS DOUBLE), t95, n_docs FROM thr)
+        |SELECT target_rate, threshold, n_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rep
+        |   WHERE ROUND(top2_frac, 6) <= r.threshold) AS n_kept
+        |FROM rates r
+        |ORDER BY target_rate""") { (s, dir) =>
+      val rep = graft.ops.TextAnalysis.repetitionSignals(docs(s, dir))
+        .select(col("doc_id"), col("top2_frac"))
+      val thr = rep.agg(
+        round(percentile(col("top2_frac"), lit(0.80)), 6).as("t80"),
+        round(percentile(col("top2_frac"), lit(0.90)), 6).as("t90"),
+        round(percentile(col("top2_frac"), lit(0.95)), 6).as("t95"),
+        count(lit(1)).as("n_docs"))
+      val rates = thr.select(explode(array(
+          struct(lit(0.80).as("target_rate"), col("t80").as("threshold"),
+            col("n_docs").as("n_docs")),
+          struct(lit(0.90).as("target_rate"), col("t90").as("threshold"),
+            col("n_docs").as("n_docs")),
+          struct(lit(0.95).as("target_rate"), col("t95").as("threshold"),
+            col("n_docs").as("n_docs")))).as("r"))
+        .select(col("r.target_rate").as("target_rate"),
+          col("r.threshold").as("threshold"), col("r.n_docs").as("n_docs"))
+      rep.crossJoin(broadcast(rates))
+        .groupBy("target_rate", "threshold", "n_docs")
+        .agg(count(when(round(col("top2_frac"), 6) <= col("threshold"), 1))
+          .as("n_kept"))
+        .orderBy("target_rate")
+    },
+
     // ---- deterministic token-budget sampling per language ----------------
     // The training-mix primitive: fill each stratum's TOKEN budget in
     // salted-md5 order (reproducible permutation; a doc's kept/dropped
