@@ -61,7 +61,10 @@ object ClusterSmoke {
     // 1-row eval-array cross join + the per-row top-gram fold)
     "doc_budget_sample",
     "mm_gif_frames",
-    "doc_clean_stream_gate")
+    "doc_clean_stream_gate",
+    // exact percentile is a TypedImperativeAggregate — its buffer merge
+    // across executor JVMs is the point of this entry
+    "doc_gate_calibration")
 
   /** JDK-17 module opens Spark needs outside spark-submit — mirrored from
     * build.sbt's javaOptions; reused for the spawned driver AND the
