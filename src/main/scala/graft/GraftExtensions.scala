@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_nearest_cells"), GraftFunctions.nearestBuilder))
     ext.injectFunction((FunctionIdentifier("graft_md5_seeds"),
       info("graft_md5_seeds"), graft.functions.TextFunctions.md5SeedsBuilder))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      info("simhash32"), graft.functions.TextFunctions.simhashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_langid"),
+      info("graft_langid"), graft.functions.TextFunctions.langIdBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_split_text"),
+      info("graft_split_text"), graft.functions.TextFunctions.splitTextBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash"), graft.functions.MinHashAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_hll"),

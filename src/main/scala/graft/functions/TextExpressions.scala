@@ -156,7 +156,131 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  val simhashUdf = org.apache.spark.sql.functions.udf(simhash _)
+  /** Static entry shared by the interpreted and generated code paths of
+    * [[SimHash32]] (the RollingHash pattern — a name no class member
+    * shadows, so scalac emits the static forwarder codegen calls). */
+  def hashU(s: UTF8String): Long = simhash(s.toString)
+}
+
+/** Native codegen form of [[SimHash.simhash]] — the former ScalaUDF
+  * blocked whole-stage codegen of every projection it appeared in
+  * (doc_simhash_pairs' signature scan). Same bits, same determinism. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash.hashU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.hashU($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Native codegen form of the language-ID heuristic
+  * (graft.ops.TextAnalysis.LangId.detect — the scoring table and decision
+  * procedure live there, next to the DuckDB oracle that re-derives them).
+  * Null routes to "unknown" like the Scala function, so the expression is
+  * NOT null-intolerant: eval handles null itself instead of inheriting
+  * UnaryExpression's null short-circuit. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_langid expects STRING, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    LangIdExpr.detectU(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        UTF8String ${ev.value} = graft.functions.LangIdExpr.detectU(
+          ${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object LangIdExpr {
+  /** Static entry shared by interpreted + generated code. */
+  def detectU(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.ops.TextAnalysis.LangId.detect(if (s == null) null else s.toString))
+}
+
+/** Native codegen form of the recursive character splitter
+  * (graft.trace.Chunker.splitText — langchain's
+  * RecursiveCharacterTextSplitter algorithm). chunkSize/overlap are
+  * plan-time constants, so they ride as constructor fields, not child
+  * expressions. Null text → empty array (matching the UDF it replaces),
+  * hence the non-null-intolerant eval. */
+case class SplitTextExpr(child: Expression, chunkSize: Int, overlap: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if chunkSize > 0 && overlap >= 0 && overlap < chunkSize =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_split_text needs 0 <= overlap < chunkSize, got ($chunkSize, $overlap)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_split_text expects STRING, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    SplitTextExpr.splitU(
+      child.eval(input).asInstanceOf[UTF8String], chunkSize, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+          graft.functions.SplitTextExpr.splitU(
+            ${c.isNull} ? null : ${c.value}, $chunkSize, $overlap);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SplitTextExpr {
+  /** Static entry shared by interpreted + generated code. */
+  def splitU(s: UTF8String, chunkSize: Int, overlap: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val pieces =
+      if (s == null) Seq.empty[String]
+      else graft.trace.Chunker.splitText(s.toString, chunkSize, overlap)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pieces.map(UTF8String.fromString).toArray[Any])
+  }
 }
 
 object TextFunctions {
@@ -173,16 +297,60 @@ object TextFunctions {
     Md5Seeds(exprs.head, n)
   }
 
+  val simhashBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"simhash32 expects (text), got ${exprs.length} arguments")
+    SimHash32(exprs.head)
+  }
+
+  val langIdBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"graft_langid expects (text), got ${exprs.length} arguments")
+    LangIdExpr(exprs.head)
+  }
+
+  val splitTextBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3,
+      s"graft_split_text expects (text, chunkSize, overlap), got ${exprs.length} arguments")
+    def asInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_split_text $what must be a literal, got $other")
+    }
+    SplitTextExpr(exprs.head, asInt(exprs(1), "chunkSize"),
+      asInt(exprs(2), "overlap"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_seeds", md5SeedsBuilder, "built-in")
-    spark.udf.register("simhash32", SimHash.simhashUdf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_langid", langIdBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_split_text", splitTextBuilder, "built-in")
   }
 
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
-  def simhash32(c: Column): Column = SimHash.simhashUdf(c)
+  // The three below self-register on the ACTIVE session (these are leaf
+  // projections built from ops code that holds only a Column, not a
+  // session); GraftExtensions registers the same builders cluster-wide.
+  def simhash32(c: Column): Column = {
+    register(SparkSession.active); call_function("simhash32", c)
+  }
+  def langId(c: Column): Column = {
+    register(SparkSession.active); call_function("graft_langid", c)
+  }
+  def splitText(c: Column, chunkSize: Int, overlap: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_split_text", c,
+      org.apache.spark.sql.functions.lit(chunkSize),
+      org.apache.spark.sql.functions.lit(overlap))
+  }
   /** Requires register(spark) on the session first. */
   def md5Seeds(c: Column, n: Int): Column =
     call_function("graft_md5_seeds", c, org.apache.spark.sql.functions.lit(n))

@@ -57,11 +57,13 @@ object TextAnalysis {
       val (best, score) = scores.maxBy { case (l, s) => (s, l) }
       if (score == 0) "unknown" else best
     }
-
-    val udfDetect = udf(detect _)
   }
 
-  def detectLanguage(c: Column): Column = LangId.udfDetect(c)
+  /** Native codegen since round 8 (graft.functions.LangIdExpr) — the
+    * ScalaUDF form blocked whole-stage codegen of the enclosing
+    * projection. */
+  def detectLanguage(c: Column): Column =
+    graft.functions.TextFunctions.langId(c)
 
   /** GPT-2-style pre-tokenizer regex (public BPE pattern family):
     * runs of letters, single digits, punctuation runs, whitespace runs.

@@ -125,9 +125,8 @@ object Chunker {
       .orderBy("chunk_id")
   }
 
-  private val splitUdf =
-    udf((s: String, size: Int, overlap: Int) =>
-      if (s == null) Seq.empty[String] else splitText(s, size, overlap))
+  // graft_split_text: native codegen since round 8 (the former ScalaUDF
+  // blocked whole-stage codegen of the split projection)
 
   /** Explode chunk rows into ≤chunkSize character sub-chunks with overlap,
     * a per-parent piece index, and the reference's GLOBAL chunk_index over
@@ -147,7 +146,8 @@ object Chunker {
     val split = chunks
       .select(col("chunk_id"), col("start_event_id"), col("end_event_id"),
         col("chunk_type"),
-        splitUdf(col("chunk_content"), lit(chunkSize), lit(overlap))
+        graft.functions.TextFunctions
+          .splitText(col("chunk_content"), chunkSize, overlap)
           .as("pieces_arr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pieces = split

@@ -52,11 +52,11 @@ class PlanGuardSpec extends SparkSpec {
   private val skip = Set("trace_rca_loop", "trace_rca_final")
 
   test("no registered query plans a Cartesian product or an unbounded BNLJ") {
-    // The numeric parsers were UDFs through round 5 and are native
-    // codegen expressions since round 6; a ScalaUDF under any of their
-    // names in a plan means some call site silently regressed to the
-    // UDF-era path (which de-codegens the enclosing stage).
-    val parserNames = graft.functions.PyNum.Names.values.toSet
+    // As of round 8 EVERY registered plan is UDF-free: the numeric
+    // parsers (round 6), LangId, SimHash and the recursive text splitter
+    // (round 8) are all native codegen expressions. ANY ScalaUDF in a
+    // registered plan is a regression to a path that de-codegens the
+    // enclosing stage — no names, no exemptions.
     val bnljSeen = Set.newBuilder[String]
     val violations = graft.queries.Registry.all
       .filterNot(q => skip(q.name) || allowedProducts(q.name))
@@ -72,9 +72,9 @@ class PlanGuardSpec extends SparkSpec {
             Some(s"${q.name}: BroadcastNestedLoopJoin")
           else None
         val parserUdfs = plan.flatMap(_.expressions.flatMap(_.collect {
-          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
-              if u.udfName.exists(parserNames) =>
-            s"${q.name}: ScalaUDF ${u.udfName.get} (native PyParse regressed to UDF)"
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+            s"${q.name}: ScalaUDF ${u.udfName.getOrElse(u.function.getClass.getName)}" +
+              " (plans must stay UDF-free — use a native expression)"
         })).distinct
         product ++ bnlj ++ parserUdfs
       }
