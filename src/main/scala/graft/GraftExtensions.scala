@@ -42,6 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash"), graft.functions.MinHashAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_hll"),
       info("graft_hll"), graft.functions.HllAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_pct_sample"),
+      info("graft_pct_sample"), graft.functions.PctSampleAgg.builder))
     graft.functions.PyNum.Names.foreach { case (mode, name) =>
       ext.injectFunction((FunctionIdentifier(name),
         info(name), graft.functions.PyNum.builder(mode)))

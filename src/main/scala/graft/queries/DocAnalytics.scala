@@ -601,6 +601,75 @@ object DocAnalytics {
         .orderBy("target_rate")
     },
 
+    // ---- repetition-gate calibration, 100-TB mode ------------------------
+    // Same calibration, thresholds from the BOUNDED-STATE sampled
+    // percentile (PctSampleAgg, k=256 — small enough that the sampling
+    // regime is truly exercised at sf0.01's corpus size): aggregate state
+    // is 24·k bytes flat instead of one buffered double per document,
+    // which is what lets the gate be tuned on a 100-TB corpus in one
+    // pass. The oracle replays the identical deterministic sample
+    // (ROW_NUMBER over md5(salted doc_id) ≤ k) so the sampled thresholds
+    // — and the full-corpus keep counts they imply — hash-match exactly.
+    sql("doc_gate_calibration_approx",
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars_r,
+        |             string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, n_chars_r, unnest(list_transform(
+        |         range(1, greatest(len(w), 2)),
+        |         i -> array_to_string(w[i:i+1], ' '))) AS gram FROM w),
+        |c2 AS (SELECT doc_id, n_chars_r, gram, COUNT(*) AS cnt FROM g2 GROUP BY ALL),
+        |rep AS (SELECT doc_id,
+        |          CAST(cnt * length(gram) AS DOUBLE) / greatest(n_chars_r, 1) AS top2_frac
+        |        FROM (SELECT doc_id, n_chars_r, gram, cnt, ROW_NUMBER() OVER
+        |                (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2)
+        |        WHERE rn = 1),
+        |smp AS (SELECT top2_frac FROM (
+        |          SELECT top2_frac, ROW_NUMBER() OVER
+        |            (ORDER BY md5(doc_id::VARCHAR || ':cal'), top2_frac) AS srn
+        |          FROM rep)
+        |        WHERE srn <= 256),
+        |thr AS (SELECT ROUND(quantile_cont(top2_frac, 0.80), 6) AS t80,
+        |          ROUND(quantile_cont(top2_frac, 0.90), 6) AS t90,
+        |          ROUND(quantile_cont(top2_frac, 0.95), 6) AS t95
+        |        FROM smp),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM rep),
+        |rates AS (
+        |  SELECT CAST(0.80 AS DOUBLE) AS target_rate, t80 AS threshold, n_docs FROM thr, nd
+        |  UNION ALL
+        |  SELECT CAST(0.90 AS DOUBLE), t90, n_docs FROM thr, nd
+        |  UNION ALL
+        |  SELECT CAST(0.95 AS DOUBLE), t95, n_docs FROM thr, nd)
+        |SELECT target_rate, threshold, n_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rep
+        |   WHERE ROUND(top2_frac, 6) <= r.threshold) AS n_kept
+        |FROM rates r
+        |ORDER BY target_rate""") { (s, dir) =>
+      val rep = graft.ops.TextAnalysis.repetitionSignals(docs(s, dir))
+        .select(col("doc_id"), col("top2_frac"))
+      val ps = graft.functions.PctSampleAgg.pctSample(
+        concat(col("doc_id").cast("string"), lit(":cal")),
+        col("top2_frac"), Seq(0.80, 0.90, 0.95), 256)
+      val thr = rep.agg(ps.as("ps"), count(lit(1)).as("n_docs"))
+        .select(
+          round(element_at(col("ps"), 1), 6).as("t80"),
+          round(element_at(col("ps"), 2), 6).as("t90"),
+          round(element_at(col("ps"), 3), 6).as("t95"),
+          col("n_docs"))
+      val rates = thr.select(explode(array(
+          struct(lit(0.80).as("target_rate"), col("t80").as("threshold"),
+            col("n_docs").as("n_docs")),
+          struct(lit(0.90).as("target_rate"), col("t90").as("threshold"),
+            col("n_docs").as("n_docs")),
+          struct(lit(0.95).as("target_rate"), col("t95").as("threshold"),
+            col("n_docs").as("n_docs")))).as("r"))
+        .select(col("r.target_rate").as("target_rate"),
+          col("r.threshold").as("threshold"), col("r.n_docs").as("n_docs"))
+      rep.crossJoin(broadcast(rates))
+        .groupBy("target_rate", "threshold", "n_docs")
+        .agg(count(when(round(col("top2_frac"), 6) <= col("threshold"), 1))
+          .as("n_kept"))
+        .orderBy("target_rate")
+    },
+
     // ---- deterministic token-budget sampling per language ----------------
     // The training-mix primitive: fill each stratum's TOKEN budget in
     // salted-md5 order (reproducible permutation; a doc's kept/dropped

@@ -570,6 +570,43 @@ object EventAnalytics {
         .orderBy("event_type")
     },
 
+    // ---- A16 at 100 TB: bounded-state percentile (deterministic
+    // bottom-k sample — graft.functions.PctSampleAgg). The oracle
+    // replays the EXACT sampling rule: the k rows with smallest
+    // md5(salted id) per group ARE the sample in both engines, then an
+    // exact quantile_cont over just those rows. k=1024 caps aggregate
+    // state at 24 KB/group regardless of group size (the exact form
+    // buffers EVERY distinct value); rank error obeys DKW (≈ ±4.3
+    // quantile points at 98% confidence). Groups under k rows keep all
+    // rows → identical to the exact form.
+    sql("ev_percentiles_approx",
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR || ':pct'), value) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled
+        |FROM s WHERE rn <= 1024
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      val ps = graft.functions.PctSampleAgg.pctSample(
+        concat(col("event_id").cast("string"), lit(":pct")),
+        col("value"), Seq(0.95, 0.5), 1024)
+      ev(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(ps.as("ps"), count(lit(1)).as("n_rows"))
+        .select(col("event_type"),
+          round(element_at(col("ps"), 1), 6).as("p95"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          least(col("n_rows"), lit(1024L)).as("n_sampled"))
+        .orderBy("event_type")
+    },
+
     // ---- F5: context window around an anchor timestamp -------------------
     sql("ev_context_window",
       """SELECT event_id, event_type, value

@@ -128,8 +128,24 @@ object DerivedTables {
         count(c))
       .otherwise(avg(c))
 
+  /** p95 for the baseline/rollup aggregations. `approxK = 0` (the oracle
+    * anchor) is Spark's exact `Percentile` — an UNBOUNDED-state aggregate
+    * that buffers every distinct group value, correct at test scale but
+    * an executor-OOM risk when a (metric, role) group holds billions of
+    * distinct doubles. `approxK > 0` is the 100-TB mode: the
+    * deterministic bottom-k sample percentile (PctSampleAgg — state
+    * exactly 24·k bytes per group, DKW rank error ≤ √(ln(2/δ)/2k)),
+    * keyed on the unique EAV row id so the sample is a uniform
+    * engine-reproducible permutation. Same call sites, same schema. */
+  private def p95Col(approxK: Int): Column =
+    if (approxK <= 0) percentile(col("metric_value"), lit(0.95))
+    else element_at(
+      graft.functions.PctSampleAgg.pctSample(
+        concat(col("event_id").cast("string"), lit(":"), col("metric_name")),
+        col("metric_value"), Seq(0.95), approxK), 1)
+
   def metricBaselines(metrics: DataFrame, minCount: Int = 20,
-      topN: Int = 500, perRole: Boolean = true): DataFrame = {
+      topN: Int = 500, perRole: Boolean = true, approxK: Int = 0): DataFrame = {
     val roleCol = if (perRole) coalesce(col("role"), lit("ALL")) else lit("ALL")
     metrics
       .filter(!isnan(col("metric_value")) &&
@@ -140,7 +156,7 @@ object DerivedTables {
       .agg(
         exactMean(col("metric_value")).as("mean"),
         stddev_samp(col("metric_value")).as("stddev"),
-        percentile(col("metric_value"), lit(0.95)).as("p95"),
+        p95Col(approxK).as("p95"),
         min(col("metric_value")).as("min"),
         max(col("metric_value")).as("max"),
         count(lit(1)).as("count"))
@@ -151,8 +167,9 @@ object DerivedTables {
   }
 
   /** `rollups_{N}s`: tumbling-window aggregates per (window, role, metric)
-    * (tools/storage.py:328-352). */
-  def rollups(metrics: DataFrame, intervalSeconds: Int = 60): DataFrame =
+    * (tools/storage.py:328-352). `approxK` as in [[metricBaselines]]. */
+  def rollups(metrics: DataFrame, intervalSeconds: Int = 60,
+      approxK: Int = 0): DataFrame =
     metrics
       .filter(col("ts").isNotNull)
       .groupBy(
@@ -163,5 +180,5 @@ object DerivedTables {
         count(lit(1)).as("n"),
         exactMean(col("metric_value")).as("avg"),
         max(col("metric_value")).as("max"),
-        percentile(col("metric_value"), lit(0.95)).as("p95"))
+        p95Col(approxK).as("p95"))
 }

@@ -43,7 +43,9 @@ class PlanGuardSpec extends SparkSpec {
     "doc_clean_stream_gate" -> "broadcast side is the 1-row eval-gram-array aggregate",
     // gate calibration: the 3-row (rate, percentile-threshold) frame
     // derived from a 1-row aggregate, broadcast over the corpus
-    "doc_gate_calibration" -> "broadcast side is the 3-row rate/threshold frame"
+    "doc_gate_calibration" -> "broadcast side is the 3-row rate/threshold frame",
+    // same shape, thresholds from the bounded-state sampled percentile
+    "doc_gate_calibration_approx" -> "broadcast side is the 3-row rate/threshold frame"
   )
 
   // The RCA loop queries execute their bounded driver-side orchestration
