@@ -161,11 +161,15 @@ object StreamingOps {
     *    `Dedup.incrementalAdmit` semantics (admit ⇔ no exact hit and no
     *    band collision). Batch-vs-corpus self-dedup (connected
     *    components) stays the nightly batch job's business;
-    *  - the decontam gate probes the benchmark suite's gram hashes,
-    *    carried as ONE collected array on a 1-row static frame
-    *    cross-joined in (the J4 1-row-broadcast pattern; the eval suite
-    *    is tiny by definition — at a size where that array strains the
-    *    plan, fall back to the exploded `contaminationAlerts` form).
+    *  - the decontam gate probes the benchmark suite's gram hashes
+    *    through `AnyGramInSet` — the eval digests packed into one sorted
+    *    long[] shipped per executor inside the task binary; each doc
+    *    binary-searches it in O(g · log |eval|), so per-doc cost is
+    *    independent of eval-set size (a 1M-gram suite is 16 MB resident
+    *    and ~20 compares per gram, vs the former collected-array
+    *    `arrays_overlap` scan that was O(|eval|) PER DOCUMENT).
+    *    Membership is exact on the full 128-bit digest — same gate, same
+    *    hashes, no bloom false-positive path to confirm.
     *
     * Each static side is key-unique (distinct hashes / distinct bucket
     * hashes per band / one row of grams), so the stream keeps exactly
@@ -178,8 +182,11 @@ object StreamingOps {
       textCol: String = "text"): DataFrame = {
     val rows = hashes / bandCount
     val n = cfg.decontamN
-    val evalArr = evalGrams.select(col("gram")).distinct()
-      .agg(collect_set(col("gram")).as("__eval_grams"))
+    // static side, materialized ONCE at stream build: the eval suite's
+    // distinct gram digests, packed sorted for the per-row binary probe
+    val packedEval = graft.functions.AnyGramInSet.pack(
+      evalGrams.select(col("gram")).distinct()
+        .collect().map(_.getString(0)))
     val base = docs
       .withColumn("__w", split(col(textCol), " "))
       .withColumn("__sh", shingleArray)
@@ -204,7 +211,7 @@ object StreamingOps {
     val ndHit = (0 until bandCount).map(k => col(s"__nd$k").isNotNull)
       .reduce(_ || _)
     val toks = col("__w")
-    probed.crossJoin(evalArr)
+    probed
       .withColumn("is_quality",
         when(size(toks) >= cfg.minTokens &&
           size(filter(toks, x => x.isin(cfg.stopwords: _*))).cast("double") /
@@ -216,8 +223,8 @@ object StreamingOps {
       .withColumn("dedup_keep",
         when(col("__exact_hit").isNull && !ndHit, 1).otherwise(0))
       .withColumn("not_contaminated",
-        when(!arrays_overlap(col("__g8"), col("__eval_grams")), 1)
-          .otherwise(0))
+        when(!graft.functions.AnyGramInSet.anyGramInSet(
+          col("__g8"), packedEval), 1).otherwise(0))
       .withColumn("keep",
         when(col("is_quality") === 1 && col("not_repetitive") === 1 &&
           col("dedup_keep") === 1 && col("not_contaminated") === 1, 1)

@@ -38,9 +38,6 @@ class PlanGuardSpec extends SparkSpec {
     "trace_timeline" -> "all sides are 1-row first-event aggregates",
     // Rag.retrieve: ONE embedded question broadcast against the chunks
     "trace_rag_retrieve" -> "broadcast side is the single query embedding",
-    // cleanStream's decontam gate: the benchmark gram set collected to a
-    // 1-row array frame, cross-joined onto the ingest batch
-    "doc_clean_stream_gate" -> "broadcast side is the 1-row eval-gram-array aggregate",
     // gate calibration: the 3-row (rate, percentile-threshold) frame
     // derived from a 1-row aggregate, broadcast over the corpus
     "doc_gate_calibration" -> "broadcast side is the 3-row rate/threshold frame",
