@@ -112,10 +112,13 @@ object Cli {
       |                             holdout (default N=7)
       |  split <docs.parquet>       deterministic salted-md5 train/val/test
       |                             split; writes doc_splits + prints stats
-      |  pack <docs.parquet> [--budget N] [--buckets N]
+      |  pack <docs.parquet> [--budget N] [--buckets N] [--examples]
       |                             greedy sequence packing into token-budget
       |                             bins (default 512 tokens, 8 bucket streams);
-      |                             writes packed
+      |                             writes packed; --examples additionally
+      |                             materializes packed_examples (one row per
+      |                             bin with ordered members + concatenated
+      |                             text)
       |  sample <docs.parquet> [--stratum COL] [--budget N]
       |         [--budgets k=v,k=v,...] [--default-budget N]
       |                             deterministic token-budget sampling per
@@ -324,6 +327,10 @@ object Cli {
     ctx.write(report, "clean_report")
     println(s"cleaned ${ctx.read("clean_docs").count()} of ${train.count()} docs kept")
     report.show(truncate = false)
+    // decisions() caches the train projection for its four gates and the
+    // caller owns the unpersist — drop it now that every output is
+    // written, so a long-lived CLI/REPL session doesn't retain the corpus
+    train.unpersist()
   }
 
   /** Deterministic salted-md5 train/val/test split (13/2/1 of 16). */
@@ -345,7 +352,8 @@ object Cli {
     val budget = opt(args, "--budget").map(_.toLong).getOrElse(512L)
     val buckets = opt(args, "--buckets").map(_.toInt).getOrElse(8)
     val examples = args.contains("--examples")
-    val path = positionals(args, Set("--budget", "--buckets")).headOption
+    val path = positionals(args, Set("--budget", "--buckets"),
+      boolFlags = Set("--examples")).headOption
       .getOrElse(sys.error("pack requires a documents parquet path"))
     val docs = ctx.spark.read.parquet(path)
       .withColumn("n_tokens",
@@ -439,11 +447,19 @@ object Cli {
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
   }
 
-  private def positionals(args: Seq[String], flags: Set[String]): Seq[String] = {
+  /** Strip `flags` (value-taking: skip flag + value) and `boolFlags`
+    * (zero-argument: skip flag alone) from the argument list; what
+    * remains are the positionals. A boolean flag passed in the
+    * value-taking set would swallow the following positional — keep the
+    * two sets honest per subcommand. */
+  private def positionals(args: Seq[String], flags: Set[String],
+      boolFlags: Set[String] = Set.empty): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
-      if (flags.contains(args(i))) i += 2 else { out += args(i); i += 1 }
+      if (flags.contains(args(i))) i += 2
+      else if (boolFlags.contains(args(i))) i += 1
+      else { out += args(i); i += 1 }
     }
     out.toSeq
   }

@@ -13,7 +13,15 @@ object DevTime {
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 1
     while (i < args.length) {
-      if (args(i) == "--passes") { passes = args(i + 1).toInt; i += 2 }
+      if (args(i) == "--passes") {
+        require(i + 1 < args.length, "--passes needs a value")
+        passes =
+          try args(i + 1).toInt
+          catch { case _: NumberFormatException =>
+            sys.error(s"--passes needs an integer, got '${args(i + 1)}'")
+          }
+        i += 2
+      }
       else { names += args(i); i += 1 }
     }
     require(passes >= 1, s"--passes must be >= 1, got $passes")

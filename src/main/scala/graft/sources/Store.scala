@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Store {
 
+  private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Write events partitioned by event_date, sorted by ts within each
     * file — the 100 TB layout. `mode` is "overwrite" for batch rebuilds,
     * "append" for the streaming ingest's per-micro-batch adds (same
-    * layout, same reader). */
+    * layout, same reader). Writes land in the store's CURRENT data root
+    * (the version directory the `_current` pointer names once the store
+    * has been compacted; the store dir itself before that), so appends
+    * keep flowing to the live version across compactions. */
   def writeEvents(events: DataFrame, dir: String,
+      mode: String = "overwrite"): Unit =
+    rawWriteEvents(events, currentDataDir(dir), mode)
+
+  private def rawWriteEvents(events: DataFrame, dataDir: String,
       mode: String = "overwrite"): Unit =
     events
       .withColumn("event_date", to_date(col("ts")))
@@ -33,10 +42,24 @@ object Store {
       .sortWithinPartitions("event_date", "ts")
       .write.mode(mode)
       .partitionBy("event_date")
-      .parquet(dir)
+      .parquet(dataDir)
 
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.parquet(currentDataDir(dir))
+
+  /** The store's live data root: the version directory named by the
+    * `_current` pointer file, or the store dir itself for a flat
+    * (never-compacted) store. Both the pointer file and the `_v-*` /
+    * `_tmp-*` version directories are underscore-prefixed, which Spark's
+    * file index treats as hidden — a flat reader pointed at the store
+    * dir can never pick them up as data. */
+  def currentDataDir(dir: String): String = {
+    val p = new java.io.File(dir, "_current")
+    if (p.isFile)
+      new java.io.File(dir,
+        java.nio.file.Files.readString(p.toPath).trim).getAbsolutePath
+    else dir
+  }
 
   /** Compact the store's small files — the operational companion to
     * `StreamingOps.ingestToStore`, whose per-micro-batch appends leave
@@ -45,12 +68,25 @@ object Store {
     * planning (file listing + one row group per file) degrades long
     * before data volume does. Rewrites the WHOLE store through the exact
     * batch writer (one ts-sorted file set per event_date partition, same
-    * layout, same readers) via an atomic-rename swap: write to a temp
-    * sibling, swap directories, delete the old. Readers between the two
-    * renames see the store briefly missing — on a real deployment the
-    * swap is a metastore partition repoint or a view flip (per-partition
-    * selective compaction composes from the same pieces); the local form
-    * keeps the test surface honest without a metastore.
+    * layout, same readers).
+    *
+    * READER-SAFE swap, the way real table formats do it: the compacted
+    * data is written to a fresh `_v-<stamp>` version directory, then the
+    * `_current` pointer file is flipped in ONE atomic file rename — no
+    * window where the store is missing (the former two-directory-rename
+    * swap had one, and no rollback if the second rename failed). The
+    * PREVIOUS version is retained until the next compaction, so a reader
+    * that resolved the old pointer finishes its scan against intact
+    * files; versions older than that (and a flat store's legacy
+    * partition dirs, two compactions on) are garbage-collected here.
+    * Failure atomicity: a failed write or rename deletes its own
+    * `_tmp-*` directory and leaves the pointer untouched — the store is
+    * never degraded by a crashed compaction, and stale tmp dirs from
+    * hard crashes are swept on the next run. Concurrent APPENDS during a
+    * compaction still belong to the old version and are dropped by the
+    * flip — compaction windows are single-writer (on a cluster
+    * deployment this pointer flip is a metastore/table-format commit,
+    * which also serializes writers).
     *
     * Returns (filesBefore, filesAfter) parquet data-file counts. */
   def compactEvents(spark: SparkSession, dir: String): (Int, Int) = {
@@ -59,23 +95,50 @@ object Store {
       kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
         kids.filter(_.isDirectory).flatMap(dataFiles)
     }
-    val dirFile = new java.io.File(dir)
-    val before = dataFiles(dirFile).size
-    val tmp = new java.io.File(dirFile.getParentFile,
-      dirFile.getName + ".__compact_tmp")
-    val old = new java.io.File(dirFile.getParentFile,
-      dirFile.getName + ".__compact_old")
-    // event_date is re-derived from ts by writeEvents, so read the data
-    // columns only (the partition column would collide with the derive)
-    val events = readEvents(spark, dir).drop("event_date")
-    writeEvents(events, tmp.getAbsolutePath)
-    if (!dirFile.renameTo(old) || !tmp.renameTo(dirFile))
-      throw new java.io.IOException(s"compaction swap failed for $dir")
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
     }
-    rmTree(old)
-    (before, dataFiles(dirFile).size)
+    val dirFile = new java.io.File(dir)
+    val cur = new java.io.File(currentDataDir(dir))
+    val before = dataFiles(cur).size
+    // millis + process-monotonic counter: two compactions in the same
+    // millisecond (tests, back-to-back CLI runs) still get distinct dirs
+    val stamp =
+      f"${System.currentTimeMillis()}%013d-${compactCounter.incrementAndGet()}%04d"
+    val tmp = new java.io.File(dirFile, s"_tmp-$stamp")
+    val newDir = new java.io.File(dirFile, s"_v-$stamp")
+    // event_date is re-derived from ts by the writer, so read the data
+    // columns only (the partition column would collide with the derive)
+    val events = readEvents(spark, dir).drop("event_date")
+    try {
+      rawWriteEvents(events, tmp.getAbsolutePath)
+      if (!tmp.renameTo(newDir))
+        throw new java.io.IOException(s"compaction rename failed for $tmp")
+    } catch { case e: Throwable => rmTree(tmp); throw e }
+    // atomic pointer flip: readers resolve the old version or the new
+    // one, never an absent store
+    val ptmp = new java.io.File(dirFile, s"_current-$stamp.tmp")
+    try {
+      java.nio.file.Files.writeString(ptmp.toPath, newDir.getName)
+      java.nio.file.Files.move(ptmp.toPath,
+        new java.io.File(dirFile, "_current").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: Throwable => rmTree(newDir); ptmp.delete(); throw e }
+    // retention: keep the new version and the immediately previous one;
+    // sweep older versions, crashed tmp dirs, and (once the previous
+    // version is itself a _v dir) the flat layout's legacy partitions
+    val keep = Set(newDir.getName, cur.getName)
+    Option(dirFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if ((n.startsWith("_v-") && !keep(n)) ||
+          n.startsWith("_tmp-") ||
+          (n.startsWith("_current-") && n.endsWith(".tmp")) ||
+          (n.startsWith("event_date=") &&
+            cur.getAbsolutePath != dirFile.getAbsolutePath))
+        rmTree(f)
+    }
+    (before, dataFiles(newDir).size)
   }
 
   /** Walk the physical plan STRUCTURALLY, descending through the AQE

@@ -56,7 +56,9 @@ class StoreSpec extends SparkSpec {
     assert(nBefore > nAfter,
       s"expected fewer files after compaction ($nBefore -> $nAfter)")
     // one writer task per date partition → exactly one file per partition
-    val partitions = Option(new java.io.File(dir).listFiles()).get
+    // (counted in the version dir the _current pointer names)
+    val partitions = Option(
+      new java.io.File(Store.currentDataDir(dir)).listFiles()).get
       .count(f => f.isDirectory && f.getName.startsWith("event_date="))
     assert(nAfter === partitions)
 
@@ -66,6 +68,71 @@ class StoreSpec extends SparkSpec {
     ranged.collect()
     assert(Store.prunes(ranged), "compacted store must still prune")
     events.unpersist()
+  }
+
+  test("readers run uninterrupted through compaction swaps") {
+    // The reader-safety contract: the _current pointer flip is one
+    // atomic rename and the previous version survives until the NEXT
+    // compaction, so a reader that resolved the old pointer finishes
+    // intact. A reader thread hammers the store while three compactions
+    // (including the flat→versioned migration) swap under it.
+    val dir = Files.createTempDirectory("graft-swap").toString + "/events"
+    val events = Tables(spark, sf(""), "events")
+    Store.writeEvents(events, dir)
+    val expected = events.count()
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counts = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          assert(Store.readEvents(spark, dir).count() === expected)
+          counts.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t); stop = true }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 3).foreach { _ =>
+        val (_, after) = Store.compactEvents(spark, dir)
+        assert(after > 0)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty,
+      s"reader failed during swap: ${Option(failures.peek()).map(_.toString)}")
+    assert(counts.get() > 0, "reader must have completed scans during swaps")
+    // retention: exactly the live version and its predecessor remain
+    val versions = Option(new java.io.File(dir).listFiles()).get
+      .filter(_.getName.startsWith("_v-"))
+    assert(versions.length === 2)
+    // content still intact and pruning still engages after the swaps
+    assert(Store.readEvents(spark, dir).count() === expected)
+  }
+
+  test("a failed pointer flip rolls the compaction back cleanly") {
+    val dir = Files.createTempDirectory("graft-rollback").toString + "/events"
+    Store.writeEvents(Tables(spark, sf(""), "events"), dir)
+    val before = Store.readEvents(spark, dir).count()
+    // poison the flip: a NON-EMPTY DIRECTORY at the _current path cannot
+    // be atomically replaced by the pointer file, so the rename throws
+    // AFTER the new version was fully written — the rollback must remove
+    // that version and leave the store exactly as it was
+    val d = new java.io.File(dir)
+    val poison = new java.io.File(d, "_current")
+    assert(poison.mkdir())
+    Files.writeString(new java.io.File(poison, "x").toPath, "x")
+    try intercept[Throwable] { Store.compactEvents(spark, dir) }
+    finally {
+      new java.io.File(poison, "x").delete()
+      poison.delete()
+    }
+    // rollback: no version dirs, no tmp litter, flat content unchanged
+    assert(Option(d.listFiles()).get.forall(f =>
+      !f.getName.startsWith("_v-") && !f.getName.startsWith("_tmp-") &&
+        !f.getName.endsWith(".tmp")),
+      "failed flip must leave neither version dirs nor tmp litter")
+    assert(Store.currentDataDir(dir) === dir)
+    assert(Store.readEvents(spark, dir).count() === before)
   }
 
   test("bucketed tables join with zero shuffle exchanges") {
