@@ -302,6 +302,215 @@ object Multimodal {
     baos.toByteArray
   }
 
+  case class Mp4Meta(
+      media_id: Long,
+      format: String,          // "mp4"
+      duration_ms: Long,       // mvhd duration * 1000 / timescale (floor)
+      width: Int,              // max video-track tkhd width (16.16 → int)
+      height: Int,
+      codec: String)           // first stsd sample-entry fourcc
+
+  /** ==== REAL ==== mp4/ISO-BMFF METADATA parse — a pure-JVM box walker
+    * (ISO/IEC 14496-12): no JDK codec exists for mp4 SAMPLE DATA, but
+    * the container's structural metadata needs none. Walks the top-level
+    * box sequence (32-bit sizes, 64-bit `largesize`, size-0 =
+    * to-end-of-file), requires an `ftyp` brand box, then descends
+    * moov → mvhd (timescale + duration, version 0 and 1 layouts) and
+    * moov → trak → tkhd (16.16 fixed-point presentation size, both
+    * versions) / mdia → minf → stbl → stsd (first sample-entry fourcc).
+    * Unknown and `free`/`skip` boxes are skipped by size, the way any
+    * conformant reader must. Returns None for payloads that are not an
+    * ISO-BMFF container — callers degrade to the stub, which after this
+    * covers only codec FRAME decode (the one thing that truly needs a
+    * native codec). */
+  def decodeMp4Meta(r: MediaRecord): Option[Mp4Meta] = {
+    val b = r.payload
+    def u16(o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 4) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def u64(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def fourcc(o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    /** Iterate the box sequence in [from, until): (type, payloadStart,
+      * payloadEnd). */
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var o = from
+        def hasNext: Boolean = o + 8 <= until
+        def next(): (String, Int, Int) = {
+          val size32 = u32(o)
+          val t = fourcc(o + 4)
+          val (start, end) =
+            if (size32 == 1L && o + 16 <= until)
+              (o + 16, o + u64(o + 8).min(Int.MaxValue).toInt.max(16))
+            else if (size32 == 0L) (o + 8, until)
+            else (o + 8, o + size32.toInt.max(8))
+          val clampedEnd = end.min(until)
+          o = clampedEnd
+          (t, start, clampedEnd)
+        }
+      }
+    def find(from: Int, until: Int, t: String): Option[(Int, Int)] =
+      boxes(from, until).collectFirst { case (`t`, s, e) => (s, e) }
+    if (b.length < 16) return None
+    try {
+      val tops = boxes(0, b.length).toSeq
+      if (!tops.exists(_._1 == "ftyp")) return None
+      val (moovS, moovE) = tops.collectFirst {
+        case ("moov", s, e) => (s, e)
+      }.getOrElse(return None)
+      val (mvhdS, _) = find(moovS, moovE, "mvhd").getOrElse(return None)
+      val mvhdVer = b(mvhdS) & 0xff
+      val (timescale, duration) =
+        if (mvhdVer == 1) (u32(mvhdS + 20), u64(mvhdS + 24))
+        else (u32(mvhdS + 12), u32(mvhdS + 16))
+      if (timescale == 0) return None
+      var w = 0
+      var h = 0
+      var codec = ""
+      boxes(moovS, moovE).foreach {
+        case ("trak", ts, te) =>
+          find(ts, te, "tkhd").foreach { case (ks, _) =>
+            val ver = b(ks) & 0xff
+            // ...(matrix etc.) then width/height as 16.16 fixed point at
+            // the box tail: v0 offset 76, v1 offset 88
+            val wOff = ks + (if (ver == 1) 88 else 76)
+            val tw = (u32(wOff) >> 16).toInt
+            val th = (u32(wOff + 4) >> 16).toInt
+            if (tw > 0) { w = w.max(tw); h = h.max(th) }
+          }
+          for {
+            (ms, me) <- find(ts, te, "mdia")
+            (ns, ne) <- find(ms, me, "minf")
+            (ss, se) <- find(ns, ne, "stbl")
+            (ds, de) <- find(ss, se, "stsd")
+          } {
+            val entryCount = u32(ds + 4)
+            if (entryCount > 0 && ds + 16 <= de && codec.isEmpty)
+              codec = fourcc(ds + 12)
+          }
+        case _ =>
+      }
+      Some(Mp4Meta(r.media_id, "mp4",
+        duration * 1000L / timescale, w, h, codec))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  def decodeMp4(ds: Dataset[MediaRecord]): Dataset[Mp4Meta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(decodeMp4Meta))
+  }
+
+  /** Deterministic synthetic mp4 container (fixture generator for the
+    * box-parser oracle): spec-shaped ftyp/free/moov/mdat with a video
+    * trak — mvhd and tkhd alternate version 0/1 layouts so both parse
+    * paths are exercised, a `free` box sits inside moov to exercise
+    * unknown-box skipping, and the stsd carries the given codec fourcc.
+    * Only the PARSED metadata is oracled, closed-form from the
+    * arguments (mirroring syntheticGif). */
+  def syntheticMp4(width: Int, height: Int, durationMs: Long,
+      timescale: Long, codec: String, version: Int,
+      seed: Long): Array[Byte] = {
+    require(codec.length == 4, "codec must be a 4cc")
+    val out = new java.io.ByteArrayOutputStream()
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(t.getBytes("US-ASCII"))
+      bb.put(payload)
+      bb.array()
+    }
+    def bytes(f: java.nio.ByteBuffer => Unit, n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n); f(bb); bb.array()
+    }
+    val duration = durationMs * timescale / 1000L
+    val mvhd =
+      if (version == 1) bytes({ bb =>
+        bb.putInt(0x01000000)          // version 1, flags 0
+        bb.putLong(0L); bb.putLong(0L) // ctime, mtime (64-bit)
+        bb.putInt(timescale.toInt)
+        bb.putLong(duration)
+        bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+        bb.putLong(0L)                 // reserved
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)          // unity matrix
+        (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+        bb.putInt(2)                   // next_track_ID
+      }, 4 + 16 + 4 + 8 + 4 + 2 + 2 + 8 + 36 + 24 + 4)
+      else bytes({ bb =>
+        bb.putInt(0)                   // version 0, flags 0
+        bb.putInt(0); bb.putInt(0)     // ctime, mtime
+        bb.putInt(timescale.toInt)
+        bb.putInt(duration.toInt)
+        bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+        bb.putLong(0L)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        (0 until 6).foreach(_ => bb.putInt(0))
+        bb.putInt(2)
+      }, 4 + 8 + 4 + 4 + 4 + 2 + 2 + 8 + 36 + 24 + 4)
+    val tkhd =
+      if (version == 1) bytes({ bb =>
+        bb.putInt(0x01000007)          // version 1, flags: enabled+in-movie
+        bb.putLong(0L); bb.putLong(0L) // ctime, mtime
+        bb.putInt(1); bb.putInt(0)     // track_ID, reserved
+        bb.putLong(duration)
+        bb.putLong(0L)                 // reserved
+        bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.putInt(width << 16)         // 16.16 fixed point
+        bb.putInt(height << 16)
+      }, 4 + 16 + 8 + 8 + 8 + 8 + 36 + 8)
+      else bytes({ bb =>
+        bb.putInt(0x00000007)
+        bb.putInt(0); bb.putInt(0)
+        bb.putInt(1); bb.putInt(0)
+        bb.putInt(duration.toInt)
+        bb.putLong(0L)
+        bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.putInt(width << 16)
+        bb.putInt(height << 16)
+      }, 4 + 8 + 8 + 4 + 8 + 8 + 36 + 8)
+    val sampleEntry = bytes({ bb =>
+      bb.putInt(16)                    // entry size (header-only stub)
+      bb.put(codec.getBytes("US-ASCII"))
+      bb.putLong(0L)                   // reserved + data_reference_index
+    }, 16)
+    val stsd = box("stsd", bytes({ bb =>
+      bb.putInt(0)                     // version + flags
+      bb.putInt(1)                     // entry_count
+      bb.put(sampleEntry)
+    }, 8 + sampleEntry.length))
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", box("tkhd", tkhd) ++ mdia)
+    val freePad = box("free", Array.fill(16)(0.toByte))
+    val moov = box("moov", box("mvhd", mvhd) ++ freePad ++ trak)
+    val mdat = box("mdat",
+      Array.tabulate(64)(i => ((i * 31L + seed) % 251).toByte))
+    out.write(box("ftyp",
+      "isom".getBytes("US-ASCII") ++ bytes(_.putInt(512), 4) ++
+        "isomiso2".getBytes("US-ASCII")))
+    out.write(freePad)
+    out.write(moov)
+    out.write(mdat)
+    out.toByteArray
+  }
+
   /** Decode pass: partition-local, batch-shaped (the iterator is the
     * batch; a real codec would reuse native buffers across records). */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
@@ -321,6 +530,12 @@ object Multimodal {
           MediaMeta(w.media_id, r.kind, r.payload.length.toLong,
             format = w.format, width = -1, height = -1,
             duration_ms = w.duration_ms,
+            checksum = graft.functions.RollingHash.hash(
+              java.util.Base64.getEncoder.encodeToString(r.payload)))))
+        .orElse(decodeMp4Meta(r).map(m =>
+          MediaMeta(m.media_id, r.kind, r.payload.length.toLong,
+            format = m.format, width = m.width, height = m.height,
+            duration_ms = m.duration_ms,
             checksum = graft.functions.RollingHash.hash(
               java.util.Base64.getEncoder.encodeToString(r.payload)))))
         .getOrElse(decodeStub(r))

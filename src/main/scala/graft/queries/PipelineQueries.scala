@@ -679,6 +679,41 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal mp4 CONTAINER metadata (pure-JVM box parser) ---------
+    // The former "video stub" boundary, retired for metadata: no JDK
+    // codec decodes mp4 FRAMES, but the ISO-BMFF container needs none —
+    // decodeMp4Meta walks ftyp/moov/mvhd/trak/tkhd/stsd (32/64-bit box
+    // sizes, version 0 AND 1 layouts — fixtures alternate) and the
+    // oracle re-derives duration/width/height/codec closed-form from the
+    // fixture arithmetic. duration_ms survives the double integer floor
+    // (ms → timescale ticks → ms), replicated exactly via DuckDB's //.
+    // Only true SAMPLE decode (pixels/audio of mp4 tracks) remains
+    // stubbed, the one thing that genuinely needs a native codec.
+    sql("mm_mp4_meta",
+      """SELECT i AS media_id, 'mp4' AS format,
+        |  (((2000 + i * 333) * ([600,1000,90000])[CAST(i % 3 + 1 AS INTEGER)] // 1000)
+        |    * 1000 // ([600,1000,90000])[CAST(i % 3 + 1 AS INTEGER)]) AS duration_ms,
+        |  CAST(160 + (i * 16) % 480 AS INTEGER) AS width,
+        |  CAST(120 + (i * 8) % 360 AS INTEGER) AS height,
+        |  (['avc1','hev1','mp4v'])[CAST(i % 3 + 1 AS INTEGER)] AS codec
+        |FROM (SELECT unnest(range(18)) AS i)
+        |ORDER BY media_id""") { (s, _) =>
+      import s.implicits._
+      val timescales = Seq(600L, 1000L, 90000L)
+      val codecs = Seq("avc1", "hev1", "mp4v")
+      val recs = (0 until 18).map { i =>
+        Multimodal.MediaRecord(i.toLong, "video",
+          Multimodal.syntheticMp4(160 + (i * 16) % 480, 120 + (i * 8) % 360,
+            2000L + i * 333L, timescales(i % 3), codecs(i % 3),
+            version = i % 2, seed = i.toLong), "synthetic")
+      }
+      Multimodal.decodeMp4(s.createDataset(recs).repartition(4))
+        .toDF()
+        .select(col("media_id"), col("format"), col("duration_ms"),
+          col("width"), col("height"), col("codec"))
+        .orderBy("media_id")
+    },
+
     // ---- multimodal feature extraction, full oracle ----------------------
     // The md5-seeded feature stub is re-derived end to end in DuckDB:
     // payload md5 (the payload IS the text's UTF-8 bytes, so md5(text) in

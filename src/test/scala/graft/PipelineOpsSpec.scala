@@ -288,6 +288,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(real.format === "gif" && real.width === 24 && real.height === 16)
   }
 
+  test("multimodal: mp4 box parser reads mvhd/tkhd/stsd; non-containers drop") {
+    val recs = Seq(
+      // version-0 boxes, avc1, exact-millisecond timescale
+      Multimodal.MediaRecord(1L, "video",
+        Multimodal.syntheticMp4(320, 240, 4000L, 1000L, "avc1",
+          version = 0, seed = 1L), "t"),
+      // version-1 (64-bit times) boxes, 90kHz timescale
+      Multimodal.MediaRecord(2L, "video",
+        Multimodal.syntheticMp4(640, 360, 2500L, 90000L, "hev1",
+          version = 1, seed = 2L), "t"),
+      // a GIF, text bytes, and a truncated mp4 must all parse to None
+      Multimodal.MediaRecord(3L, "video",
+        Multimodal.syntheticGif(8, 6, 2, 3L), "t"),
+      Multimodal.MediaRecord(4L, "video",
+        "not an iso bmff container at all".getBytes("UTF-8"), "t"),
+      Multimodal.MediaRecord(5L, "video",
+        Multimodal.syntheticMp4(320, 240, 4000L, 1000L, "avc1",
+          version = 0, seed = 5L).take(40), "t"))
+    import spark.implicits._
+    val out = Multimodal.decodeMp4(spark.createDataset(recs).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(out.toSeq === Seq(
+      Multimodal.Mp4Meta(1L, "mp4", 4000L, 320, 240, "avc1"),
+      Multimodal.Mp4Meta(2L, "mp4", 2500L, 640, 360, "hev1")))
+    // decodeReal degrades through image → wav → mp4 → stub: the container
+    // parses without a codec, text bytes still land on the stub
+    val real = Multimodal.decodeReal(spark.createDataset(recs))
+      .collect().sortBy(_.media_id)
+    assert(real(0).format === "mp4" && real(0).width === 320 &&
+      real(0).duration_ms === 4000L)
+    assert(real(1).format === "mp4" && real(1).height === 360)
+    assert(real(3).format === "mp4-stub")
+  }
+
   test("bpeish token count: matches manual tokenization") {
     val df = Seq("hello, world 42", "a  b").toDF("t")
     val counts = df.select(TextAnalysis.bpeishTokenCount(col("t")))
