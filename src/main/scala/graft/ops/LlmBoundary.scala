@@ -73,6 +73,148 @@ object LlmBoundary {
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
+  /** ==== REAL (config-gated) ==== generic JSON-over-HTTP client: POSTs
+    * `{"prompts": [...]}` to `endpoint` and expects
+    * `{"responses": [...]}` back, one response per prompt, positional.
+    * Pure JDK (HttpURLConnection) — no SDK dependency, no egress unless
+    * an operator explicitly configures an endpoint. Non-2xx statuses and
+    * transport errors throw, which is exactly what `infer`'s
+    * exponential-backoff loop treats as retryable; provider-specific
+    * adapters (auth headers, body shape) subclass and override
+    * `encode`/`decode`. Serializable by construction: only the endpoint
+    * string and header map ship to executors; connections are opened
+    * per-call on the executor, never on the driver. */
+  class HttpLlmClient(endpoint: String,
+      headers: Map[String, String] = Map.empty,
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 120000) extends LlmClient {
+
+    protected def encode(prompts: Seq[String]): String =
+      prompts.map(JsonMini.quote).mkString("{\"prompts\": [", ", ", "]}")
+
+    protected def decode(body: String, expected: Int): Seq[String] = {
+      val got = JsonMini.stringArrayField(body, "responses").getOrElse(
+        throw new RuntimeException(
+          s"LLM endpoint returned no responses array: ${body.take(200)}"))
+      require(got.length == expected,
+        s"LLM endpoint returned ${got.length} responses for $expected prompts")
+      got
+    }
+
+    def complete(prompts: Seq[String]): Seq[String] = {
+      val conn = java.net.URI.create(endpoint).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        conn.setDoOutput(true)
+        val payload = encode(prompts).getBytes("UTF-8")
+        conn.setFixedLengthStreamingMode(payload.length)
+        val os = conn.getOutputStream
+        try { os.write(payload); os.flush() } finally os.close()
+        val status = conn.getResponseCode
+        if (status < 200 || status >= 300)
+          throw new RuntimeException(s"LLM endpoint returned HTTP $status")
+        val in = conn.getInputStream
+        val body =
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        decode(body, prompts.length)
+      } finally conn.disconnect()
+    }
+  }
+
+  /** The deployment switch: an HTTP client when `GRAFT_LLM_ENDPOINT` is
+    * configured (plus optional `GRAFT_LLM_AUTH_HEADER` of the form
+    * `Name: value`), the deterministic offline stub otherwise — so the
+    * default build never touches the network and the RCA loop's data
+    * side stays reproducible in CI. */
+  def clientFromEnv(env: Map[String, String] = sys.env): LlmClient =
+    env.get("GRAFT_LLM_ENDPOINT") match {
+      case Some(url) if url.nonEmpty =>
+        val headers = env.get("GRAFT_LLM_AUTH_HEADER")
+          .flatMap { h =>
+            h.split(":", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim)
+              case _ => None
+            }
+          }.toMap
+        new HttpLlmClient(url, headers)
+      case _ => new StubClient
+    }
+
+  /** Minimal JSON helpers for the generic HTTP contract — a full parser
+    * dependency is not warranted for one string-array field. The scanner
+    * honors JSON string escaping (quotes, backslashes, \\uXXXX), which
+    * is the part naive regex splitting gets wrong. */
+  private[graft] object JsonMini {
+    def quote(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+
+    /** Extract `"field": [ "...", ... ]` from a JSON object body. */
+    def stringArrayField(body: String, field: String): Option[Seq[String]] = {
+      val key = "\"" + field + "\""
+      var i = body.indexOf(key)
+      if (i < 0) return None
+      i = body.indexOf('[', i + key.length)
+      if (i < 0) return None
+      i += 1
+      val out = Seq.newBuilder[String]
+      var done = false
+      while (!done) {
+        while (i < body.length && (body(i).isWhitespace || body(i) == ','))
+          i += 1
+        if (i >= body.length) return None
+        if (body(i) == ']') done = true
+        else if (body(i) == '"') {
+          val sb = new StringBuilder
+          i += 1
+          var closed = false
+          while (!closed) {
+            if (i >= body.length) return None
+            body(i) match {
+              case '"' => closed = true; i += 1
+              case '\\' =>
+                if (i + 1 >= body.length) return None
+                body(i + 1) match {
+                  case '"' => sb.append('"'); i += 2
+                  case '\\' => sb.append('\\'); i += 2
+                  case '/' => sb.append('/'); i += 2
+                  case 'n' => sb.append('\n'); i += 2
+                  case 'r' => sb.append('\r'); i += 2
+                  case 't' => sb.append('\t'); i += 2
+                  case 'b' => sb.append('\b'); i += 2
+                  case 'f' => sb.append('\f'); i += 2
+                  case 'u' =>
+                    if (i + 6 > body.length) return None
+                    sb.append(Integer.parseInt(
+                      body.substring(i + 2, i + 6), 16).toChar)
+                    i += 6
+                  case _ => return None
+                }
+              case c => sb.append(c); i += 1
+            }
+          }
+          out += sb.toString
+        } else return None // non-string element: not our contract
+      }
+      Some(out.result())
+    }
+  }
+
   /** Batched partition-local inference with exponential backoff.
     *
     * Mirrors the reference's retry loop (base delay doubling per attempt,

@@ -65,6 +65,79 @@ class LlmBoundarySpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("responses")))
   }
 
+  test("HTTP client: POST/parse round trip against a local socket stub, retry on 500") {
+    // JDK-built-in HttpServer on an ephemeral loopback port — the spec
+    // keeps the HTTP boundary honest without any network egress
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/v1/complete", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      val n = calls.incrementAndGet()
+      if (n == 1) {
+        // first call fails: infer()'s backoff must retry through it
+        exchange.sendResponseHeaders(500, -1)
+        exchange.close()
+      } else {
+        assert(exchange.getRequestHeaders.getFirst("X-Auth") == "secret-token")
+        val prompts = LlmBoundary.JsonMini
+          .stringArrayField(body, "prompts").get
+        // echo transformed prompts, incl. characters that need escaping
+        val resp = prompts.map(p => "echo:" + p + "\n\"done\"")
+          .map(LlmBoundary.JsonMini.quote)
+          .mkString("{\"responses\": [", ", ", "]}")
+        val bytes = resp.getBytes("UTF-8")
+        exchange.getResponseHeaders.add("Content-Type", "application/json")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val client = new HttpLlmClient(
+        s"http://127.0.0.1:$port/v1/complete",
+        headers = Map("X-Auth" -> "secret-token"))
+      val reqs = Seq(
+        LlmRequest(1L, "first prompt"),
+        LlmRequest(2L, "second \"quoted\" prompt\nwith newline"),
+        LlmRequest(3L, "third")).toDS().repartition(1)
+      val out = infer(reqs, client, batchSize = 3, maxAttempts = 3,
+        baseBackoffMs = 10).collect().sortBy(_.request_id)
+      assert(out.map(_.response).toSeq == Seq(
+        "echo:first prompt\n\"done\"",
+        "echo:second \"quoted\" prompt\nwith newline\n\"done\"",
+        "echo:third\n\"done\""))
+      assert(out.forall(_.attempts == 2), "first 500 must cost one retry")
+      assert(calls.get() == 2)
+    } finally server.stop(0)
+  }
+
+  test("clientFromEnv: stub by default, HTTP only when configured") {
+    assert(clientFromEnv(Map.empty).isInstanceOf[StubClient])
+    assert(clientFromEnv(Map("GRAFT_LLM_ENDPOINT" -> ""))
+      .isInstanceOf[StubClient])
+    val http = clientFromEnv(Map(
+      "GRAFT_LLM_ENDPOINT" -> "http://127.0.0.1:1/x",
+      "GRAFT_LLM_AUTH_HEADER" -> "Authorization: Bearer t"))
+    assert(http.isInstanceOf[HttpLlmClient])
+  }
+
+  test("JsonMini: escaping round trip and malformed bodies reject") {
+    import LlmBoundary.JsonMini
+    val tricky = Seq("plain", "with \"quotes\"", "tab\there",
+      "back\\slash", "uni \u00e9\u4e2d")
+    val body = tricky.map(JsonMini.quote)
+      .mkString("{\"responses\": [", ", ", "]}")
+    assert(JsonMini.stringArrayField(body, "responses").get == tricky)
+    assert(JsonMini.stringArrayField("{}", "responses").isEmpty)
+    assert(JsonMini.stringArrayField(
+      "{\"responses\": [1, 2]}", "responses").isEmpty)
+    assert(JsonMini.stringArrayField(
+      "{\"responses\": [\"unterminated", "responses").isEmpty)
+  }
+
   test("json block extraction: fenced block preferred, brace fallback") {
     val df = Seq(
       ("""text ```json {"hypothesis": "a", "confidence": 0.9} ``` end"""),
