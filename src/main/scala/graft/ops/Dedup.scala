@@ -354,16 +354,50 @@ object Dedup {
     assigned.union(roots)
   }
 
-  /** Near-dup clustering end to end: LSH candidate pairs → connected
+  /** Star candidate EDGES per LSH bucket — the CLUSTERING form of
+    * [[minhashCandidates]]: every band bucket contributes edges
+    * (bucket-min doc, member) instead of all member pairs. A bucket's
+    * star and its clique have IDENTICAL connected components (every
+    * member reaches every other through the hub), so component labels
+    * are value-unchanged — but a hot bucket of m docs costs m−1 edges
+    * instead of m(m−1)/2. That asymmetry is what survives adversarial
+    * duplication: a 90 %-duplicate corpus collapses most of the corpus
+    * into ONE bucket per band, where the all-pairs join is quadratic in
+    * the corpus (10^9+ pairs at 50k docs) and the star is linear (one
+    * groupBy-min plus one equi-join — the DedupSpec skew probe measures
+    * it). The hub's high degree is exactly the shape the star loop's
+    * small-star step halves per round. Pair-level semantics
+    * (exact-Jaccard verification, doc_minhash_lsh) keep the all-pairs
+    * form — candidate PAIRS are their contract; components are this
+    * one's. */
+  def starCandidateEdges(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", hashes: Int = 16, bandCount: Int = 4):
+      DataFrame = {
+    val banded = bands(
+      minhashSignatures(shingles(docs, idCol, textCol), hashes),
+      bandCount, hashes / bandCount)
+    val reps = banded.groupBy("band", "bh")
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("__m"))
+      .filter(col("__m") > 1)
+      .drop("__m")
+    banded.join(reps, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Near-dup clustering end to end: LSH bucket star edges → connected
     * components → every doc labeled with its cluster representative
     * (minimum doc id of the component; singletons represent themselves).
     * `docs` survive a 100 TB dedup by keeping rows where
-    * doc_id == component. */
+    * doc_id == component. Components equal the all-pairs candidate
+    * graph's exactly (see [[starCandidateEdges]]) at linear instead of
+    * quadratic cost under mass duplication. */
   def nearDupComponents(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", hashes: Int = 16, bandCount: Int = 4):
       DataFrame = {
-    val pairs = minhashCandidates(docs, idCol, textCol, hashes, bandCount)
-    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    val edges = starCandidateEdges(docs, idCol, textCol, hashes, bandCount)
+    val comp = connectedComponents(edges, "doc_a", "doc_b")
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -9,6 +9,70 @@ import graft.ops.Dedup
   * entry point. */
 class DedupSpec extends SparkSpec {
 
+  test("star candidate edges yield the exact all-pairs components") {
+    // the clustering contract: per-bucket star edges and per-bucket
+    // cliques have identical connected components — pin it on the
+    // fixture corpus by running CC over BOTH edge sets
+    val docs = Tables(spark, sf(""), "documents")
+    val viaStar = Dedup.nearDupComponents(docs)
+    val pairs = Dedup.minhashCandidates(docs)
+    val viaClique = docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    assert(viaStar.exceptAll(viaClique).isEmpty &&
+      viaClique.exceptAll(viaStar).isEmpty,
+      "star-edge components must equal all-pairs components")
+  }
+
+  test("adversarial skew probe: 90%-near-dup corpus clusters in linear " +
+      "edges and bounded wall") {
+    // The shape that kills the all-pairs candidate join: 45k of 50k docs
+    // are tiny perturbations of ONE base text, so most of the corpus
+    // lands in a single LSH bucket per band. All-pairs there is ~10^9
+    // candidate pairs; the star form emits <= 4n edges and the star
+    // loop's small-star step absorbs the resulting high-degree hub. The
+    // probe asserts the linear edge bound, one dominating component with
+    // the minimum-id representative, and a wall bound (load-sensitive,
+    // overridable like PackCcSpec's).
+    val wallBound: Double =
+      sys.env.get("GRAFT_SCALE_WALL_SECS").map(_.toDouble).getOrElse(300.0)
+    val n = 50000L
+    val nDup = 45000L
+    val base = (0 until 60).map(w => s"w$w").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < nDup,
+        concat(lit(base), lit(" uniq"), col("id")))
+        .otherwise(expr(
+          "concat_ws(' ', transform(sequence(1, 40), j -> substr(md5(concat(id, ':', j)), 1, 8)))"))
+        .as("text"))
+    val edges = Dedup.starCandidateEdges(docs)
+    val nEdges = edges.count()
+    assert(nEdges <= 4 * n,
+      s"star candidate edges must stay linear, got $nEdges for $n docs")
+    val t0 = System.nanoTime()
+    val comp = Dedup.nearDupComponents(docs).cache()
+    val byComp = comp.groupBy("component").count()
+      .orderBy(col("count").desc).limit(1).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the mega-cluster: almost all perturbed docs collide with the base
+    // in >= 1 band (P(miss all 4 bands) ~ 1e-3), rep = min doc id = 0
+    assert(byComp.getLong(0) === 0L,
+      "mega-cluster representative must be the minimum doc id")
+    assert(byComp.getLong(1) >= (nDup * 95) / 100,
+      s"mega-cluster holds ${byComp.getLong(1)} of $nDup near-dups")
+    // uniques stay singletons
+    val singles = comp.filter(col("doc_id") >= nDup &&
+      col("component") === col("doc_id")).count()
+    assert(singles >= (n - nDup) * 95 / 100)
+    comp.unpersist()
+    info(f"skew probe: $secs%.1f s for CC at $n docs / 90%% one cluster " +
+      f"($nEdges edges; bound $wallBound%.0f s)")
+    assert(secs <= wallBound,
+      f"skewed nearDupComponents took $secs%.1f s (bound $wallBound%.0f s)")
+  }
+
   test("nearDedup removes exactly the verified near-duplicates") {
     val docs = Tables(spark, sf(""), "documents").cache()
     val n = docs.count()
