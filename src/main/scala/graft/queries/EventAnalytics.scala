@@ -190,6 +190,44 @@ object EventAnalytics {
         .orderBy("window_start", "event_type")
     },
 
+    // ---- A7 at 100 TB: rollups with the bounded-state sampled p95 --------
+    // The rollup shape whose exact-percentile column was the last
+    // unbounded-state aggregate in a headline plan: p95 per
+    // (window, type) from the deterministic bottom-k sample (k=64 —
+    // per-group state 1.5 KB flat; windows hold ~100s of rows at
+    // sf0.01, so the sampling regime engages on the big groups and
+    // degenerates to exact on the small ones). Oracle replays the
+    // identical sample rule per group.
+    sql("ev_rollup_60s_approx",
+      """WITH s AS (
+        |  SELECT CAST(FLOOR(date_part('epoch', ts)/60)*60 AS BIGINT) AS window_start,
+        |    event_type, value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY CAST(FLOOR(date_part('epoch', ts)/60)*60 AS BIGINT), event_type
+        |      ORDER BY md5(event_id::VARCHAR || ':rp'), value) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |FROM s WHERE rn <= 64
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      val ps = graft.functions.PctSampleAgg.pctSample(
+        concat(col("event_id").cast("string"), lit(":rp")),
+        col("value"), Seq(0.95), 64)
+      ev(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(bucket(col("ts"), 60).as("window_start"), col("event_type"))
+        .agg(ps.as("ps"), count(lit(1)).as("n"))
+        .filter(least(col("n"), lit(64L)) >= 2)
+        .select(col("window_start"), col("event_type"),
+          least(col("n"), lit(64L)).as("n_sampled"),
+          round(element_at(col("ps"), 1), 6).as("p95"))
+        .orderBy("window_start", "event_type")
+    },
+
     // ---- A8/A9: 600s heatmap, high-activity buckets only -----------------
     sql("ev_bucket_heatmap",
       """SELECT CAST(FLOOR(date_part('epoch', ts)/600)*600 AS BIGINT) AS bucket,
