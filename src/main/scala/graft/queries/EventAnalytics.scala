@@ -730,24 +730,36 @@ object EventAnalytics {
     // same (ts_us, value) fold order. This is the driver-visible
     // evidence for the streaming surface; StreamingSpec separately
     // asserts the true-streaming execution equals this batch execution.
+    // The gate decision is EXACT: both engines derive z from the same
+    // integer power sums of the 2-dp values at cent scale (strictly-
+    // preceding HUGEINT sums here, BigInt running state in the
+    // operator), so the only float ops — one cast-divide-sqrt from
+    // identical exact integers — are bit-identical, and threshold
+    // membership can never drift with group size (the float-Welford
+    // form lost ~20 boundary rows at 100×-scale groups).
     sql("ev_streaming_gate",
       """WITH p AS (
-        |  SELECT event_type AS metric, epoch_ns(ts) // 1000 AS ts_us, value AS v
+        |  SELECT event_type AS metric, epoch_ns(ts) // 1000 AS ts_us, value AS v,
+        |    CAST(ROUND(value * 100) AS HUGEINT) AS c
         |  FROM events
         |), w AS (
-        |  SELECT metric, ts_us, v,
+        |  SELECT metric, ts_us, v, c,
         |    COUNT(*) OVER win AS n_prev,
-        |    AVG(v) OVER win AS mean_prev,
-        |    VAR_SAMP(v) OVER win AS var_prev
+        |    SUM(c) OVER win AS s_prev,
+        |    SUM(c * c) OVER win AS q_prev
         |  FROM p
         |  WINDOW win AS (PARTITION BY metric ORDER BY ts_us, v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT metric, ts_us, v,
+        |    SQRT(CAST((c * n_prev - s_prev) * (c * n_prev - s_prev) * (n_prev - 1) AS DOUBLE)
+        |       / CAST((q_prev * n_prev - s_prev * s_prev) * n_prev AS DOUBLE)) AS zval
+        |  FROM w
+        |  WHERE n_prev >= 3 AND (q_prev * n_prev - s_prev * s_prev) > 0
         |)
-        |SELECT metric, ts_us, v AS value,
-        |  ROUND(abs(v - mean_prev) / sqrt(var_prev), 6) AS zscore
-        |FROM w
-        |WHERE n_prev >= 3 AND var_prev > 0
-        |  AND abs(v - mean_prev) / sqrt(var_prev) > 3.0
+        |SELECT metric, ts_us, v AS value, ROUND(zval, 6) AS zscore
+        |FROM z
+        |WHERE zval > 3.0
         |ORDER BY metric, ts_us, value""") { (s, dir) =>
       import s.implicits._
       import graft.streaming.StreamingOps

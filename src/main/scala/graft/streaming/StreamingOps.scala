@@ -274,23 +274,40 @@ object StreamingOps {
   }
 
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)
-  case class MetricState(n: Long, mean: Double, m2: Double)
+  /** Exact integer power sums at cent scale (n, Σc, Σc²) — sumSq rides as
+    * DECIMAL(38,0) through the state encoder; the math runs in BigInt. */
+  case class MetricState(n: Long, sumCents: Long, sumSqCents: BigDecimal)
   case class Flagged(metric: String, ts: java.sql.Timestamp, value: Double,
       zscore: Double)
 
-  /** Keyed running anomaly gate: per metric key, maintain Welford
-    * (count/mean/M2) state across triggers and emit points whose z-score
-    * against the state-so-far exceeds the threshold — the streaming twin
-    * of the per-event z-score gate, with true incremental state instead
-    * of a global recompute.
+  /** Keyed running anomaly gate: per metric key, maintain running state
+    * across triggers and emit points whose z-score against the
+    * state-so-far exceeds the threshold — the streaming twin of the
+    * per-event z-score gate, with true incremental state instead of a
+    * global recompute.
+    *
+    * The state is EXACT integer power sums of the 2-dp values at cent
+    * scale (n, Σcents, Σcents²) rather than float Welford (mean, M2):
+    * z² = (c·n − S)²·(n−1) / ((Q·n − S²)·n) with every term an exact
+    * integer, so the SAME BigInt numerator/denominator arise from any
+    * fold order or engine, and the only float ops are one cast-divide-
+    * sqrt from those exact integers — bit-identical everywhere. The
+    * Welford form was algebraically the same z but accumulated in
+    * floats, and at 100×-scale groups (~2M rows/metric) its ulp drift
+    * near the threshold flipped ~20 boundary rows vs the oracle's
+    * windowed VAR_SAMP — caught by the round-8 full-registry 100× gate.
+    * Exactness rests on the engine-wide 2-dp data contract (QueryDef's
+    * DECIMAL(18,2) convention); `centsScale` generalizes the precision.
     *
     * `sortWithinTrigger` orders each group's rows by (ts, value) before
     * folding. In a live stream, rows fold in arrival order (per trigger);
-    * sorting makes the fold order — and therefore every Welford state and
-    * emitted z — a pure function of the data, which is what lets the
-    * batch execution of this exact operator be value-verified against an
-    * external oracle. Cost: one in-memory sort of the rows a trigger
-    * delivers per key (bounded by trigger size, not corpus size).
+    * sorting makes the fold order — and therefore every emitted z — a
+    * pure function of the data, which is what lets the batch execution
+    * of this exact operator be value-verified against an external
+    * oracle. (With exact state the STATE no longer depends on fold order
+    * at all; ordering still pins which rows are scored before which.)
+    * Cost: one in-memory sort of the rows a trigger delivers per key
+    * (bounded by trigger size, not corpus size).
     *
     * Scale note: parallelism equals key cardinality — per-metric state is
     * inherently sequential. With few metrics and heavy streams, key by a
@@ -300,7 +317,8 @@ object StreamingOps {
     * either way. */
   def runningAnomalyGate(points: Dataset[MetricPoint],
       zThreshold: Double = 3.0, minSamples: Long = 3,
-      sortWithinTrigger: Boolean = false): Dataset[Flagged] = {
+      sortWithinTrigger: Boolean = false,
+      centsScale: Double = 100.0): Dataset[Flagged] = {
     import points.sparkSession.implicits._
     points
       .groupByKey(_.metric)
@@ -308,7 +326,11 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(
         (metric: String, rows: Iterator[MetricPoint],
             state: GroupState[MetricState]) => {
-          var s = state.getOption.getOrElse(MetricState(0L, 0.0, 0.0))
+          val s0 = state.getOption.getOrElse(
+            MetricState(0L, 0L, BigDecimal(0)))
+          var n = s0.n
+          var sum = s0.sumCents
+          var q = s0.sumSqCents.toBigInt
           val out = scala.collection.mutable.ArrayBuffer.empty[Flagged]
           val ordered =
             if (sortWithinTrigger)
@@ -319,22 +341,24 @@ object StreamingOps {
                 + p.ts.toInstant.getNano / 1000L, p.value)).iterator
             else rows
           ordered.foreach { p =>
-            if (s.n >= minSamples && s.m2 > 0) {
-              val variance = s.m2 / (s.n - 1)
-              val std = math.sqrt(variance)
-              if (std > 0) {
-                val z = math.abs((p.value - s.mean) / std)
+            val c = Math.round(p.value * centsScale)
+            if (n >= minSamples) {
+              val num = (BigInt(c) * n - sum).pow(2) * (n - 1)
+              val den = (q * n - BigInt(sum).pow(2)) * n
+              if (den.signum > 0) {
+                // the ONLY float ops: one cast each, one divide, one sqrt
+                // — identical IEEE sequence to the oracle's
+                val z = math.sqrt(num.toDouble / den.toDouble)
                 if (z > zThreshold) out += Flagged(metric, p.ts, p.value, z)
               }
             }
-            // Welford update AFTER scoring: each point is judged against
-            // the history before it (streaming semantics).
-            val n1 = s.n + 1
-            val delta = p.value - s.mean
-            val mean1 = s.mean + delta / n1
-            s = MetricState(n1, mean1, s.m2 + delta * (p.value - mean1))
+            // update AFTER scoring: each point is judged against the
+            // history before it (streaming semantics)
+            n += 1
+            sum += c
+            q += BigInt(c) * BigInt(c)
           }
-          state.update(s)
+          state.update(MetricState(n, sum, BigDecimal(q)))
           out.iterator
         })
   }
