@@ -105,54 +105,17 @@ case class PctSampleAgg(
     b1
   }
 
-  override def eval(buf: PctSampleAgg.Buffer): Any = {
-    val n = buf.heap.size()
-    if (n == 0) return null
-    val vs = new Array[Double](n)
-    val it = buf.heap.iterator()
-    var i = 0
-    while (it.hasNext) { vs(i) = it.next().value; i += 1 }
-    java.util.Arrays.sort(vs)
-    val out = new Array[Any](pcts.length)
-    var j = 0
-    while (j < pcts.length) {
-      val pos = pcts(j) * (n - 1)
-      val lo = math.floor(pos).toInt
-      val hi = math.ceil(pos).toInt
-      out(j) =
-        if (lo == hi) vs(lo)
-        else (hi - pos) * vs(lo) + (pos - lo) * vs(hi)
-      j += 1
+  override def eval(buf: PctSampleAgg.Buffer): Any =
+    PctSampleAgg.quantilesOf(buf, pcts) match {
+      case null => null
+      case qs => new GenericArrayData(qs.map(v => v: Any))
     }
-    new GenericArrayData(out)
-  }
 
-  override def serialize(buf: PctSampleAgg.Buffer): Array[Byte] = {
-    val n = buf.heap.size()
-    val out = java.nio.ByteBuffer.allocate(4 + n * 24)
-    out.putInt(n)
-    val it = buf.heap.iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out.put(e.digest)
-      out.putDouble(e.value)
-    }
-    out.array()
-  }
+  override def serialize(buf: PctSampleAgg.Buffer): Array[Byte] =
+    PctSampleAgg.serializeBuffer(buf)
 
-  override def deserialize(bytes: Array[Byte]): PctSampleAgg.Buffer = {
-    val in = java.nio.ByteBuffer.wrap(bytes)
-    val n = in.getInt
-    val buf = new PctSampleAgg.Buffer(k)
-    var i = 0
-    while (i < n) {
-      val d = new Array[Byte](16)
-      in.get(d)
-      buf.insert(d, in.getDouble)
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): PctSampleAgg.Buffer =
+    PctSampleAgg.deserializeBuffer(bytes, k)
 
   override def withNewMutableAggBufferOffset(o: Int): PctSampleAgg =
     copy(mutableAggBufferOffset = o)
@@ -191,6 +154,71 @@ object PctSampleAgg {
 
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Insert a (string row key, value) pair — md5s the key and applies the
+    * bottom-k rule. Shared with the streaming carrier
+    * (StreamingOps.runningQuantiles), which feeds the SAME sample
+    * incrementally across triggers. */
+  def insertKeyed(buf: Buffer, rowKey: String, value: Double): Unit = {
+    val md = digest.get()
+    md.reset()
+    md.update(rowKey.getBytes("UTF-8"))
+    buf.insert(md.digest(), value)
+  }
+
+  /** Interpolated quantiles over the sample (Spark `Percentile`'s exact
+    * formula, the form proven hash-equal to DuckDB's quantile_cont at 6
+    * rounded decimals); null for an empty sample. */
+  def quantilesOf(buf: Buffer, pcts: Seq[Double]): Array[Double] = {
+    val n = buf.heap.size()
+    if (n == 0) return null
+    val vs = new Array[Double](n)
+    val it = buf.heap.iterator()
+    var i = 0
+    while (it.hasNext) { vs(i) = it.next().value; i += 1 }
+    java.util.Arrays.sort(vs)
+    val out = new Array[Double](pcts.length)
+    var j = 0
+    while (j < pcts.length) {
+      val pos = pcts(j) * (n - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      out(j) =
+        if (lo == hi) vs(lo)
+        else (hi - pos) * vs(lo) + (pos - lo) * vs(hi)
+      j += 1
+    }
+    out
+  }
+
+  /** Fixed layout: entry count + n × (16-byte digest, 8-byte value) —
+    * at most 4 + 24·k bytes, the flat-state guarantee. */
+  def serializeBuffer(buf: Buffer): Array[Byte] = {
+    val n = buf.heap.size()
+    val out = java.nio.ByteBuffer.allocate(4 + n * 24)
+    out.putInt(n)
+    val it = buf.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.put(e.digest)
+      out.putDouble(e.value)
+    }
+    out.array()
+  }
+
+  def deserializeBuffer(bytes: Array[Byte], k: Int): Buffer = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new Buffer(k)
+    var i = 0
+    while (i < n) {
+      val d = new Array[Byte](16)
+      in.get(d)
+      buf.insert(d, in.getDouble)
+      i += 1
+    }
+    buf
+  }
 
   /** Shared builder (per-session registry AND GraftExtensions). */
   val builder: Seq[Expression] => Expression = exprs => {

@@ -220,4 +220,69 @@ object TextAnalysis {
       size(regexp_extract_all(afterIp, lit(RedactPatterns(2)._2), lit(0)))
         .as("n_num"))
   }
+
+  /** Unigram-LM negative log-likelihood — the perplexity-proxy quality
+    * filter (the CCNet/Gopher "LM score" gate, with the corpus itself as
+    * the reference model): score every document by its average per-token
+    * -log2 p under an add-one-smoothed top-V unigram model fit on the
+    * corpus. Low = fluent/common text; high = noise, OOV soup,
+    * boilerplate in the wrong language.
+    *
+    * Scale shape: one explode over the corpus feeds BOTH the model
+    * (top-V vocab via TakeOrderedAndProject — a bounded frame — plus a
+    * 1-row total) and the scoring pass; the vocab with its precomputed
+    * per-word score BROADCASTS onto the exploded tokens (a ≤V-row build
+    * side at any corpus size), and the per-doc reduction is one
+    * map-side-combinable groupBy. Nothing here grows with the corpus
+    * except the scans.
+    *
+    * Cross-engine determinism: per-word scores are FIXED-POINT integers
+    * — nll_micro = round(-log2((cnt+1)/(total+V+1)) · 1e6), one log per
+    * DISTINCT vocab word (+ one OOV constant), computed from exact
+    * integer ratios — and each doc's total is an exact BIGINT sum of
+    * those integers, so the reduction is order/partition-independent;
+    * the only float division is the final per-token average from two
+    * exact integers. (A raw float sum of logs would drift with fold
+    * order at 100 TB, the ev_streaming_gate lesson.)
+    *
+    * Returns (idCol, n_tokens_u, n_oov, oov_rate, nll_micro_sum,
+    * avg_nll_bits). */
+  def unigramNll(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", vocabSize: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+    val totals = toks.agg(count(lit(1)).as("__total"))
+    // denominator D = total + V + 1 (add-one smoothing over the top-V
+    // vocab + one OOV bucket)
+    val denom = totals.select(
+      (col("__total") + vocabSize + 1).cast("long").as("__denom"))
+    val vocab = toks.groupBy("__w")
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__w"))
+      .limit(vocabSize)
+      .crossJoin(broadcast(denom))
+      .select(col("__w"),
+        round(-log2((col("__cnt") + 1).cast("double") /
+          col("__denom").cast("double")) * 1e6).cast("long")
+          .as("__nll_micro"))
+    val oov = denom.select(
+      round(-log2(lit(1.0) / col("__denom").cast("double")) * 1e6)
+        .cast("long").as("__oov_micro"))
+    toks
+      .join(broadcast(vocab), Seq("__w"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens_u"),
+        count(when(col("__nll_micro").isNull, 1)).as("n_oov"),
+        sum(coalesce(col("__nll_micro"), col("__oov_micro")))
+          .cast("long").as("nll_micro_sum"))
+      .select(col(idCol), col("n_tokens_u"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens_u"), 6)
+          .as("oov_rate"),
+        col("nll_micro_sum"),
+        round(col("nll_micro_sum").cast("double") /
+          (col("n_tokens_u").cast("double") * 1e6), 6).as("avg_nll_bits"))
+  }
 }

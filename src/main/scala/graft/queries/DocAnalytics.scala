@@ -895,6 +895,43 @@ object DocAnalytics {
           row_number().over(Window.orderBy(col("cnt").desc, col("gram"))))
     },
 
+    // ---- unigram-LM perplexity-proxy quality (CCNet/Gopher LM gate) ------
+    // Every doc scored by its average per-token -log2 p under an
+    // add-one-smoothed top-1000 unigram model fit on the corpus itself.
+    // Per-word scores are FIXED-POINT integers (round(-log2 p · 1e6) —
+    // one log per distinct vocab word from exact integer ratios), so the
+    // per-doc reduction is an exact BIGINT sum: order/partition/engine
+    // independent; the only float division is the final average of two
+    // exact integers. The ≤1000-row scored vocab broadcasts onto the
+    // exploded tokens — the build side is bounded at ANY corpus size.
+    sql("doc_unigram_nll",
+      """WITH t2 AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''
+        |), den AS (
+        |  SELECT CAST(COUNT(*) + 1001 AS BIGINT) AS d FROM t2
+        |), vocab AS (
+        |  SELECT w,
+        |    CAST(ROUND(-log2(CAST(cnt + 1 AS DOUBLE) / CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS nll
+        |  FROM (SELECT w, COUNT(*) AS cnt FROM t2 GROUP BY w
+        |        ORDER BY cnt DESC, w LIMIT 1000), den
+        |), oov AS (
+        |  SELECT CAST(ROUND(-log2(1.0 / CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS onll
+        |  FROM den
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_u,
+        |  CAST(COUNT(*) FILTER (v.nll IS NULL) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(COUNT(*) FILTER (v.nll IS NULL) AS DOUBLE) / COUNT(*), 6) AS oov_rate,
+        |  CAST(SUM(COALESCE(v.nll, o.onll)) AS BIGINT) AS nll_micro_sum,
+        |  ROUND(CAST(CAST(SUM(COALESCE(v.nll, o.onll)) AS BIGINT) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS avg_nll_bits
+        |FROM t2 LEFT JOIN vocab v USING (w), oov o
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.TextAnalysis.unigramNll(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ---- END-TO-END corpus cleaning pipeline -----------------------------
     // The full training-data prep decision in ONE declarative plan:
     // quality gate (token count + stopword ratio), repetition gate

@@ -645,6 +645,43 @@ object EventAnalytics {
         .orderBy("event_type")
     },
 
+    // ---- §2.9 + A16: STREAMING running quantiles on the batch path -------
+    // The flatMapGroupsWithState sampled-quantile operator executed over
+    // the events table in one trigger: per-key state is the bottom-k
+    // sample (flat 24k+4 bytes forever), and because the sample rule is
+    // a pure function of row keys — not trigger boundaries — the final
+    // emission equals the batch graft_pct_sample exactly, which the
+    // oracle replays as the window-rule sample. StreamingSpec separately
+    // pins the multi-trigger streaming execution against this batch run.
+    sql("ev_streaming_quantile",
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR || ':sq'), value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_all
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, CAST(MAX(n_all) AS BIGINT) AS n_seen,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |FROM s WHERE rn <= 512
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val pts = ev(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("key"),
+          concat(col("event_id").cast("string"), lit(":sq")).as("row_key"),
+          col("value"))
+        .as[StreamingOps.QuantilePoint]
+      StreamingOps.runningQuantiles(pts, Seq(0.5, 0.95), k = 512).toDF()
+        .select(col("key").as("event_type"), col("n_seen"),
+          round(element_at(col("quantiles"), 1), 6).as("p50"),
+          round(element_at(col("quantiles"), 2), 6).as("p95"))
+        .orderBy("event_type")
+    },
+
     // ---- F5: context window around an anchor timestamp -------------------
     sql("ev_context_window",
       """SELECT event_id, event_type, value

@@ -273,6 +273,48 @@ object StreamingOps {
       .select(col(idCol), col("old_id"), col("tbl"), col("cosine"))
   }
 
+  case class QuantilePoint(key: String, row_key: String, value: Double)
+  case class QuantileState(n_seen: Long, sample: Array[Byte])
+  case class RunningQuantiles(key: String, n_seen: Long,
+      quantiles: Seq[Double])
+
+  /** Keyed RUNNING sampled quantiles — the streaming carrier of round
+    * 8's bounded-state percentile (functions.PctSampleAgg): per key,
+    * maintain the SAME deterministic bottom-k-by-md5(row_key) sample
+    * across triggers (state = the serialized sample, AT MOST 4 + 24·k
+    * bytes per key forever — a quantile stream that runs indefinitely),
+    * and after each trigger emit the current interpolated quantiles.
+    * Because the sample rule is a pure function of the row keys — not of
+    * arrival order or trigger boundaries — the emission after the last
+    * trigger is EXACTLY the batch `graft_pct_sample` over everything
+    * seen, which is what lets a batch execution of this operator be
+    * oracle-verified (`ev_streaming_quantile`) and StreamingSpec pin
+    * stream == batch across micro-batches. */
+  def runningQuantiles(points: Dataset[QuantilePoint],
+      pcts: Seq[Double], k: Int = 1024): Dataset[RunningQuantiles] = {
+    import points.sparkSession.implicits._
+    import graft.functions.PctSampleAgg
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[QuantilePoint],
+            state: GroupState[QuantileState]) => {
+          val s0 = state.getOption.getOrElse(
+            QuantileState(0L, PctSampleAgg.serializeBuffer(
+              new PctSampleAgg.Buffer(k))))
+          val buf = PctSampleAgg.deserializeBuffer(s0.sample, k)
+          var n = s0.n_seen
+          rows.foreach { p =>
+            PctSampleAgg.insertKeyed(buf, p.row_key, p.value)
+            n += 1
+          }
+          state.update(QuantileState(n, PctSampleAgg.serializeBuffer(buf)))
+          Option(PctSampleAgg.quantilesOf(buf, pcts))
+            .map(qs => RunningQuantiles(key, n, qs.toSeq)).iterator
+        })
+  }
+
   case class MetricPoint(metric: String, ts: java.sql.Timestamp, value: Double)
   /** Exact integer power sums at cent scale (n, Σc, Σc²) — sumSq rides as
     * DECIMAL(38,0) through the state encoder; the math runs in BigInt. */

@@ -42,7 +42,10 @@ class PlanGuardSpec extends SparkSpec {
     // derived from a 1-row aggregate, broadcast over the corpus
     "doc_gate_calibration" -> "broadcast side is the 3-row rate/threshold frame",
     // same shape, thresholds from the bounded-state sampled percentile
-    "doc_gate_calibration_approx" -> "broadcast side is the 3-row rate/threshold frame"
+    "doc_gate_calibration_approx" -> "broadcast side is the 3-row rate/threshold frame",
+    // unigram-LM scoring: 1-row denominator / OOV-constant aggregates
+    // broadcast into the vocab build and the per-token scoring
+    "doc_unigram_nll" -> "broadcast sides are 1-row total/denominator aggregates"
   )
 
   // The RCA loop queries execute their bounded driver-side orchestration

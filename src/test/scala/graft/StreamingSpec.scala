@@ -113,6 +113,48 @@ class StreamingSpec extends SparkSpec {
     assert(flagged(0).zscore > 3.0)
   }
 
+  test("running sampled quantiles: multi-trigger state equals the batch sample") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 32
+    val pcts = Seq(0.5, 0.95)
+    val all = (1 to 300).map(i =>
+      StreamingOps.QuantilePoint(s"m${i % 2}", s"row-$i", (i * 37 % 101).toDouble))
+    val input = MemoryStream[StreamingOps.QuantilePoint]
+    val q = StreamingOps.runningQuantiles(input.toDS(), pcts, k)
+      .writeStream.format("memory").queryName("quant_out")
+      .outputMode(OutputMode.Append).start()
+    // three micro-batches: the sample must accumulate across triggers
+    input.addData(all.slice(0, 100)); q.processAllAvailable()
+    input.addData(all.slice(100, 200)); q.processAllAvailable()
+    input.addData(all.slice(200, 300)); q.processAllAvailable()
+    val rows = spark.table("quant_out")
+      .as[StreamingOps.RunningQuantiles].collect()
+    q.stop()
+    // one emission per key per trigger, n_seen strictly growing
+    assert(rows.count(_.key == "m0") === 3)
+    // the LAST emission per key == the batch operator over all data
+    val lastByKey = rows.groupBy(_.key).view
+      .mapValues(_.maxBy(_.n_seen)).toMap
+    val batch = StreamingOps.runningQuantiles(all.toDS(), pcts, k)
+      .collect().map(r => r.key -> r).toMap
+    assert(lastByKey.keySet === batch.keySet)
+    lastByKey.foreach { case (key, got) =>
+      assert(got.n_seen === batch(key).n_seen)
+      assert(got.quantiles === batch(key).quantiles,
+        s"$key: multi-trigger sample must equal the single-trigger batch")
+    }
+    // and equals the batch AGGREGATE (graft_pct_sample) bit-for-bit
+    val agg = all.toDF("key", "row_key", "value")
+      .groupBy("key")
+      .agg(graft.functions.PctSampleAgg.pctSample(
+        col("row_key"), col("value"), pcts, k).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    lastByKey.foreach { case (key, got) =>
+      assert(got.quantiles === agg(key),
+        s"$key: streaming state must equal the batch aggregate")
+    }
+  }
+
   // ---- out-of-order / late-data semantics ---------------------------------
   // The ordered-input tests above prove streaming == batch; these prove the
   // watermark CONTRACT — out-of-order rows inside the lateness bound still

@@ -17,6 +17,41 @@ class TrainDataOpsSpec extends SparkSpec {
     else w.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  test("unigramNll matches a naive driver-side unigram model") {
+    // tiny corpus with known token counts: the naive model recomputes the
+    // smoothed fixed-point scores and per-doc exact sums independently
+    val docsSeq = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "zzz qqq the"),          // two OOV-ish rare words
+      (4L, "the the the the"))
+    val v = 3 // tiny vocab: only the top-3 words survive
+    val df = docsSeq.toDF("doc_id", "text")
+    val got = TextAnalysis.unigramNll(df, vocabSize = v)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // naive model
+    val toks = docsSeq.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(id -> _) }
+    val total = toks.size
+    val denom = (total + v + 1).toDouble
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(v).toMap
+    def nllMicro(w: String): Long =
+      math.round(-(math.log((vocab.getOrElse(w, 0) + 1) / denom) /
+        math.log(2.0)) * 1e6)
+    val want = docsSeq.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.count(!vocab.contains(_)).toLong,
+        ws.map(nllMicro).sum)
+    }
+    assert(got.toSeq === want,
+      s"unigram NLL must equal the naive model\ngot:  ${got.toSeq}\nwant: $want")
+    // the common filler doc scores lower than the rare-word doc
+    val byId = got.map(r => r._1 -> r._4.toDouble / r._2).toMap
+    assert(byId(4L) < byId(3L), "all-common doc must out-score the OOV doc")
+  }
+
   test("Decontam: per-doc contaminated gram counts match a naive set intersection") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
