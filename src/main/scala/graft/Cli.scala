@@ -74,6 +74,7 @@ object Cli {
         case "pack" => pack(ctx, rest.tail.toSeq)
         case "sample" => sample(ctx, rest.tail.toSeq)
         case "redact" => redact(ctx, rest.tail.toSeq)
+        case "score" => score(ctx, rest.tail.toSeq)
         case "compact" =>
           val (b, a) = graft.sources.Store.compactEvents(
             ctx.spark, ctx.path("events"))
@@ -129,6 +130,11 @@ object Cli {
       |                             runs) of the text column; writes
       |                             doc_redacted (scrubbed text + per-pattern
       |                             counts) and prints per-source PII density
+      |  score <docs.parquet> [--vocab V]
+      |                             unigram-LM quality scores (avg -log2 p
+      |                             per token, corpus-fit top-V model,
+      |                             default V=1000); writes doc_lm_scores and
+      |                             prints the per-source NLL distribution
       |  compact                    rewrite the events table into one ts-sorted
       |                             file per date partition (merges the small
       |                             files streaming ingest appends)
@@ -418,6 +424,28 @@ object Cli {
       .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
         sum(when(col("kept") === 1, col("n_tokens"))).as("kept_tokens"))
       .orderBy(stratum).show()
+  }
+
+  /** Unigram-LM quality scoring (the perplexity filter): fit the
+    * corpus-level smoothed top-V unigram model, score every doc's
+    * average per-token -log2 p, write doc_lm_scores, and print the
+    * per-source score distribution (a source whose NLL jumps is
+    * degenerate text or the wrong language). */
+  private def score(ctx: Ctx, args: Seq[String]): Unit = {
+    val vocab = opt(args, "--vocab").map(_.toInt).getOrElse(1000)
+    val path = positionals(args, Set("--vocab")).headOption
+      .getOrElse(sys.error("score requires a documents parquet path"))
+    val docs = ctx.spark.read.parquet(path)
+    val scored = graft.ops.TextAnalysis.unigramNll(docs, vocabSize = vocab)
+    ctx.write(scored, "doc_lm_scores")
+    println("wrote doc_lm_scores")
+    ctx.read("doc_lm_scores")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("avg_nll_bits"), 3).as("mean_nll_bits"),
+        round(avg("oov_rate"), 4).as("mean_oov_rate"))
+      .orderBy("source").show()
   }
 
   /** PII-style scrub of the corpus text: replaces the original text with

@@ -252,13 +252,17 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("__w"))
       .filter(col("__w") =!= "")
-    val totals = toks.agg(count(lit(1)).as("__total"))
+    // ONE model-side explode: the word-count frame feeds both the top-V
+    // vocab and (as sum of counts) the total-token denominator, so the
+    // two branches share the groupBy exchange (ReusedExchange in the
+    // plan) instead of re-scanning the corpus; the scoring pass below is
+    // the only other explode
+    val counts = toks.groupBy("__w").agg(count(lit(1)).as("__cnt"))
     // denominator D = total + V + 1 (add-one smoothing over the top-V
     // vocab + one OOV bucket)
-    val denom = totals.select(
-      (col("__total") + vocabSize + 1).cast("long").as("__denom"))
-    val vocab = toks.groupBy("__w")
-      .agg(count(lit(1)).as("__cnt"))
+    val denom = counts.agg(
+      (sum(col("__cnt")) + vocabSize + 1).cast("long").as("__denom"))
+    val vocab = counts
       .orderBy(col("__cnt").desc, col("__w"))
       .limit(vocabSize)
       .crossJoin(broadcast(denom))

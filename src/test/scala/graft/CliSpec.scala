@@ -190,5 +190,11 @@ class CliSpec extends SparkSpec {
     assert(rows(redacted.select("doc_id", "text", "n_email", "n_ip", "n_num"))
       === rows(want))
     assert(redacted.count() === spark.read.parquet(docsPath).count())
+
+    // score — written LM scores must equal the registered doc_unigram_nll
+    assert(run("--db", store, "score", docsPath) === 0)
+    assert(rows(spark.read.parquet(s"$store/doc_lm_scores")) ===
+      rows(graft.queries.Registry.byName("doc_unigram_nll")
+        .run(spark, sf(""))))
   }
 }
