@@ -386,6 +386,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-PASSAGE detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): the unit of
+    * duplication is the n-token window, not the whole document — long
+    * boilerplate passages repeated across otherwise-distinct documents
+    * are what whole-doc dedup misses and what inflates memorization.
+    * Every position's n-token window is hashed (md5 — engine-
+    * reproducible); a window hash seen more than once ANYWHERE in the
+    * corpus marks that window duplicated, and each doc reports its
+    * duplicated-window fraction plus the worst passage's global
+    * multiplicity.
+    *
+    * Scale shape: one Generate (positional windows, ~one row per corpus
+    * token), one map-side-combinable groupBy(hash) for global counts —
+    * NO count-over-window partition, so a boilerplate passage repeated
+    * millions of times is still combined map-side — and one equi-join of
+    * the windows against the `cnt > 1` hash subset, then a per-doc agg.
+    * Returns (doc_id, n_windows, n_dup_windows, dup_frac, max_dup_cnt).
+    * Docs shorter than n tokens contribute their single whole-text
+    * window, so every doc is represented. */
+  def dupPassages(docs: DataFrame, n: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val windows = docs
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol),
+        explode(expr(
+          s"transform(sequence(1, greatest(size(__w) - ${n - 1}, 1)), i -> md5(concat_ws(' ', slice(__w, i, $n))))"
+        )).as("__h"))
+    val dupCounts = windows.groupBy("__h")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+    windows
+      .join(dupCounts, Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("__cnt")).as("n_dup_windows"),
+        coalesce(max(col("__cnt")), lit(0L)).as("max_dup_cnt"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"),
+        col("max_dup_cnt"))
+  }
+
   /** Near-dup clustering end to end: LSH bucket star edges → connected
     * components → every doc labeled with its cluster representative
     * (minimum doc id of the component; singletons represent themselves).

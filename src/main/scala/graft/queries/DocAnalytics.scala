@@ -895,6 +895,31 @@ object DocAnalytics {
           row_number().over(Window.orderBy(col("cnt").desc, col("gram"))))
     },
 
+    // ---- duplicate-passage detection (Lee et al. 2022 substring dedup) ---
+    // Window-level duplication: every 20-token window hashed; a hash
+    // seen >1 time anywhere marks its window duplicated; per doc, the
+    // duplicated-window fraction + worst passage multiplicity. Global
+    // counts are one map-side-combinable groupBy — no per-key windowing
+    // — so a million-fold boilerplate passage cannot straggle a task.
+    sql("doc_dup_passages",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 18, 2)),
+        |    i -> md5(array_to_string(w[i:i+19], ' ')))) AS h
+        |  FROM w),
+        |dup AS (SELECT h, COUNT(*) AS cnt FROM win GROUP BY h HAVING COUNT(*) > 1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(d.cnt) AS BIGINT) AS n_dup_windows,
+        |  ROUND(CAST(COUNT(d.cnt) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+        |  CAST(COALESCE(MAX(d.cnt), 0) AS BIGINT) AS max_dup_cnt
+        |FROM win LEFT JOIN dup d USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.Dedup.dupPassages(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ---- unigram-LM perplexity-proxy quality (CCNet/Gopher LM gate) ------
     // Every doc scored by its average per-token -log2 p under an
     // add-one-smoothed top-1000 unigram model fit on the corpus itself.

@@ -17,6 +17,42 @@ class TrainDataOpsSpec extends SparkSpec {
     else w.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  test("dupPassages matches a naive windowed-hash model, incl. short docs") {
+    import graft.ops.Dedup
+    val boiler = (1 to 25).map(i => s"b$i").mkString(" ") // 25-token passage
+    val docsSeq = Seq(
+      (1L, s"$boiler unique tail one two three four five"),
+      (2L, s"prefix words here $boiler and a different ending"),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")),  // all-unique doc
+      (4L, "short doc"),                               // < n tokens
+      (5L, "short doc"))                               // exact short dup
+    val n = 20
+    val got = Dedup.dupPassages(docsSeq.toDF("doc_id", "text"), n = n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // naive model
+    def windows(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length <= n) Seq(w.mkString(" "))
+      else w.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val all = docsSeq.flatMap { case (_, t) => windows(t) }
+    val counts = all.groupBy(identity).view.mapValues(_.size).toMap
+    val want = docsSeq.map { case (id, t) =>
+      val ws = windows(t)
+      val dup = ws.filter(counts(_) > 1)
+      (id, ws.size.toLong, dup.size.toLong,
+        if (dup.isEmpty) 0L else dup.map(counts).max.toLong)
+    }
+    assert(got.toSeq === want,
+      s"dupPassages must equal the naive model\ngot:  ${got.toSeq}\nwant: $want")
+    // the boilerplate really is detected: docs 1 and 2 share the 6
+    // all-boiler windows; doc 3 is clean; the short dups count whole-text
+    assert(got(0)._3 === 6L && got(1)._3 === 6L)
+    assert(got(2)._3 === 0L)
+    assert(got(3)._3 === 1L && got(3)._4 === 2L)
+  }
+
   test("unigramNll matches a naive driver-side unigram model") {
     // tiny corpus with known token counts: the naive model recomputes the
     // smoothed fixed-point scores and per-doc exact sums independently
