@@ -447,6 +447,36 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("component"))
   }
 
+  /** Canonical-document selection: after near-dup clustering, each
+    * cluster keeps ONE representative chosen by content, not by id — the
+    * standard "keep the longest member" canonicalization of production
+    * dedup stacks (a truncated copy should never shadow the full
+    * document, which min-id keep can do). `key` ranks members (default:
+    * text length); ties go to the lowest doc id.
+    *
+    * Scale shape: selection is a map-side-combinable
+    * `max(struct(key, -id))` per component — NO per-component window
+    * sort, so a mega-cluster under 90 %-duplication skew reduces in
+    * combiners instead of straggling one task — followed by one
+    * equi-join of the (component, rep) frame back onto the members.
+    * Returns (doc_id, component, csize, rep_id, is_rep). */
+  def canonicalReps(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", key: Option[Column] = None): DataFrame = {
+    val comp = nearDupComponents(docs, idCol, textCol)
+    val labeled = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        key.getOrElse(length(col(textCol))).as("__k"))
+      .join(comp, Seq("doc_id"))
+    val reps = labeled.groupBy("component")
+      .agg(count(lit(1)).as("csize"),
+        max(struct(col("__k").as("k"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("component"), col("csize"), (-col("m.nid")).as("rep_id"))
+    labeled
+      .join(reps, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).cast("int").as("is_rep"))
+  }
+
   /** End-to-end near-dup dedup at scale: LSH candidates, exact-Jaccard
     * verification of candidates only, then keep-min representatives.
     * Shingles are computed once and shared by both phases. Returns the

@@ -289,4 +289,65 @@ object TextAnalysis {
         round(col("nll_micro_sum").cast("double") /
           (col("n_tokens_u").cast("double") * 1e6), 6).as("avg_nll_bits"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each document scored by
+    * how much more likely its hashed-unigram features are under a TARGET
+    * distribution than under the raw-corpus distribution — the standard
+    * way to upsample "looks like the target domain" data at pretraining
+    * scale without training a classifier. Feature = rolling_hash(word)
+    * mod `buckets` (the engine-reproducible polynomial hash, so the
+    * bucketing replays in any engine); bucket log-ratios
+    * log2(p_target/p_corpus) use add-one smoothing on both sides.
+    *
+    * Exactness at scale, the [[unigramNll]] discipline: ONE log per
+    * bucket from exact integer counts, fixed-pointed to micro-units
+    * (round(λ·1e6) as BIGINT); each doc's weight is an exact integer sum
+    * of those — order/partition/engine independent — and the only float
+    * division is the final per-token average. Shape: two corpus explodes
+    * (model + scoring), a ≤`buckets`-row broadcast between them; nothing
+    * else grows with the corpus.
+    *
+    * Returns (idCol, n_tokens_d, lr_micro_sum, avg_lr_bits) where
+    * positive avg_lr_bits means "more target-like than the corpus
+    * average". */
+  def dsirWeights(df: DataFrame, isTarget: Column, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.TextFunctions.register(df.sparkSession)
+    val toks = df
+      .select(col(idCol), isTarget.cast("boolean").as("__t"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col(idCol), col("__t"),
+        pmod(graft.functions.TextFunctions.rollingHash(col("__w")),
+          lit(buckets.toLong)).as("__bk"))
+    // bucket-level model: corpus + target counts in ONE pass; every
+    // token's bucket appears here by construction (target ⊆ corpus)
+    val stats = toks.groupBy("__bk").agg(
+      count(lit(1)).as("__cr"),
+      count(when(col("__t"), 1)).as("__ct"))
+    val totals = stats.agg(
+      sum(col("__cr")).cast("long").as("__nr"),
+      sum(col("__ct")).cast("long").as("__nt"))
+    val lambda = stats.crossJoin(broadcast(totals))
+      .select(col("__bk"),
+        round(log2(((col("__ct") + 1).cast("double") /
+            (col("__nt") + buckets).cast("double")) /
+          ((col("__cr") + 1).cast("double") /
+            (col("__nr") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("__lr_micro"))
+    toks
+      .join(broadcast(lambda), Seq("__bk"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens_d"),
+        sum(col("__lr_micro")).cast("long").as("lr_micro_sum"))
+      .select(col(idCol), col("n_tokens_d"), col("lr_micro_sum"),
+        // RAW IEEE division of two exact integers — correctly rounded and
+        // engine-identical. ROUND(x, 6) here is a half-way-tie hazard
+        // (sum/n landing on …5 flips per engine's tie rule), and -0.0
+        // cannot arise without rounding (an all-zero sum divides to +0.0)
+        (col("lr_micro_sum").cast("double") /
+          (col("n_tokens_d").cast("double") * 1e6)).as("avg_lr_bits"))
+  }
 }

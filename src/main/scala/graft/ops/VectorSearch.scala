@@ -256,6 +256,44 @@ object VectorSearch {
     }
   }
 
+  /** K-means corpus clustering: every vector labeled with its nearest
+    * deterministic-k-means centroid (the IVF coarse quantizer exposed as
+    * a clustering operator — md5-seeded init, exact-decimal Lloyd means,
+    * lowest-cid tie-break, so assignments are run-to-run stable and
+    * re-derivable in any engine). One broadcast-centroid projection over
+    * the corpus; no shuffle of the vectors. */
+  def clusterAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 2, trainCap: Int = 0): DataFrame =
+    assign(corpus, vecCol,
+      kmeansCentroids(corpus, idCol, vecCol, k, iters, trainCap))
+
+  /** Per-cluster composition report over a labeled corpus — the standard
+    * "what did my embedding clusters capture" audit of a training-data
+    * pipeline (cluster size, distinct labels, majority label and its
+    * share). Two map-side-combinable aggregations past the assignment
+    * projection: (cid, label) counts, then a `max(struct(cnt, -label))`
+    * argmax per cid — no per-cluster window sort, so a mega-cluster
+    * cannot straggle. Returns (cid, n_vectors, n_labels, top_label,
+    * top_label_cnt, label_share). */
+  def clusterStats(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 16, iters: Int = 2,
+      trainCap: Int = 0): DataFrame = {
+    val assigned = clusterAssign(corpus, idCol, vecCol, k, iters, trainCap)
+    assigned
+      .groupBy(col("cid"), col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("cid")
+      .agg(
+        sum(col("__cnt")).cast("long").as("n_vectors"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("__cnt").as("c"), (-col("__lbl")).as("nl"))).as("m"))
+      .select(col("cid"), col("n_vectors"), col("n_labels"),
+        (-col("m.nl")).cast("int").as("top_label"),
+        col("m.c").as("top_label_cnt"),
+        round(col("m.c").cast("double") / col("n_vectors"), 6)
+          .as("label_share"))
+  }
+
   /** IVF ANN: assign corpus once, probe the `nprobe` nearest cells per
     * query, exact-rerank only those cells' members. Candidate volume ≈
     * nprobe/k of the corpus instead of all of it.

@@ -236,6 +236,47 @@ object DocAnalytics {
         .orderBy("doc_id")
     },
 
+    // ---- canonical-representative selection (keep-longest dedup) ---------
+    // Production canonicalization: each near-dup cluster keeps its
+    // LONGEST member (ties → lowest id), not blindly the min id — a
+    // truncated copy must never shadow the full document. Selection is a
+    // map-side-combinable max(struct(len, -id)) per component (no
+    // per-cluster window sort — a mega-cluster cannot straggle); the
+    // oracle replays the same closure + an explicit rank-1 window.
+    sql("doc_canonical_reps",
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |nodes AS (
+        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+        |), comp AS (
+        |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |), labeled AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+        |    len(d.text) AS k
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |), reps AS (
+        |  SELECT component, doc_id AS rep_id FROM (
+        |    SELECT component, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY component
+        |        ORDER BY k DESC, doc_id) AS rk
+        |    FROM labeled) WHERE rk = 1
+        |), sizes AS (
+        |  SELECT component, COUNT(*) AS csize FROM labeled GROUP BY component
+        |)
+        |SELECT l.doc_id, l.component, s.csize, r.rep_id,
+        |  CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END AS is_rep
+        |FROM labeled l JOIN reps r USING (component)
+        |JOIN sizes s USING (component)
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.Dedup.canonicalReps(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ---- §2.8 recursive 500/100 text splitter, full oracle ---------------
     // Chunker.splitText (chunker.py:8-16, langchain's recursive splitter):
     // on this corpus (single-space word sequences, words ≤ 8 chars, no
@@ -955,6 +996,48 @@ object DocAnalytics {
         |GROUP BY doc_id
         |ORDER BY doc_id""") { (s, dir) =>
       graft.ops.TextAnalysis.unigramNll(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- DSIR importance weights (hashed-unigram log-ratio) --------------
+    // Xie et al. 2023's importance-resampling score: how much more likely
+    // each doc's hashed-unigram features are under the TARGET distribution
+    // (here: the English subset) than under the raw corpus. Bucket =
+    // rolling_hash(word) mod 1024 (engine-reproducible); one log per
+    // bucket from exact integer counts, fixed-pointed to micro-units;
+    // per-doc weights are exact BIGINT sums — the unigram-NLL discipline,
+    // so the reduction is order/partition/engine independent.
+    sql("doc_dsir_weights",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    (lang = 'en') AS t,
+        |    list_reduce(list_transform(string_split(w, ''),
+        |                               c -> CAST(unicode(c) AS BIGINT)),
+        |                (a, b) -> (a*31 + b) % 1000000007) % 1024 AS bk
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''
+        |), stats AS (
+        |  SELECT bk, COUNT(*) AS cr, COUNT(*) FILTER (t) AS ct
+        |  FROM toks GROUP BY bk
+        |), tot AS (
+        |  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+        |  FROM stats
+        |), lam AS (
+        |  SELECT bk, CAST(ROUND(log2(
+        |      (CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) /
+        |      (CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS lr
+        |  FROM stats, tot
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_d,
+        |  CAST(SUM(l.lr) AS BIGINT) AS lr_micro_sum,
+        |  CAST(CAST(SUM(l.lr) AS BIGINT) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_lr_bits
+        |FROM toks JOIN lam l USING (bk)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.TextAnalysis.dsirWeights(docs(s, dir), col("lang") === "en")
+        .orderBy("doc_id")
     },
 
     // ---- END-TO-END corpus cleaning pipeline -----------------------------

@@ -336,6 +336,68 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- k-means cluster composition report ------------------------------
+    // The IVF coarse quantizer exposed as a clustering operator: every
+    // vector assigned to its deterministic-k-means cell (md5-seeded init,
+    // 2 exact-decimal Lloyd steps — the emb_ann_ivf recipe, fully
+    // re-derived below), then a per-cluster composition audit: size,
+    // distinct labels, majority label + share. Both aggregations are
+    // map-side-combinable (argmax = max(struct(cnt, -label)), no
+    // per-cluster window), so cluster skew cannot straggle a task.
+    sql("emb_kmeans_stats", {
+      val nCells = 16
+      def assignSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < $nCells
+        |), a0 AS (${assignSql("v", "c0")}),
+        |c1 AS (${lloydSql("a0")}),
+        |a1 AS (${assignSql("v", "c1")}),
+        |c2 AS (${lloydSql("a1")}),
+        |af AS (${assignSql("v", "c2")}),
+        |cl AS (
+        |  SELECT cid, label, COUNT(*) AS cnt FROM af GROUP BY cid, label
+        |), top AS (
+        |  SELECT cid, label AS top_label, cnt AS top_label_cnt FROM (
+        |    SELECT cid, label, cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY cid
+        |        ORDER BY cnt DESC, label) AS rk
+        |    FROM cl) WHERE rk = 1
+        |)
+        |SELECT c.cid, CAST(SUM(c.cnt) AS BIGINT) AS n_vectors,
+        |  CAST(COUNT(*) AS BIGINT) AS n_labels,
+        |  t.top_label, t.top_label_cnt,
+        |  ROUND(CAST(t.top_label_cnt AS DOUBLE)
+        |    / CAST(SUM(c.cnt) AS DOUBLE), 6) AS label_share
+        |FROM cl c JOIN top t USING (cid)
+        |GROUP BY c.cid, t.top_label, t.top_label_cnt
+        |ORDER BY cid""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.clusterStats(v, "vec_id", "e", "label", k = 16)
+        .orderBy("cid")
+    },
+
     // ---- IVF ANN, 100 TB regime: cells ≈ √N + native NearestCells --------
     // The auto mode (nCells = 0) is the scale path: cell count grows as
     // √corpus so per-query candidate volume stays ~√N, and past 32 cells

@@ -73,6 +73,30 @@ class DedupSpec extends SparkSpec {
       f"skewed nearDupComponents took $secs%.1f s (bound $wallBound%.0f s)")
   }
 
+  test("canonicalReps picks the longest member per component, ties to min id") {
+    val docs = Tables(spark, sf(""), "documents")
+    val got = Dedup.canonicalReps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).sortBy(_._1)
+    // naive model: same components, explicit driver-side argmax
+    val comps = Dedup.nearDupComponents(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lens = docs.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val members = comps.toSeq.groupBy(_._2)
+    val want = comps.toSeq.map { case (id, c) =>
+      val m = members(c).map(_._1)
+      val rep = m.minBy(d => (-lens(d), d))
+      (id, c, m.size.toLong, rep, if (id == rep) 1 else 0)
+    }.sortBy(_._1)
+    assert(got.toSeq === want, "canonicalReps must equal the naive argmax")
+    // the fixture has real multi-doc clusters and at least one where the
+    // longest member is NOT the min id (the case min-id keep gets wrong)
+    assert(got.exists(r => r._3 > 1), "fixture must contain clusters")
+    assert(got.exists(r => r._3 > 1 && r._4 != r._2),
+      "fixture must exercise rep != component-min")
+  }
+
   test("nearDedup removes exactly the verified near-duplicates") {
     val docs = Tables(spark, sf(""), "documents").cache()
     val n = docs.count()

@@ -54,6 +54,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
+  test("clusterStats == manual aggregation over clusterAssign; pure clusters resolve") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, i % 8, c.map(x => x + rng.nextGaussian() * 0.2).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "label", "e").cache()
+    val got = VectorSearch.clusterStats(df, "vec_id", "e", "label", k = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    // manual aggregation over the assignment the operator is built on
+    val assigned = VectorSearch.clusterAssign(df, "vec_id", "e", k = 8)
+      .select(col("cid"), col("label")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val want = assigned.groupBy(_._1).toSeq.map { case (cid, rows) =>
+      val byLabel = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (topL, topC) = byLabel.toSeq.minBy { case (l, c) => (-c, l) }
+      (cid, rows.size.toLong, byLabel.size.toLong, topL, topC,
+        BigDecimal(topC.toDouble / rows.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq === want, "clusterStats must equal manual aggregation")
+    assert(got.map(_._2).sum === 240L, "every vector is assigned")
+    // well-separated label-aligned clusters: the md5-seeded init can
+    // merge true clusters into one cell (share 1/m), but non-merged
+    // cells must come out near-pure
+    assert(got.map(_._6).max >= 0.9,
+      s"separated clusters should yield near-pure cells: ${got.map(_._6).toSeq}")
+  }
+
   test("NearestCells: matches a Scala top-n by dot product, ties to lowest cell") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)

@@ -45,7 +45,10 @@ class PlanGuardSpec extends SparkSpec {
     "doc_gate_calibration_approx" -> "broadcast side is the 3-row rate/threshold frame",
     // unigram-LM scoring: 1-row denominator / OOV-constant aggregates
     // broadcast into the vocab build and the per-token scoring
-    "doc_unigram_nll" -> "broadcast sides are 1-row total/denominator aggregates"
+    "doc_unigram_nll" -> "broadcast sides are 1-row total/denominator aggregates",
+    // DSIR log-ratio model: the 1-row corpus/target token totals
+    // broadcast into the ≤buckets-row bucket-stats frame
+    "doc_dsir_weights" -> "broadcast side is the 1-row token-totals aggregate"
   )
 
   // The RCA loop queries execute their bounded driver-side orchestration

@@ -53,6 +53,45 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(got(3)._3 === 1L && got(3)._4 === 2L)
   }
 
+  test("dsirWeights matches a naive driver-side log-ratio model") {
+    import graft.ops.TextAnalysis
+    val docsSeq = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ate the bone"),
+      (3L, "de", "der hund frisst den knochen"),
+      (4L, "de", "die katze sitzt auf der matte"),
+      (5L, "en", "der the cat hund"))      // mixed: shared buckets
+    val B = 64 // small bucket count: forces real collisions
+    val got = TextAnalysis.dsirWeights(
+        docsSeq.toDF("doc_id", "lang", "text"), col("lang") === "en",
+        buckets = B)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // naive model over the same rolling-hash buckets
+    def bk(w: String): Long = graft.functions.RollingHash.hash(w) % B
+    val toks = docsSeq.flatMap { case (id, lang, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (id, lang == "en", bk(w)))
+    }
+    val cr = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = toks.filter(_._2).groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val (nr, nt) = (toks.size.toLong, toks.count(_._2).toLong)
+    def lam(b: Long): Long = math.round(
+      (math.log(((ct(b) + 1.0) / (nt + B)) / ((cr(b) + 1.0) / (nr + B))) /
+        math.log(2.0)) * 1e6)
+    val want = docsSeq.map { case (id, _, t) =>
+      val bs = t.split(" ").filter(_.nonEmpty).map(bk)
+      val s = bs.map(lam).sum
+      (id, bs.length.toLong, s, s.toDouble / (bs.length.toDouble * 1e6))
+    }
+    assert(got.toSeq === want,
+      s"dsirWeights must equal the naive model\ngot:  ${got.toSeq}\nwant: $want")
+    // direction sanity: the English docs score above the German ones
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(Seq(1L, 2L).map(byId).min > Seq(3L, 4L).map(byId).max,
+      "target-language docs must out-score off-target docs")
+  }
+
   test("unigramNll matches a naive driver-side unigram model") {
     // tiny corpus with known token counts: the naive model recomputes the
     // smoothed fixed-point scores and per-doc exact sums independently
