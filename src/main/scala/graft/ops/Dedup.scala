@@ -463,10 +463,17 @@ object Dedup {
   def canonicalReps(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", key: Option[Column] = None): DataFrame = {
     val comp = nearDupComponents(docs, idCol, textCol)
+    // labeled feeds BOTH the per-component argmax and the output join —
+    // cached (narrow: id, key, component) so the text column is read
+    // once, not once per consumer (there is no ReusedExchange here: the
+    // aggregate side exchanges partial-agg rows, not labeled's).
+    // Cache ownership follows the CleanPipeline convention: the caller
+    // (Verify/Bench clear all caches) unpersists when done.
     val labeled = docs
       .select(col(idCol).cast("long").as("doc_id"),
         key.getOrElse(length(col(textCol))).as("__k"))
       .join(comp, Seq("doc_id"))
+      .cache()
     val reps = labeled.groupBy("component")
       .agg(count(lit(1)).as("csize"),
         max(struct(col("__k").as("k"), (-col("doc_id")).as("nid"))).as("m"))

@@ -132,4 +132,36 @@ object Sampling {
         when(col("cum_tokens") - col(tokensCol) < col("stratum_budget"), 1)
           .otherwise(0))
   }
+
+  /** Temperature-tempered mixture weights: turns raw per-stratum token
+    * counts into the sampling recipe itself — w_s ∝ n_s^α renormalized,
+    * the standard move (mBERT/XLM-style exponentiated smoothing) to keep
+    * giant domains from drowning small ones. α is fixed at 1/2 (sqrt)
+    * deliberately: IEEE sqrt is CORRECTLY ROUNDED in every engine,
+    * unlike pow/exp, so the weights are bit-reproducible cross-engine.
+    *
+    * Exactness: token counts are exact BIGINTs from one combinable
+    * groupBy; w_micro = round(sqrt(n)·1e6) (sqrt exact, tie only at
+    * perfect squares where the product is an exact integer); the
+    * normalizer is an exact integer sum; share is raw IEEE division and
+    * the per-stratum token budget is pure integer arithmetic
+    * (budget·w div Σw — floor on positives in any engine). Feeds
+    * [[tokenBudgetMix]] directly. Returns (stratumCol, n_docs, n_tokens,
+    * w_micro, share, token_budget). */
+  def mixtureWeights(df: DataFrame, stratumCol: String, totalBudget: Long,
+      textCol: String = "text"): DataFrame = {
+    val perStratum = df.groupBy(stratumCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(filter(split(col(textCol), " "), w => w =!= "")))
+        .cast("long").as("n_tokens"))
+    val weighted = perStratum.withColumn("w_micro",
+      round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val total = weighted.agg(sum(col("w_micro")).cast("long").as("__tw"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        col("w_micro"),
+        (col("w_micro").cast("double") / col("__tw").cast("double"))
+          .as("share"),
+        expr(s"$totalBudget * w_micro div __tw").as("token_budget"))
+  }
 }

@@ -350,4 +350,52 @@ object TextAnalysis {
         (col("lr_micro_sum").cast("double") /
           (col("n_tokens_d").cast("double") * 1e6)).as("avg_lr_bits"))
   }
+
+  /** Zipf-law fit over the corpus rank-frequency curve — the classic
+    * corpus-health check (natural text fits ln f ≈ c − s·ln r with
+    * s ≈ 1; heavily templated/synthetic corpora bend away from it).
+    * OLS of ln(count) on ln(rank) over the top-`topK` words.
+    *
+    * Exactness: each of the ≤topK (rank, count) points fixed-points its
+    * logs to micro-units ONCE (x = round(ln r·1e6), y = round(ln cnt·1e6)
+    * as BIGINT), the five OLS sums are exact integer reductions
+    * (order/partition independent; magnitudes bounded by topK·(ln n·1e6)²
+    * < 2^63), and the slope/intercept/r² compose those exact sums in a
+    * fixed double-arithmetic sequence — k·Σxy can exceed 2^63, so the
+    * COMPOSITION is double, but from deterministically-cast exact ints.
+    * The rank window sorts only the topK-row frame, never the corpus.
+    * Returns one row (n_ranks, slope, intercept, r2). */
+  def zipfFit(df: DataFrame, textCol: String = "text",
+      topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__w"))
+      .limit(topK)
+    val xy = counts
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__cnt").desc, col("__w"))))
+      .select(
+        round(log(col("__r").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("__cnt").cast("double")) * 1e6).cast("long").as("y"))
+    val sums = xy.agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(col("x") * col("y")).cast("long").as("sxy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"),
+      sum(col("y") * col("y")).cast("long").as("syy"))
+    val kD = col("k").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = kD * d("sxy") - d("sx") * d("sy")
+    val denX = kD * d("sxx") - d("sx") * d("sx")
+    val denY = kD * d("syy") - d("sy") * d("sy")
+    sums.select(
+      col("k").as("n_ranks"),
+      (num / denX).as("slope"),
+      ((d("sy") - (num / denX) * d("sx")) / (kD * 1e6)).as("intercept"),
+      ((num * num) / (denX * denY)).as("r2"))
+  }
 }

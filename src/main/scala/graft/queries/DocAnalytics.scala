@@ -998,6 +998,77 @@ object DocAnalytics {
       graft.ops.TextAnalysis.unigramNll(docs(s, dir)).orderBy("doc_id")
     },
 
+    // ---- temperature-tempered mixture weights ----------------------------
+    // The data-recipe builder: per-source token counts → sqrt-tempered
+    // sampling weights (w ∝ n^(1/2), the exponentiated-smoothing move
+    // that keeps giant domains from drowning small ones) + integer token
+    // budgets for a 1M-token mix. sqrt, not pow: IEEE sqrt is correctly
+    // rounded in every engine, so weights are bit-reproducible. Budgets
+    // feed Sampling.tokenBudgetMix (doc_mix_sample) directly.
+    sql("doc_mix_weights",
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '),
+        |                             w -> w <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS w_micro
+        |  FROM per
+        |), tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, n_tokens, w_micro,
+        |  CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+        |  1000000 * w_micro // tw AS token_budget
+        |FROM w, tot
+        |ORDER BY source""") { (s, dir) =>
+      graft.ops.Sampling.mixtureWeights(docs(s, dir), "source",
+        totalBudget = 1000000L).orderBy("source")
+    },
+
+    // ---- Zipf-law corpus-health fit --------------------------------------
+    // OLS of ln(count) on ln(rank) over the top-1000 words: natural text
+    // sits near slope -1; templated/synthetic corpora bend away. Logs
+    // are fixed-pointed to micro-BIGINTs once per rank, the five OLS
+    // sums are exact integer reductions, and slope/intercept/r² compose
+    // those exact ints in an identical double sequence in both engines.
+    sql("doc_zipf_fit",
+      """WITH t AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w ORDER BY cnt DESC, w LIMIT 1000
+        |), xy AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w)
+        |      AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM t
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM xy
+        |), d AS (
+        |  SELECT k, CAST(k AS DOUBLE) AS kd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM s
+        |), f AS (
+        |  SELECT k, kd, sxd, syd,
+        |    kd*sxyd - sxd*syd AS num,
+        |    kd*sxxd - sxd*sxd AS denx,
+        |    kd*syyd - syd*syd AS deny
+        |  FROM d
+        |)
+        |SELECT k AS n_ranks, num/denx AS slope,
+        |  (syd - (num/denx)*sxd) / (kd*1e6) AS intercept,
+        |  (num*num) / (denx*deny) AS r2
+        |FROM f""") { (s, dir) =>
+      graft.ops.TextAnalysis.zipfFit(docs(s, dir))
+    },
+
     // ---- DSIR importance weights (hashed-unigram log-ratio) --------------
     // Xie et al. 2023's importance-resampling score: how much more likely
     // each doc's hashed-unigram features are under the TARGET distribution

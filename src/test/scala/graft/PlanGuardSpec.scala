@@ -48,7 +48,10 @@ class PlanGuardSpec extends SparkSpec {
     "doc_unigram_nll" -> "broadcast sides are 1-row total/denominator aggregates",
     // DSIR log-ratio model: the 1-row corpus/target token totals
     // broadcast into the ≤buckets-row bucket-stats frame
-    "doc_dsir_weights" -> "broadcast side is the 1-row token-totals aggregate"
+    "doc_dsir_weights" -> "broadcast side is the 1-row token-totals aggregate",
+    // mixture weights: the 1-row weight normalizer crossJoined onto the
+    // per-stratum (≤ #sources) frame
+    "doc_mix_weights" -> "broadcast side is the 1-row weight-sum aggregate"
   )
 
   // The RCA loop queries execute their bounded driver-side orchestration

@@ -53,6 +53,68 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(got(3)._3 === 1L && got(3)._4 === 2L)
   }
 
+  test("mixtureWeights matches a naive sqrt-tempered model") {
+    import graft.ops.Sampling
+    val docsSeq = Seq(
+      (1L, "big", ("w " * 400).trim),   // 400 tokens
+      (2L, "big", ("w " * 500).trim),   // big total: 900
+      (3L, "mid", ("w " * 100).trim),
+      (4L, "tiny", "a b c d"),          // 4 tokens
+      (5L, "tiny", "e f"))              // tiny total: 6
+    val got = Sampling.mixtureWeights(
+        docsSeq.toDF("doc_id", "source", "text"), "source",
+        totalBudget = 10000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val counts = Map("big" -> (2L, 900L), "mid" -> (1L, 100L),
+      "tiny" -> (2L, 6L))
+    val wm = counts.view.mapValues { case (_, n) =>
+      BigDecimal(math.sqrt(n.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val tw = wm.values.sum
+    val want = counts.keys.toSeq.sorted.map { s =>
+      (s, counts(s)._1, counts(s)._2, wm(s), wm(s).toDouble / tw,
+        10000L * wm(s) / tw)
+    }
+    assert(got.toSeq === want,
+      s"mixtureWeights must equal the naive model\ngot: ${got.toSeq}\nwant: $want")
+    // sqrt tempering upsamples the tail: tiny's share of the budget far
+    // exceeds its share of raw tokens (6/1006 ≈ 0.6% → ~7%)
+    val tinyBudget = got.find(_._1 == "tiny").get._6
+    assert(tinyBudget > 10000L * 6 / 1006 * 5, "tempering must lift the tail")
+  }
+
+  test("zipfFit matches a naive driver-side OLS on a synthetic Zipf corpus") {
+    import graft.ops.TextAnalysis
+    // word i repeated round(1000/i) times: a near-perfect Zipf curve
+    val words = (1 to 50).flatMap(i =>
+      Seq.fill(math.round(1000.0 / i).toInt)(f"w$i%02d"))
+    val text = new scala.util.Random(3).shuffle(words).mkString(" ")
+    val got = TextAnalysis.zipfFit(
+      Seq((1L, text)).toDF("doc_id", "text"), topK = 50).collect()(0)
+    // naive model, same fixed-point recipe
+    val cnts = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(50)
+    def mic(v: Double) = BigDecimal(v)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xy = cnts.zipWithIndex.map { case ((_, c), i) =>
+      (mic(math.log(i + 1.0) * 1e6), mic(math.log(c.toDouble) * 1e6))
+    }
+    val k = xy.size.toDouble
+    val (sx, sy) = (xy.map(_._1).sum.toDouble, xy.map(_._2).sum.toDouble)
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(got.getLong(0) === 50L)
+    assert(math.abs(got.getDouble(1) - slope) < 1e-9,
+      s"slope ${got.getDouble(1)} != naive $slope")
+    // the planted curve IS Zipf: slope ≈ -1, tight fit
+    assert(math.abs(got.getDouble(1) + 1.0) < 0.05, "slope should be ~ -1")
+    assert(got.getDouble(3) > 0.999, "r2 should be ~ 1 on a planted curve")
+  }
+
   test("dsirWeights matches a naive driver-side log-ratio model") {
     import graft.ops.TextAnalysis
     val docsSeq = Seq(
