@@ -207,6 +207,67 @@ object Multimodal {
     baos.toByteArray
   }
 
+  case class ResizedImage(
+      media_id: Long,
+      format: String,
+      src_width: Int,
+      src_height: Int,
+      out_width: Int,
+      out_height: Int,
+      pix_checksum: Long)      // Σ (y·outW+x+1) · rgb(srcX, srcY)
+
+  /** ==== REAL ==== deterministic image resize (nearest-neighbor): the
+    * pixels are decoded by the JDK codec, then resampled with PURE
+    * INTEGER index math — srcX = x·srcW div outW, srcY = y·srcH div
+    * outH — never Graphics2D interpolation, whose rounding is
+    * implementation-defined and would break cross-engine replay. The
+    * returned checksum is position-weighted (Σ (pos+1)·rgb), so a
+    * transposed, flipped or wrongly-strided resample cannot hash-match:
+    * an oracle that re-derives the checksum closed-form from planted
+    * pixel arithmetic proves the decode AND the exact source-pixel
+    * selection. None for payloads no image reader claims. */
+  def resizeImageMeta(r: MediaRecord, outW: Int, outH: Int): Option[ResizedImage] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val rd = readers.next()
+        try {
+          rd.setInput(in)
+          val img = rd.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              sum += (y.toLong * outW + x + 1) *
+                (img.getRGB(sx, sy) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          Some(ResizedImage(r.media_id, rd.getFormatName.toLowerCase,
+            w, h, outW, outH, sum))
+        } catch { case _: Exception => None }
+        finally rd.dispose()
+      }
+    } finally if (in != null) in.close()
+  }
+
+  /** Resize pass over a media column: partition-local decode + integer
+    * nearest-neighbor resample (see [[resizeImageMeta]]); non-images
+    * drop. The thumbnail shape every multimodal training pipeline
+    * needs — normalize wildly-varying source dimensions to one grid. */
+  def resizeImages(ds: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(resizeImageMeta(_, outW, outH)))
+  }
+
   case class GifMeta(
       media_id: Long,
       format: String,

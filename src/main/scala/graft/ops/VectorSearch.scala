@@ -294,6 +294,49 @@ object VectorSearch {
           .as("label_share"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via the k-means quantizer — cluster the embeddings,
+    * compare pairs ONLY within a cluster, and drop every vector that has
+    * a lower-id cluster-mate with cosine ≥ `threshold` (the paper's
+    * keep-one-per-pair rule with the deterministic keep-lowest-id
+    * tie-break this repo uses everywhere). Cross-cluster near-dups are
+    * invisible by design — that recall trade IS the algorithm; the
+    * LSH-bucketed [[nearDupPairs]] is the pair-complete alternative.
+    *
+    * Scale shape: the pair join is an equi-join on cid, so pairwise work
+    * is Σ|cluster|², never N². `k = 0` selects the 100 TB mode: cells ≈
+    * √N (autoCells) with Lloyd over a bounded md5 sample (trainCap), so
+    * per-cluster size — and with it per-cluster pair volume — grows as
+    * √N instead of N. Threshold decisions are replayable cross-engine:
+    * dots are sequential-order float sums (graft_dot == list_dot_product
+    * bit-for-bit) and the cosine composes them in one fixed
+    * divide-of-products. Returns (vec_id-named idCol, cid, keep 1/0). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 0, iters: Int = 2,
+      trainCap: Int = DefaultTrainCap): DataFrame = {
+    val (cells, cap) =
+      if (k > 0) (k, 0)
+      else (autoCells(corpus.select(idCol).count()), trainCap)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, cells, iters, cap)
+    val assigned = assign(corpus, vecCol, centroids)
+      .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+      .select(col(idCol), col("cid"), col(vecCol), col("nrm"))
+    val hi = assigned.select(col(idCol).as("__hi"), col("cid"),
+      col(vecCol).as("__he"), col("nrm").as("__hn"))
+    val lo = assigned.select(col(idCol).as("__lo"), col("cid"),
+      col(vecCol).as("__le"), col("nrm").as("__ln"))
+    val dropped = hi.join(lo, Seq("cid"))
+      .filter(col("__lo") < col("__hi"))
+      .filter(GraftFunctions.dotProduct(col("__he"), col("__le")) /
+        (col("__hn") * col("__ln")) >= threshold)
+      .select(col("__hi").as(idCol)).distinct()
+      .withColumn("__dup", lit(1))
+    assigned.select(col(idCol), col("cid"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        when(col("__dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
   /** IVF ANN: assign corpus once, probe the `nprobe` nearest cells per
     * query, exact-rerank only those cells' members. Candidate volume ≈
     * nprobe/k of the corpus instead of all of it.

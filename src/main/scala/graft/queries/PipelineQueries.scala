@@ -398,6 +398,73 @@ object PipelineQueries {
         .orderBy("cid")
     },
 
+    // ---- SemDeDup: semantic dedup inside k-means cells --------------------
+    // Abbas et al. 2023 (arXiv:2303.09540): cluster the embeddings with
+    // the deterministic k-means quantizer, compare pairs ONLY within a
+    // cluster, drop every vector with a lower-id cluster-mate at cosine
+    // ≥ 0.45 (the fixture's near-dup regime). Pairwise work is an
+    // equi-join on cid — Σ|cluster|², never N² — and cells ≈ √N
+    // (autoCells + trainCap, the emb_ann_ivf_auto recipe re-derived
+    // below), so per-cluster pair volume grows ~√N with the corpus.
+    // Cross-cluster near-dups are invisible BY DESIGN (the paper's
+    // recall trade); emb_neardup_lsh is the pair-complete path.
+    sql("emb_semdedup", {
+      val threshold = 0.45
+      val trainCap = graft.ops.VectorSearch.DefaultTrainCap
+      def assignSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), prm AS (
+        |  SELECT LEAST(4096, GREATEST(16,
+        |    CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS cells
+        |  FROM v
+        |), c0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < (SELECT cells FROM prm)
+        |), tr AS (
+        |  SELECT vec_id, e FROM (
+        |    SELECT vec_id, e,
+        |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS trk
+        |    FROM v) WHERE trk <= $trainCap
+        |), a0 AS (${assignSql("tr", "c0")}),
+        |c1 AS (${lloydSql("a0")}),
+        |a1 AS (${assignSql("tr", "c1")}),
+        |c2 AS (${lloydSql("a1")}),
+        |an AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, cid
+        |  FROM (${assignSql("v", "c2")})
+        |), d AS (
+        |  SELECT DISTINCT hi.vec_id
+        |  FROM an hi JOIN an lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+        |  WHERE list_dot_product(hi.e, lo.e) / (hi.nrm * lo.nrm) >= $threshold
+        |)
+        |SELECT an.vec_id, an.cid,
+        |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM an LEFT JOIN d USING (vec_id)
+        |ORDER BY an.vec_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.semDedup(v, "vec_id", "e", threshold = 0.45)
+        .orderBy("vec_id")
+    },
+
     // ---- IVF ANN, 100 TB regime: cells ≈ √N + native NearestCells --------
     // The auto mode (nCells = 0) is the scale path: cell count grows as
     // √corpus so per-query candidate volume stays ~√N, and past 32 cells
@@ -679,6 +746,47 @@ object PipelineQueries {
       Multimodal.decodeReal(s.createDataset(recs).repartition(4))
         .toDF()
         .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy("media_id")
+    },
+
+    // ---- multimodal REAL image resize (integer nearest-neighbor) ---------
+    // The thumbnail normalization every multimodal pipeline needs, made
+    // oracle-provable: pixels are decoded by the JDK codec and resampled
+    // with PURE INTEGER index math (srcX = x·w div outW — never
+    // Graphics2D interpolation, whose rounding is implementation-
+    // defined). The fixture PNGs plant rgb(x,y) = (x·31+y·17+seed) mod
+    // 0xFFFFFF, so the position-weighted checksum Σ (y·outW+x+1)·rgb of
+    // the 32×24 resample is closed-form — a hash match proves the real
+    // decode ran AND every output pixel came from exactly the right
+    // source coordinate (a flip/transpose/stride bug cannot match).
+    sql("mm_resize",
+      """WITH imgs AS (
+        |  SELECT i, 16 + (i * 7) % 97 AS w, 12 + (i * 5) % 71 AS h
+        |  FROM (SELECT unnest(range(20)) AS i)
+        |), px AS (
+        |  SELECT i, w, h,
+        |    CAST(SUM((y * 32 + x + 1) *
+        |      ((((x * w) // 32) * 31 + ((y * h) // 24) * 17 + i) % 16777215))
+        |      AS BIGINT) AS cs
+        |  FROM imgs,
+        |    (SELECT unnest(range(24)) AS y) ys,
+        |    (SELECT unnest(range(32)) AS x) xs
+        |  GROUP BY i, w, h
+        |)
+        |SELECT i AS media_id, 'png' AS format,
+        |  CAST(w AS INTEGER) AS src_width, CAST(h AS INTEGER) AS src_height,
+        |  CAST(32 AS INTEGER) AS out_width, CAST(24 AS INTEGER) AS out_height,
+        |  cs AS pix_checksum
+        |FROM px
+        |ORDER BY media_id""") { (s, _) =>
+      import s.implicits._
+      val recs = (0 until 20).map { i =>
+        Multimodal.MediaRecord(i.toLong, "image",
+          Multimodal.syntheticPng(16 + (i * 7) % 97, 12 + (i * 5) % 71,
+            i.toLong), "synthetic")
+      }
+      Multimodal.resizeImages(s.createDataset(recs).repartition(4), 32, 24)
+        .toDF()
         .orderBy("media_id")
     },
 

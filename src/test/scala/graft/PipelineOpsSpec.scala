@@ -87,6 +87,48 @@ class PipelineOpsSpec extends SparkSpec {
       s"separated clusters should yield near-pure cells: ${got.map(_._6).toSeq}")
   }
 
+  test("semDedup == naive within-cluster pair model; planted duplicates drop") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(8)(rng.nextGaussian() * 5))
+    val vecs = (0 until 120).map { i =>
+      // every 10th vector is an EXACT copy of i-1 (a guaranteed semantic
+      // duplicate in the same cell); the rest are noisy cluster members
+      if (i % 10 == 9) (i.toLong, null: Seq[Double])
+      else (i.toLong, centers(i % 3).map(x => x + rng.nextGaussian() * 0.2).toSeq)
+    }
+    val filled = vecs.zipWithIndex.map { case ((id, v), i) =>
+      (id, if (v == null) vecs(i - 1)._2 else v)
+    }
+    val df = filled.toDF("vec_id", "e").cache()
+    val got = VectorSearch.semDedup(df, "vec_id", "e",
+        threshold = 0.999, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_._1)
+    // naive model over the SAME assignment the operator is built on
+    val assigned = VectorSearch.clusterAssign(df, "vec_id", "e", k = 3)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.size) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = filled.map { case (i, v) =>
+      val dup = filled.exists { case (j, w) =>
+        j < i && assigned(j) == assigned(i) && cos(w, v) >= 0.999 }
+      (i, assigned(i), if (dup) 0 else 1)
+    }.sortBy(_._1)
+    assert(got.toSeq === want, "semDedup must equal the naive pair model")
+    // exact copies always drop; their originals' keep flag is the model's
+    val copies = got.filter(_._1 % 10 == 9)
+    assert(copies.forall(_._3 == 0),
+      s"exact duplicates must be dropped: ${copies.toSeq}")
+    assert(got.count(_._3 == 1) >= 3, "at least one rep per cluster kept")
+  }
+
   test("NearestCells: matches a Scala top-n by dot product, ties to lowest cell") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)
@@ -261,6 +303,43 @@ class PipelineOpsSpec extends SparkSpec {
     // direct decode of generator output is exact for any dims
     assert(Multimodal.decodeImage(recs(0)).get.checksum ===
       Multimodal.decodeStub(recs(0)).checksum)
+  }
+
+  test("multimodal: integer nearest-neighbor resize picks exact source pixels") {
+    import spark.implicits._
+    // planted-gradient PNGs: checksum re-derived from the same arithmetic
+    val recs = (0 until 6).map { i =>
+      Multimodal.MediaRecord(i.toLong, "image",
+        Multimodal.syntheticPng(10 + i * 9, 7 + i * 5, i.toLong), "synthetic")
+    } :+ Multimodal.MediaRecord(99L, "image",
+      "not an image".getBytes("UTF-8"), "synthetic")
+    val got = Multimodal.resizeImages(
+        spark.createDataset(recs).repartition(3), outW = 8, outH = 5)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(!got.contains(99L), "non-images must drop, not stub")
+    (0 until 6).foreach { i =>
+      val (w, h) = (10 + i * 9, 7 + i * 5)
+      var want = 0L
+      for (y <- 0 until 5; x <- 0 until 8) {
+        val (sx, sy) = (x * w / 8, y * h / 5)
+        want += (y.toLong * 8 + x + 1) * ((sx * 31L + sy * 17L + i) % 0xFFFFFF)
+      }
+      val r = got(i.toLong)
+      assert((r.src_width, r.src_height, r.out_width, r.out_height) ===
+        ((w, h, 8, 5)), s"dims for $i")
+      assert(r.pix_checksum === want,
+        s"checksum for $i: got ${r.pix_checksum}, want $want")
+    }
+    // upscale case: 3x2 source onto the 8x5 grid replicates pixels
+    val up = Multimodal.resizeImages(spark.createDataset(Seq(
+      Multimodal.MediaRecord(7L, "image",
+        Multimodal.syntheticPng(3, 2, 7L), "synthetic"))), 8, 5)
+      .collect()(0)
+    var wantUp = 0L
+    for (y <- 0 until 5; x <- 0 until 8)
+      wantUp += (y.toLong * 8 + x + 1) *
+        ((x * 3 / 8 * 31L + y * 2 / 5 * 17L + 7L) % 0xFFFFFF)
+    assert(up.pix_checksum === wantUp, "upscale must replicate source pixels")
   }
 
   test("multimodal: real WAV decode reads true rate/channels/frames; non-audio falls back") {
