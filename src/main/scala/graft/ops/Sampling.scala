@@ -111,6 +111,31 @@ object Sampling {
         when(col("h") < "d", "train").when(col("h") < "f", "val")
           .otherwise("test"))
 
+  /** Deterministic global shuffle → training shards: every doc gets a
+    * (shard, pos) address under a reproducible random permutation —
+    * shard = first 8 md5 hex digits mod `nShards`, pos = rank of the
+    * full md5 within the shard. This is how a training run consumes a
+    * corpus: S shard files, each internally shuffled, any shard
+    * re-derivable from (id, salt, S) alone — no stored permutation, no
+    * driver state, stable under repartitioning.
+    *
+    * Scale shape: the only per-shard work is the rank window, which is
+    * EXACTLY the sort a shard writer needs anyway (repartition(S) +
+    * sortWithinPartitions before write); at 100 TB, nShards is sized to
+    * the target shard file size (data / ~1 GB), so per-shard sort volume
+    * is a constant, not a function of corpus size. Adds `shard`, `pos`. */
+  def shuffleShards(df: DataFrame, nShards: Int, idCol: String = "doc_id",
+      salt: String = ":shuffle:v1"): DataFrame = {
+    val k = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", k)
+      .withColumn("shard",
+        (conv(substring(col("__k"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__k")
+  }
+
   /** Weighted training mix: a DIFFERENT token budget per stratum (the
     * actual shape of a pre-training data recipe — "30B tokens of code,
     * 5B of forum text, ..."). `budgets` maps stratum value → budget;

@@ -428,6 +428,30 @@ object DocAnalytics {
         .orderBy("doc_id")
     },
 
+    // ---- deterministic global shuffle → training shards -------------------
+    // Every doc addressed as (shard, pos) under a reproducible random
+    // permutation: shard = first 8 md5 hex digits mod 8, pos = rank of
+    // the full md5 within the shard — how a training run consumes the
+    // corpus (S internally-shuffled shard files, any shard re-derivable
+    // from (id, salt, S) alone; no stored permutation). The per-shard
+    // rank window IS the sort a shard writer needs anyway; at 100 TB,
+    // nShards sizes to the target file size so per-shard volume is
+    // constant in corpus size.
+    sql("doc_shuffle_shards",
+      """SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |    AS INTEGER) AS pos
+        |FROM (
+        |  SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle:v1') AS k,
+        |    CAST(CAST('0x' || substring(md5(doc_id::VARCHAR || ':shuffle:v1'), 1, 8)
+        |      AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM documents)
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.ops.Sampling.shuffleShards(docs(s, dir), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    },
+
     sql("doc_split_stats",
       """SELECT split, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

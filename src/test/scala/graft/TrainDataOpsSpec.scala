@@ -86,6 +86,37 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(tinyBudget > 10000L * 6 / 1006 * 5, "tempering must lift the tail")
   }
 
+  test("shuffleShards matches a naive md5 permutation; shards are balanced") {
+    import graft.ops.Sampling
+    val df = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Sampling.shuffleShards(df, nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyed = (0L until 400L).map { i =>
+      val k = md5hex(s"$i:shuffle:v1")
+      (i, k, (java.lang.Long.parseLong(k.substring(0, 8), 16) % 8).toInt)
+    }
+    val want = keyed.groupBy(_._3).toSeq.flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((i, _, _), p) => (i, shard, p + 1) }
+    }.sortBy(_._1)
+    assert(got.toSeq === want, "shuffleShards must equal the naive permutation")
+    // md5 uniformity: every shard populated, no shard > 2x the mean
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.size === 8 && sizes.values.max <= 100,
+      s"shards must be balanced: $sizes")
+    // stability: a doc's address is independent of corpus membership
+    val sub = Sampling.shuffleShards(
+        df.filter(col("doc_id") < 200), nShards = 8)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert((0L until 200L).forall(i =>
+      sub(i) == got.find(_._1 == i).get._2), "shard must not depend on corpus")
+  }
+
   test("zipfFit matches a naive driver-side OLS on a synthetic Zipf corpus") {
     import graft.ops.TextAnalysis
     // word i repeated round(1000/i) times: a near-perfect Zipf curve
