@@ -75,6 +75,7 @@ object Cli {
         case "sample" => sample(ctx, rest.tail.toSeq)
         case "redact" => redact(ctx, rest.tail.toSeq)
         case "score" => score(ctx, rest.tail.toSeq)
+        case "shard" => shard(ctx, rest.tail.toSeq)
         case "compact" =>
           val (b, a) = graft.sources.Store.compactEvents(
             ctx.spark, ctx.path("events"))
@@ -135,6 +136,11 @@ object Cli {
       |                             per token, corpus-fit top-V model,
       |                             default V=1000); writes doc_lm_scores and
       |                             prints the per-source NLL distribution
+      |  shard <docs.parquet> [--shards N]
+      |                             deterministic md5-shuffle shard
+      |                             addressing (default 8 shards); writes
+      |                             doc_shards partitioned by shard, rows
+      |                             in permutation order inside each file
       |  compact                    rewrite the events table into one ts-sorted
       |                             file per date partition (merges the small
       |                             files streaming ingest appends)
@@ -424,6 +430,29 @@ object Cli {
       .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
         sum(when(col("kept") === 1, col("n_tokens"))).as("kept_tokens"))
       .orderBy(stratum).show()
+  }
+
+  /** Deterministic shuffle-shard materialization: addresses every doc as
+    * (shard, pos) under the reproducible md5 permutation, then writes
+    * the corpus partitioned by shard with rows in pos order inside each
+    * file — the layout a training run streams directly. The write is
+    * repartition(shard) + sortWithinPartitions(pos): the rank window's
+    * sort IS the file sort, paid once. */
+  private def shard(ctx: Ctx, args: Seq[String]): Unit = {
+    val n = opt(args, "--shards").map(_.toInt).getOrElse(8)
+    val path = positionals(args, Set("--shards")).headOption
+      .getOrElse(sys.error("shard requires a documents parquet path"))
+    val sharded = graft.ops.Sampling.shuffleShards(
+      ctx.spark.read.parquet(path), nShards = n)
+    sharded
+      .repartition(n, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(ctx.path("doc_shards"))
+    println(s"wrote doc_shards ($n shards)")
+    ctx.read("doc_shards").groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), max("pos").as("last_pos"))
+      .orderBy("shard").show()
   }
 
   /** Unigram-LM quality scoring (the perplexity filter): fit the

@@ -319,22 +319,39 @@ object VectorSearch {
       else (autoCells(corpus.select(idCol).count()), trainCap)
     val centroids = kmeansCentroids(corpus, idCol, vecCol, cells, iters, cap)
     val assigned = assign(corpus, vecCol, centroids)
-      .withColumn("nrm", sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
-      .select(col(idCol), col("cid"), col(vecCol), col("nrm"))
-    val hi = assigned.select(col(idCol).as("__hi"), col("cid"),
-      col(vecCol).as("__he"), col("nrm").as("__hn"))
-    val lo = assigned.select(col(idCol).as("__lo"), col("cid"),
-      col(vecCol).as("__le"), col("nrm").as("__ln"))
-    val dropped = hi.join(lo, Seq("cid"))
+      .select(col(idCol), col("cid"), col(vecCol))
+    // Exact-duplicate pre-collapse — the duplication-skew guard (the
+    // star-edge move of this operator): identical vectors always land in
+    // the same cell with pairwise cosine 1, so (a) every non-min member
+    // of an identical group drops unconditionally, and (b) the min
+    // member's fate depends only on OTHER groups' min ids (cos to any
+    // group member == cos to its rep, and ∃ j < i0 in group g' ⇔
+    // min(g') < i0). The pair join therefore runs over one min-id rep
+    // per distinct vector per cell — decision-identical to all-pairs
+    // (spec-pinned), but a 90 %-identical corpus costs ~distinct² per
+    // cell instead of 0.4·N².
+    val reps = assigned.groupBy(col("cid"), col(vecCol))
+      .agg(min(col(idCol)).as("__rid"))
+      .withColumn("__nrm",
+        sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+    val hi = reps.select(col("__rid").as("__hi"), col("cid"),
+      col(vecCol).as("__he"), col("__nrm").as("__hn"))
+    val lo = reps.select(col("__rid").as("__lo"), col("cid"),
+      col(vecCol).as("__le"), col("__nrm").as("__ln"))
+    val droppedReps = hi.join(lo, Seq("cid"))
       .filter(col("__lo") < col("__hi"))
       .filter(GraftFunctions.dotProduct(col("__he"), col("__le")) /
         (col("__hn") * col("__ln")) >= threshold)
-      .select(col("__hi").as(idCol)).distinct()
+      .select(col("__hi")).distinct()
       .withColumn("__dup", lit(1))
-    assigned.select(col(idCol), col("cid"))
-      .join(dropped, Seq(idCol), "left")
+    // a member keeps iff it IS its group's rep and that rep survived
+    assigned
+      .join(reps.select(col("cid"), col(vecCol), col("__rid")),
+        Seq("cid", vecCol))
+      .join(droppedReps, col("__rid") === col("__hi"), "left")
       .select(col(idCol), col("cid"),
-        when(col("__dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+        when(col(idCol) === col("__rid") && col("__dup").isNull, lit(1))
+          .otherwise(lit(0)).as("keep"))
   }
 
   /** IVF ANN: assign corpus once, probe the `nprobe` nearest cells per

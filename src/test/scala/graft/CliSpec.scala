@@ -196,5 +196,21 @@ class CliSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$store/doc_lm_scores")) ===
       rows(graft.queries.Registry.byName("doc_unigram_nll")
         .run(spark, sf(""))))
+
+    // shard — the partitioned-by-shard layout must carry exactly the
+    // registered doc_shuffle_shards addressing, and each shard's file
+    // must hold its rows in permutation (pos) order
+    assert(run("--db", store, "shard", docsPath) === 0)
+    val shards = spark.read.parquet(s"$store/doc_shards")
+    assert(rows(shards.select("doc_id", "shard", "pos")) ===
+      rows(graft.queries.Registry.byName("doc_shuffle_shards")
+        .run(spark, sf(""))))
+    // in-file order: reading one shard partition back preserves pos order
+    val shard0dir = new java.io.File(s"$store/doc_shards")
+      .listFiles().filter(_.getName.startsWith("shard=")).head
+    val inFile = spark.read.parquet(shard0dir.toString)
+      .select("pos").collect().map(_.getInt(0)).toSeq
+    assert(inFile === inFile.sorted,
+      "rows inside a shard file must be in permutation order")
   }
 }

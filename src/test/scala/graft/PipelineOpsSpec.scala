@@ -129,6 +129,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.count(_._3 == 1) >= 3, "at least one rep per cluster kept")
   }
 
+  test("semDedup survives 90% exact duplication (pre-collapse skew guard)") {
+    GraftFunctions.register(spark)
+    // 45k copies of ONE vector + 5k noisy members of 8 spread clusters:
+    // without the exact-dup pre-collapse the mega cell costs ~10^9 pairs;
+    // with it, the pair join runs over ~5k reps
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5))
+    // the hot vector gets its OWN direction (drawn after the centers),
+    // so no base member sits within the 0.999 threshold of it and the
+    // copy group's min id is decidable from the group alone
+    val hot = Array.fill(16)(rng.nextGaussian() * 5).toSeq
+    val base = (0 until 5000).map { i =>
+      (i.toLong, centers(i % 8).map(x => x + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val copies = (5000 until 50000).map(i => (i.toLong, hot))
+    val df = (base ++ copies).toDF("vec_id", "e").repartition(8).cache()
+    df.count()
+    val t0 = System.nanoTime()
+    val got = VectorSearch.semDedup(df, "vec_id", "e",
+        threshold = 0.999, k = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"semDedup on 50k vectors (45k one exact group): $secs%.1f s")
+    val keepByid = got.toMap
+    assert(got.length === 50000)
+    // every non-min copy drops; the min copy (5000) keeps unless a
+    // lower-id cluster-mate sits within threshold (noise makes ≥0.999
+    // to a non-copy essentially impossible)
+    assert((5001 until 50000).forall(i => keepByid(i.toLong) == 0),
+      "all non-min exact copies must drop")
+    assert(keepByid(5000L) == 1, "the min-id copy is the group's keeper")
+    assert(secs < 120, f"mega-group must not straggle: $secs%.1f s")
+  }
+
   test("NearestCells: matches a Scala top-n by dot product, ties to lowest cell") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)
