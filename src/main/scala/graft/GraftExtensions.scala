@@ -42,6 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash"), graft.functions.MinHashAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_hll"),
       info("graft_hll"), graft.functions.HllAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_hll_regs"),
+      info("graft_hll_regs"), graft.functions.HllAgg.regsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_pct_sample"),
       info("graft_pct_sample"), graft.functions.PctSampleAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_any_gram_in_set"),

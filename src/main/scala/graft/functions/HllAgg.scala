@@ -60,26 +60,10 @@ case class HllAgg(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val md = digest.get()
-      md.reset()
-      md.update(v.asInstanceOf[UTF8String].getBytes)
-      val d = md.digest()
-      // first 8 digest bytes big-endian == first 16 hex chars of md5(value)
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-      val bucket = (h >>> 56).toInt
-      val tail = h & 0x00ffffffffffffffL // low 56 bits = hex chars 3..16
-      val rho =
-        if (tail == 0L) 57
-        else java.lang.Long.numberOfLeadingZeros(tail) - 7
-      if (rho > buf(bucket)) buf(bucket) = rho.toByte
-    }
-    buf
-  }
+  // first 8 md5 digest bytes big-endian == first 16 hex chars of
+  // md5(value); bucket = top byte, rho over the low 56 bits
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    updateBuffer(buf, child.eval(input))
 
   override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
     var i = 0
@@ -116,8 +100,75 @@ case class HllAgg(
     copy(child = c)
 }
 
+/** The register-exposing twin of [[HllAgg]]: identical md5-seeded
+  * update/merge, but eval returns the raw 256-byte register array
+  * (BinaryType) instead of the folded estimate — the form sketch SET
+  * OPERATIONS need. Register arrays are mergeable by element-wise max
+  * (union), so audience-overlap questions at 100 TB move types×256 bytes
+  * instead of re-scanning the fact table per slice combination; the
+  * estimate over a union (and inclusion-exclusion intersections) is then
+  * pure column arithmetic — see EventAnalytics.ev_hll_overlap. */
+case class HllRegsAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  import HllAgg._
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_regs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_regs expects STRING input (cast keys explicitly), got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    updateBuffer(buf, child.eval(input))
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): HllRegsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HllAgg {
   val M = 256 // registers; p = 8 bits of bucket
+
+  /** Shared register update: md5 the value, route to the first-byte
+    * bucket, keep the max rho of the 56-bit tail (see class doc). */
+  private[functions] def updateBuffer(buf: Array[Byte], v: Any): Array[Byte] = {
+    if (v != null) {
+      val md = digest.get()
+      md.reset()
+      md.update(v.asInstanceOf[UTF8String].getBytes)
+      val d = md.digest()
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      val bucket = (h >>> 56).toInt
+      val tail = h & 0x00ffffffffffffffL
+      val rho =
+        if (tail == 0L) 57
+        else java.lang.Long.numberOfLeadingZeros(tail) - 7
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
 
   /** 2^(57-reg) for reg in 0..57 — the exact integer register weights. */
   private val PowTable: Array[BigInt] =
@@ -139,10 +190,23 @@ object HllAgg {
     HllAgg(exprs.head).toAggregateExpression()
   }
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Shared builder for the register-exposing twin. */
+  val regsBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"graft_hll_regs expects (key), got ${exprs.length} arguments")
+    HllRegsAgg(exprs.head).toAggregateExpression()
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_regs", regsBuilder, "built-in")
+  }
 
   /** Requires register(spark) on the session first (or GraftExtensions). */
   def hll(c: Column): Column = call_function("graft_hll", c)
+
+  /** Raw 256-byte register array — the mergeable sketch form. */
+  def hllRegs(c: Column): Column = call_function("graft_hll_regs", c)
 }

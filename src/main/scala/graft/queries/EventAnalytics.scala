@@ -127,6 +127,157 @@ object EventAnalytics {
         .orderBy("event_type")
     },
 
+    // ---- parity-plus: HLL sketch SET OPERATIONS (audience overlap) -------
+    // The question a 100 TB fact table gets asked constantly: how many
+    // distinct users do slices A and B share? Exactly = a re-scan per
+    // slice COMBINATION; with mergeable register sketches it's types×256
+    // bytes once, then pure column arithmetic per pair — union = register
+    // max (graft_hll_regs exposes the raw array), intersection =
+    // inclusion-exclusion over three estimates. ALL estimates (singles
+    // included) are re-derived from the register bytes through one shared
+    // column pipeline (hex-decode → exact DECIMAL register sum → one IEEE
+    // divide), the same derivation the oracle replays from md5 directly;
+    // exact counterparts ride along to show the approximation error.
+    sql("ev_hll_overlap",
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL
+        |), b AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(u), 1, 2) AS INTEGER) AS bucket,
+        |    ltrim(substr(md5(u), 3, 14), '0') AS t
+        |  FROM du
+        |), regs AS (
+        |  SELECT event_type, bucket, MAX(
+        |    CASE WHEN t = '' THEN 57
+        |         ELSE 4 * (14 - len(t)) +
+        |           CASE WHEN substr(t,1,1) = '1' THEN 4
+        |                WHEN substr(t,1,1) IN ('2','3') THEN 3
+        |                WHEN substr(t,1,1) IN ('4','5','6','7') THEN 2
+        |                ELSE 1 END
+        |    END) AS rho
+        |  FROM b GROUP BY 1, 2
+        |), est1 AS (
+        |  SELECT event_type, COUNT(*) AS nb,
+        |    SUM(CAST(1 AS BIGINT) << (57 - rho)) AS sp
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT event_type,
+        |    CASE WHEN raw <= 640.0 AND zeros > 0
+        |         THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+        |  FROM (
+        |    SELECT event_type, 256 - nb AS zeros,
+        |      0.7213/(1.0 + 1.079/256.0) * 65536.0 * 144115188075855872.0
+        |        / CAST(sp + (256 - nb) * CAST(144115188075855872 AS HUGEINT)
+        |               AS DOUBLE) AS raw
+        |    FROM est1)
+        |), types AS (SELECT DISTINCT event_type FROM du),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, c.event_type AS type_b
+        |  FROM types a JOIN types c ON a.event_type < c.event_type
+        |), uregs AS (
+        |  SELECT p.type_a, p.type_b, r.bucket, MAX(r.rho) AS rho
+        |  FROM pairs p JOIN regs r
+        |    ON r.event_type IN (p.type_a, p.type_b)
+        |  GROUP BY 1, 2, 3
+        |), uest1 AS (
+        |  SELECT type_a, type_b, COUNT(*) AS nb,
+        |    SUM(CAST(1 AS BIGINT) << (57 - rho)) AS sp
+        |  FROM uregs GROUP BY 1, 2
+        |), uest AS (
+        |  SELECT type_a, type_b,
+        |    CASE WHEN raw <= 640.0 AND zeros > 0
+        |         THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+        |  FROM (
+        |    SELECT type_a, type_b, 256 - nb AS zeros,
+        |      0.7213/(1.0 + 1.079/256.0) * 65536.0 * 144115188075855872.0
+        |        / CAST(sp + (256 - nb) * CAST(144115188075855872 AS HUGEINT)
+        |               AS DOUBLE) AS raw
+        |    FROM uest1)
+        |), exact1 AS (
+        |  SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1
+        |), exacto AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    COUNT(*) AS n
+        |  FROM du x JOIN du y ON x.u = y.u AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.type_a, p.type_b,
+        |  ea.n AS exact_a, eb.n AS exact_b,
+        |  COALESCE(xo.n, 0) AS exact_overlap,
+        |  printf('%.6e', sa.e) AS hll_a,
+        |  printf('%.6e', sb.e) AS hll_b,
+        |  printf('%.6e', u.e) AS hll_union,
+        |  printf('%.6e', GREATEST(0.0, sa.e + sb.e - u.e)) AS hll_intersect
+        |FROM pairs p
+        |JOIN exact1 ea ON ea.event_type = p.type_a
+        |JOIN exact1 eb ON eb.event_type = p.type_b
+        |LEFT JOIN exacto xo ON xo.type_a = p.type_a AND xo.type_b = p.type_b
+        |JOIN est sa ON sa.event_type = p.type_a
+        |JOIN est sb ON sb.event_type = p.type_b
+        |JOIN uest u ON u.type_a = p.type_a AND u.type_b = p.type_b
+        |ORDER BY p.type_a, p.type_b""") { (s, dir) =>
+      graft.functions.HllAgg.register(s)
+      val numerator =
+        0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 144115188075855872.0
+      // hex-decoded register array from the sketch bytes
+      def regArr(rc: Column): Column = {
+        val h = hex(rc)
+        transform(sequence(lit(0), lit(255)),
+          i => conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+      }
+      // exact DECIMAL register sum (256 · 2^57 overflows BIGINT), one
+      // cast, one divide — the identical IEEE sequence to HllAgg.eval
+      // and the oracle
+      def estOf(arr: Column): Column = {
+        val zeros = size(filter(arr, r => r === 0))
+        val sp = aggregate(arr, lit(0).cast("decimal(38,0)"),
+          (acc, r) => acc +
+            call_function("shiftleft", lit(1L), lit(57) - r)
+              .cast("decimal(38,0)"))
+        val raw = lit(numerator) / sp.cast("double")
+        when(raw <= 640.0 && zeros > 0,
+          lit(256.0) * log(lit(256.0) / zeros.cast("double")))
+          .otherwise(raw)
+      }
+      val base = ev(s, dir).filter(col("user_id").isNotNull)
+      val sk = base.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          graft.functions.HllAgg.hllRegs(col("user_id").cast("string"))
+            .as("regs"))
+      val a = sk.select(col("event_type").as("type_a"),
+        col("n_exact").as("exact_a"), col("regs").as("ra"))
+      val b = sk.select(col("event_type").as("type_b"),
+        col("n_exact").as("exact_b"), col("regs").as("rb"))
+      // ≤ #event_types² pair frame (bounded non-equi join — see
+      // PlanGuardSpec allowlist)
+      val pairs = a.join(b, col("type_a") < col("type_b"))
+      val du = base.select(col("event_type"),
+        col("user_id").cast("string").as("u")).distinct()
+      val overlap = du.as("x")
+        .join(du.as("y"), col("x.u") === col("y.u") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      pairs
+        .join(overlap, Seq("type_a", "type_b"), "left")
+        .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+        .withColumn("hll_a", format_string("%.6e", estOf(regArr(col("ra")))))
+        .withColumn("hll_b", format_string("%.6e", estOf(regArr(col("rb")))))
+        .withColumn("eu", estOf(zip_with(regArr(col("ra")), regArr(col("rb")),
+          (x, y) => greatest(x, y))))
+        .withColumn("ea2", estOf(regArr(col("ra"))))
+        .withColumn("eb2", estOf(regArr(col("rb"))))
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+          col("exact_overlap"), col("hll_a"), col("hll_b"),
+          format_string("%.6e", col("eu")).as("hll_union"),
+          format_string("%.6e",
+            greatest(lit(0.0), col("ea2") + col("eb2") - col("eu")))
+            .as("hll_intersect"))
+        .orderBy("type_a", "type_b")
+    },
+
     // ---- A3/A4: time span ------------------------------------------------
     sql("ev_time_span",
       """SELECT COUNT(*) AS n_events,

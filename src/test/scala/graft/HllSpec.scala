@@ -66,6 +66,41 @@ class HllSpec extends SparkSpec {
     assert(ests.values.toSeq.distinct.size == 3)
   }
 
+  test("register sketches: union == sketch of the union; intersection tracks truth") {
+    HllAgg.register(spark)
+    // planted overlap: A = 0..5999, B = 4000..9999 → |A∪B| = 10000,
+    // |A∩B| = 2000
+    def regsOf(lo: Int, hi: Int): Array[Byte] =
+      spark.range(lo.toLong, hi.toLong)
+        .select(concat(lit("user-"), col("id")).as("k"))
+        .agg(HllAgg.hllRegs(col("k")).as("r"))
+        .collect().head.getAs[Array[Byte]](0)
+    val (ra, rb) = (regsOf(0, 6000), regsOf(4000, 10000))
+    val runion = regsOf(0, 10000)
+    val merged = ra.zip(rb).map { case (x, y) => if (y > x) y else x }
+    // the algebraic identity sketch set-ops rest on: register-max of two
+    // sketches IS the sketch of the union of their inputs
+    assert(merged.toSeq === runion.toSeq,
+      "register-wise max must equal the union's own sketch")
+    def estOf(regs: Array[Byte]): Double = {
+      var zeros = 0
+      var s = BigInt(0)
+      regs.foreach { r =>
+        if (r == 0) zeros += 1
+        s += BigInt(1) << (57 - r)
+      }
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+        144115188075855872.0 / s.toDouble
+      if (raw <= 640.0 && zeros > 0) 256.0 * math.log(256.0 / zeros) else raw
+    }
+    val (ea, eb, eu) = (estOf(ra), estOf(rb), estOf(merged))
+    val ei = math.max(0.0, ea + eb - eu)
+    assert(math.abs(eu - 10000) / 10000 < 0.20, s"union est $eu")
+    // inclusion-exclusion compounds three estimates' errors — the bound
+    // is on the UNION size, not the intersection, so allow 3×6.5%·|A∪B|
+    assert(math.abs(ei - 2000) < 0.20 * 10000, s"intersect est $ei")
+  }
+
   test("sql surface: graft_hll through the per-session registry") {
     HllAgg.register(spark)
     spark.range(100).createOrReplaceTempView("hll_sql_in")

@@ -51,7 +51,10 @@ class PlanGuardSpec extends SparkSpec {
     "doc_dsir_weights" -> "broadcast side is the 1-row token-totals aggregate",
     // mixture weights: the 1-row weight normalizer crossJoined onto the
     // per-stratum (≤ #sources) frame
-    "doc_mix_weights" -> "broadcast side is the 1-row weight-sum aggregate"
+    "doc_mix_weights" -> "broadcast side is the 1-row weight-sum aggregate",
+    // HLL set ops: the type_a < type_b pair frame over the ≤ #event_types
+    // per-type sketch aggregate (both sides are groupBy(event_type) rows)
+    "ev_hll_overlap" -> "both sides are per-type sketch aggregates (≤ #event_types rows)"
   )
 
   // The RCA loop queries execute their bounded driver-side orchestration
