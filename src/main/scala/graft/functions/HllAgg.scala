@@ -72,19 +72,7 @@ case class HllAgg(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    var zeros = 0
-    var s = BigInt(0)
-    var i = 0
-    while (i < M) {
-      if (buf(i) == 0) zeros += 1
-      s += PowTable(buf(i))
-      i += 1
-    }
-    // identical IEEE op sequence to the DuckDB oracle: one cast, one divide
-    val raw = Numerator / s.toDouble
-    val est =
-      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
-      else raw
+    val (zeros, est) = estimate(buf)
     InternalRow(zeros, est)
   }
 
@@ -182,6 +170,31 @@ object HllAgg {
 
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** String-input register update — the streaming-state entry point
+    * (StreamingOps.runningDistinct holds the same 256-byte array in
+    * flatMapGroupsWithState state). */
+  def updateString(buf: Array[Byte], s: String): Array[Byte] =
+    updateBuffer(buf, UTF8String.fromString(s))
+
+  /** (zeros, estimate) from a register array — the identical IEEE op
+    * sequence to the DuckDB oracle: exact BigInt register sum, one cast,
+    * one divide, the linear-counting branch below 2.5·m. */
+  def estimate(buf: Array[Byte]): (Int, Double) = {
+    var zeros = 0
+    var s = BigInt(0)
+    var i = 0
+    while (i < M) {
+      if (buf(i) == 0) zeros += 1
+      s += PowTable(buf(i))
+      i += 1
+    }
+    val raw = Numerator / s.toDouble
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else raw
+    (zeros, est)
+  }
 
   /** Shared builder (per-session registry AND GraftExtensions). */
   val builder: Seq[Expression] => Expression = exprs => {

@@ -833,6 +833,64 @@ object EventAnalytics {
         .orderBy("event_type")
     },
 
+    // ---- streaming running distinct on the batch path --------------------
+    // StreamingOps.runningDistinct executed as one batch: per event_type,
+    // the flatMapGroupsWithState fold over every user row must equal the
+    // batch graft_hll sketch (register max is order/duplication
+    // independent), so the oracle is the SAME md5 register replay as
+    // ev_hll_users plus the per-type row count the stream bills as
+    // n_seen. StreamingSpec separately pins 3 micro-batches == 1 batch.
+    sql("ev_streaming_distinct",
+      """WITH rows_in AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL
+        |), b AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(u), 1, 2) AS INTEGER) AS bucket,
+        |    ltrim(substr(md5(u), 3, 14), '0') AS t
+        |  FROM rows_in
+        |), regs AS (
+        |  SELECT event_type, bucket, MAX(
+        |    CASE WHEN t = '' THEN 57
+        |         ELSE 4 * (14 - len(t)) +
+        |           CASE WHEN substr(t,1,1) = '1' THEN 4
+        |                WHEN substr(t,1,1) IN ('2','3') THEN 3
+        |                WHEN substr(t,1,1) IN ('4','5','6','7') THEN 2
+        |                ELSE 1 END
+        |    END) AS rho
+        |  FROM b GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type, COUNT(*) AS nb,
+        |    SUM(CAST(1 AS BIGINT) << (57 - rho)) AS sp
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT event_type, CAST(256 - nb AS INTEGER) AS zeros,
+        |    0.7213/(1.0 + 1.079/256.0) * 65536.0 * 144115188075855872.0
+        |      / CAST(sp + (256 - nb) * CAST(144115188075855872 AS HUGEINT)
+        |             AS DOUBLE) AS raw
+        |  FROM agg
+        |)
+        |SELECT e.event_type, n.n_seen, e.zeros,
+        |  printf('%.6e',
+        |    CASE WHEN e.raw <= 640.0 AND e.zeros > 0
+        |         THEN 256.0 * ln(256.0 / e.zeros) ELSE e.raw END) AS est
+        |FROM est e
+        |JOIN (SELECT event_type, COUNT(*) AS n_seen FROM rows_in
+        |      GROUP BY 1) n USING (event_type)
+        |ORDER BY e.event_type""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val pts = ev(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type").as("key"),
+          col("user_id").cast("string").as("value"))
+        .as[StreamingOps.DistinctPoint]
+      StreamingOps.runningDistinct(pts).toDF()
+        .select(col("key").as("event_type"), col("n_seen"), col("zeros"),
+          format_string("%.6e", col("est")).as("est"))
+        .orderBy("event_type")
+    },
+
     // ---- F5: context window around an anchor timestamp -------------------
     sql("ev_context_window",
       """SELECT event_id, event_type, value

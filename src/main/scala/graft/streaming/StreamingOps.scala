@@ -273,6 +273,46 @@ object StreamingOps {
       .select(col(idCol), col("old_id"), col("tbl"), col("cosine"))
   }
 
+  case class DistinctPoint(key: String, value: String)
+  case class HllState(n_seen: Long, regs: Array[Byte])
+  case class RunningDistinct(key: String, n_seen: Long, zeros: Int,
+      est: Double)
+
+  /** Keyed RUNNING approximate-distinct — the streaming carrier of the
+    * HLL sketch (functions.HllAgg): per key, hold the SAME md5-seeded
+    * 256-byte register array across triggers (state = EXACTLY 8 + 256
+    * bytes per key FOREVER — a distinct-count stream that runs
+    * indefinitely), and after each trigger emit the current (zeros,
+    * estimate). Register max is commutative/idempotent and the hash is a
+    * pure function of the value — not of arrival order, trigger
+    * boundaries, or duplication — so the emission after the last trigger
+    * is EXACTLY the batch `graft_hll` over everything seen, which is
+    * what lets a batch execution of this operator be oracle-verified
+    * (`ev_streaming_distinct`) and StreamingSpec pin stream == batch
+    * across micro-batches. */
+  def runningDistinct(points: Dataset[DistinctPoint]): Dataset[RunningDistinct] = {
+    import points.sparkSession.implicits._
+    import graft.functions.HllAgg
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[DistinctPoint],
+            state: GroupState[HllState]) => {
+          val s0 = state.getOption.getOrElse(
+            HllState(0L, new Array[Byte](HllAgg.M)))
+          val regs = s0.regs.clone()
+          var n = s0.n_seen
+          rows.foreach { p =>
+            if (p.value != null) HllAgg.updateString(regs, p.value)
+            n += 1
+          }
+          state.update(HllState(n, regs))
+          val (zeros, est) = HllAgg.estimate(regs)
+          Iterator.single(RunningDistinct(key, n, zeros, est))
+        })
+  }
+
   case class QuantilePoint(key: String, row_key: String, value: Double)
   case class QuantileState(n_seen: Long, sample: Array[Byte])
   case class RunningQuantiles(key: String, n_seen: Long,

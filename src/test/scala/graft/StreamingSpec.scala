@@ -113,6 +113,46 @@ class StreamingSpec extends SparkSpec {
     assert(flagged(0).zscore > 3.0)
   }
 
+  test("running distinct: multi-trigger registers equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // 2 keys, heavy duplication (value space 0..99 per key over 600 rows)
+    val all = (1 to 600).map(i =>
+      StreamingOps.DistinctPoint(s"k${i % 2}", s"user-${i % 100}"))
+    val input = MemoryStream[StreamingOps.DistinctPoint]
+    val q = StreamingOps.runningDistinct(input.toDS())
+      .writeStream.format("memory").queryName("dist_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(all.slice(0, 200)); q.processAllAvailable()
+    input.addData(all.slice(200, 400)); q.processAllAvailable()
+    input.addData(all.slice(400, 600)); q.processAllAvailable()
+    val rows = spark.table("dist_out")
+      .as[StreamingOps.RunningDistinct].collect()
+    q.stop()
+    assert(rows.count(_.key == "k0") === 3, "one emission per key per trigger")
+    val lastByKey = rows.groupBy(_.key).view
+      .mapValues(_.maxBy(_.n_seen)).toMap
+    // n_seen bills ROWS; the sketch sees values — duplication-free
+    assert(lastByKey("k0").n_seen === 300L)
+    // == the batch operator AND the batch aggregate, bit-for-bit
+    val batch = StreamingOps.runningDistinct(all.toDS())
+      .collect().map(r => r.key -> r).toMap
+    graft.functions.HllAgg.register(spark)
+    val agg = all.toDF("key", "value").groupBy("key")
+      .agg(graft.functions.HllAgg.hll(col("value")).as("h"))
+      .select(col("key"), col("h.zeros"), col("h.est"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    lastByKey.foreach { case (key, got) =>
+      assert((got.zeros, got.est) === ((batch(key).zeros, batch(key).est)),
+        s"$key: multi-trigger must equal single-batch")
+      assert((got.zeros, got.est) === agg(key),
+        s"$key: streaming state must equal the batch aggregate")
+      // 50 distinct users per key (i%2 and i%100 interlock): linear
+      // counting regime, estimate within the envelope
+      assert(math.abs(got.est - 50.0) / 50.0 < 0.25, s"$key est ${got.est}")
+    }
+  }
+
   test("running sampled quantiles: multi-trigger state equals the batch sample") {
     implicit val sqlCtx = spark.sqlContext
     val k = 32
