@@ -158,6 +158,42 @@ object Sampling {
           .otherwise(0))
   }
 
+  /** Sampled heavy hitters: estimate the most frequent values of `keyCol`
+    * from a deterministic bottom-k occurrence sample instead of an exact
+    * global groupBy. The exact form (doc_top_ngrams' groupBy + top-k)
+    * shuffles EVERY DISTINCT KEY — at 100 TB an n-gram key space is
+    * billions of rows of shuffle no matter how good the partial
+    * aggregation; this estimator moves exactly k sampled occurrences
+    * (TakeOrderedAndProject on md5(occurrence id), the PctSampleAgg
+    * sampling rule applied corpus-wide) and counts within the sample.
+    * est_count = cnt·N div k is the standard scale-up (exact integer
+    * arithmetic); by DKW, sample FRACTIONS are within √(ln(2/δ)/2k) of
+    * truth with prob 1−δ — at k = 4096 that is ±2.1 % of N at δ = 1e-3,
+    * tight enough to rank heavy hitters, whose separation is the point.
+    *
+    * `occKeyCol` must uniquely identify an OCCURRENCE (not a value), so
+    * the sample is uniform over rows; the caller supplies it because only
+    * the caller knows the row identity (e.g. doc_id:position).
+    * Returns the sample's top `topN` values: (keyCol, sample_cnt,
+    * est_count), ties broken by value — fully replayable in SQL via
+    * ROW_NUMBER OVER (ORDER BY md5(occ), occ) <= k. */
+  def heavyHittersSampled(df: DataFrame, keyCol: String, occKeyCol: String,
+      k: Int = 4096, topN: Int = 20): DataFrame = {
+    val total = df.agg(count(lit(1)).cast("long").as("__n"))
+    val sample = df
+      .select(col(keyCol), col(occKeyCol).as("__occ"))
+      .withColumn("__h", md5(col("__occ")))
+      .orderBy(col("__h"), col("__occ"))
+      .limit(k)
+    sample.groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("sample_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("sample_cnt"),
+        expr(s"sample_cnt * __n div $k").as("est_count"))
+      .orderBy(col("sample_cnt").desc, col(keyCol))
+      .limit(topN)
+  }
+
   /** Temperature-tempered mixture weights: turns raw per-stratum token
     * counts into the sampling recipe itself — w_s ∝ n_s^α renormalized,
     * the standard move (mBERT/XLM-style exponentiated smoothing) to keep

@@ -307,7 +307,13 @@ object VectorSearch {
     * is Σ|cluster|², never N². `k = 0` selects the 100 TB mode: cells ≈
     * √N (autoCells) with Lloyd over a bounded md5 sample (trainCap), so
     * per-cluster size — and with it per-cluster pair volume — grows as
-    * √N instead of N. Threshold decisions are replayable cross-engine:
+    * √N instead of N. An exact-duplicate pre-collapse (below) keeps mass
+    * BIT-IDENTICAL duplication out of the pair join; mass NEAR-identical
+    * duplication (distinct bytes, cosine ≈ 1) still concentrates in one
+    * cell and pays Σ|reps|² there — that cost is inherent to the paper's
+    * exact-within-cell semantics, so route corpora with that shape
+    * through [[nearDupPairs]]/MinHash dedup first and SemDeDup the
+    * survivors. Threshold decisions are replayable cross-engine:
     * dots are sequential-order float sums (graft_dot == list_dot_product
     * bit-for-bit) and the cosine composes them in one fixed
     * divide-of-products. Returns (vec_id-named idCol, cid, keep 1/0). */

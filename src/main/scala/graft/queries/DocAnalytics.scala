@@ -960,6 +960,43 @@ object DocAnalytics {
           row_number().over(Window.orderBy(col("cnt").desc, col("gram"))))
     },
 
+    // ---- sampled heavy hitters: bounded-state top n-grams -----------------
+    // The 100 TB twin of doc_top_ngrams: the exact form's groupBy
+    // shuffles every distinct gram (billions of keys at corpus scale);
+    // this estimator moves exactly k = 4096 occurrences — a deterministic
+    // bottom-k-by-md5(doc:pos) sample (TakeOrderedAndProject, the
+    // PctSampleAgg rule corpus-wide) — and counts within the sample.
+    // est_count = cnt·N div k in exact integer arithmetic; DKW bounds
+    // sample fractions within ±2.1 % of N at k = 4096 (δ = 1e-3), tight
+    // enough to rank heavy hitters. Fully replayable: the sample IS
+    // ROW_NUMBER OVER (ORDER BY md5(occ), occ) <= k.
+    sql("doc_heavy_hitters_sampled",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT doc_id::VARCHAR || ':' || i::VARCHAR AS occ,
+        |    array_to_string(w[i:i+2], ' ') AS gram
+        |  FROM w, unnest(range(1, greatest(len(w)-1, 2))) AS t(i)
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM occ),
+        |samp AS (
+        |  SELECT gram FROM occ ORDER BY md5(occ), occ LIMIT 4096
+        |)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS sample_cnt,
+        |  CAST(COUNT(*) AS BIGINT) * nn // 4096 AS est_count
+        |FROM samp, n
+        |GROUP BY gram, nn
+        |ORDER BY sample_cnt DESC, gram
+        |LIMIT 20""") { (s, dir) =>
+      val occ = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
+        )).as(Seq("p", "gram")))
+        .select(concat(col("doc_id").cast("string"), lit(":"),
+          (col("p") + 1).cast("string")).as("occ"), col("gram"))
+      graft.ops.Sampling.heavyHittersSampled(occ, "gram", "occ",
+        k = 4096, topN = 20)
+    },
+
     // ---- duplicate-passage detection (Lee et al. 2022 substring dedup) ---
     // Window-level duplication: every 20-token window hashed; a hash
     // seen >1 time anywhere marks its window duplicated; per doc, the

@@ -54,7 +54,10 @@ class PlanGuardSpec extends SparkSpec {
     "doc_mix_weights" -> "broadcast side is the 1-row weight-sum aggregate",
     // HLL set ops: the type_a < type_b pair frame over the ≤ #event_types
     // per-type sketch aggregate (both sides are groupBy(event_type) rows)
-    "ev_hll_overlap" -> "both sides are per-type sketch aggregates (≤ #event_types rows)"
+    "ev_hll_overlap" -> "both sides are per-type sketch aggregates (≤ #event_types rows)",
+    // sampled heavy hitters: the 1-row corpus-total crossJoined onto the
+    // ≤ k-row sample counts
+    "doc_heavy_hitters_sampled" -> "broadcast side is the 1-row occurrence-total aggregate"
   )
 
   // The RCA loop queries execute their bounded driver-side orchestration

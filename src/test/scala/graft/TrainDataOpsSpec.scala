@@ -86,6 +86,33 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(tinyBudget > 10000L * 6 / 1006 * 5, "tempering must lift the tail")
   }
 
+  test("heavyHittersSampled matches a naive bottom-k model; hot keys surface") {
+    import graft.ops.Sampling
+    // planted skew: "hot" is 50% of 20k occurrences, "warm" 25%, the
+    // rest spread over 1000 cold keys
+    val occs = (0 until 20000).map { i =>
+      val key = if (i % 2 == 0) "hot" else if (i % 4 == 1) "warm"
+        else s"cold-${i % 1000}"
+      (key, s"occ-$i")
+    }
+    val got = Sampling.heavyHittersSampled(
+        occs.toDF("gram", "occ"), "gram", "occ", k = 1024, topN = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = occs.map { case (g, o) => (g, o, md5hex(o)) }
+      .sortBy(t => (t._3, t._2)).take(1024)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(5)
+      .map { case (g, c) => (g, c, c * 20000L / 1024L) }
+    assert(got.toSeq === want, "estimator must equal the naive bottom-k model")
+    // the planted heavy hitters rank first and their estimates track truth
+    assert(got(0)._1 === "hot" && got(1)._1 === "warm")
+    assert(math.abs(got(0)._3 - 10000L) < 1500, s"hot est ${got(0)._3}")
+    assert(math.abs(got(1)._3 - 5000L) < 1500, s"warm est ${got(1)._3}")
+  }
+
   test("shuffleShards matches a naive md5 permutation; shards are balanced") {
     import graft.ops.Sampling
     val df = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
