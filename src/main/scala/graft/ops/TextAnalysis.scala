@@ -290,6 +290,76 @@ object TextAnalysis {
           (col("n_tokens_u").cast("double") * 1e6), 6).as("avg_nll_bits"))
   }
 
+  /** Bigram-LM quality scoring — one order up from [[unigramNll]] (the
+    * honest in-engine approximation of CCNet's KenLM filter): every doc
+    * scored by average -log2 p(w_i | w_{i-1}) under an add-one-smoothed
+    * bigram model fit on the corpus itself, over a (vocabSize + <unk>)
+    * symbol alphabet. A high bigram NLL with a normal unigram NLL is the
+    * signature of shuffled/templated text — plausible words in
+    * implausible order — which the unigram filter cannot see.
+    *
+    * Model state is BOUNDED by construction: the conditional table keeps
+    * only the top `bigramTop` bigrams (ties by pair); everything else
+    * backs off to the smoothed floor 1/(c(prev) + V + 1), which depends
+    * only on prev — so the broadcast model is bigramTop + (V+1) rows no
+    * matter the corpus. Exactness is the [[unigramNll]] discipline: one
+    * log per MODEL ROW from exact integer counts, fixed-pointed to
+    * micro-units; per-doc sums are exact BIGINT. Pairs come from an
+    * equi-self-join on (doc, pos) — no window over the corpus.
+    *
+    * Returns (idCol, n_bigrams, n_backoff, backoff_rate, nll_micro_sum,
+    * avg_nll_bits) — null avg for docs with < 2 tokens. */
+  def bigramNll(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", vocabSize: Int = 1000,
+      bigramTop: Int = 5000): DataFrame = {
+    val alpha = vocabSize + 1 // symbol alphabet: top-V + <unk>
+    val toks = df.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => w =!= ""))
+        .as(Seq("__pos", "__w")))
+    val counts = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val vocab = counts.orderBy(col("__c").desc, col("__w"))
+      .limit(vocabSize).select(col("__w"), lit(1).as("__v"))
+    val sym = toks.join(broadcast(vocab), Seq("__w"), "left")
+      .select(col(idCol), col("__pos"),
+        when(col("__v").isNull, lit("<unk>")).otherwise(col("__w")).as("__s"))
+    val a = sym.select(col(idCol), col("__pos"), col("__s").as("__p"))
+    val b = sym.select(col(idCol), (col("__pos") - 1).as("__pos"),
+      col("__s").as("__t"))
+    val pairs = a.join(b, Seq(idCol, "__pos"))
+      .select(col(idCol), col("__p"), col("__t"))
+    val bc = pairs.groupBy("__p", "__t").agg(count(lit(1)).as("__c"))
+    val ctx = bc.groupBy("__p").agg(sum(col("__c")).cast("long").as("__cc"))
+    val top = bc.orderBy(col("__c").desc, col("__p"), col("__t"))
+      .limit(bigramTop)
+      .join(broadcast(ctx), Seq("__p"))
+      .select(col("__p"), col("__t"),
+        round(-log2((col("__c") + 1).cast("double") /
+          (col("__cc") + alpha).cast("double")) * 1e6).cast("long")
+          .as("__m"))
+    val floorNll = ctx.select(col("__p"),
+      round(-log2(lit(1.0) / (col("__cc") + alpha).cast("double")) * 1e6)
+        .cast("long").as("__f"))
+    val perDoc = pairs
+      .join(broadcast(top), Seq("__p", "__t"), "left")
+      .join(broadcast(floorNll), Seq("__p"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("__m").isNull, 1)).as("n_backoff"),
+        sum(coalesce(col("__m"), col("__f"))).cast("long")
+          .as("nll_micro_sum"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        when(col("n_bigrams") > 0,
+          round(col("n_backoff").cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("backoff_rate"),
+        coalesce(col("nll_micro_sum"), lit(0L)).as("nll_micro_sum"),
+        when(col("n_bigrams") > 0,
+          round(col("nll_micro_sum").cast("double") /
+            (col("n_bigrams").cast("double") * 1e6), 6)).as("avg_nll_bits"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each document scored by
     * how much more likely its hashed-unigram features are under a TARGET

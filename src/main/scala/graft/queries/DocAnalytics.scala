@@ -1059,6 +1059,70 @@ object DocAnalytics {
       graft.ops.TextAnalysis.unigramNll(docs(s, dir)).orderBy("doc_id")
     },
 
+    // ---- bigram-LM quality (the order-2 member of the LM-gate family) ----
+    // avg -log2 p(w_i | w_{i-1}) under an add-one-smoothed bigram model
+    // over the (top-1000 + <unk>) symbol alphabet. High bigram NLL with
+    // normal unigram NLL = plausible words in implausible order — the
+    // shuffled/templated-text signature the unigram gate cannot see.
+    // Model state is bounded: top-5000 conditional rows + a per-context
+    // backoff floor (V+1 rows); per-doc sums are exact BIGINT of
+    // fixed-point model rows (the doc_unigram_nll discipline). Every doc
+    // appears (left join), zero-bigram docs with null rates.
+    sql("doc_bigram_nll",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM w, unnest(range(1, len(w) + 1)) AS t(i)
+        |), cnts AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT word FROM cnts ORDER BY c DESC, word LIMIT 1000),
+        |sym AS (
+        |  SELECT t.doc_id, t.pos,
+        |    CASE WHEN v.word IS NULL THEN '<unk>' ELSE t.word END AS s
+        |  FROM tok t LEFT JOIN vocab v USING (word)
+        |), pairs AS (
+        |  SELECT a.doc_id, a.s AS p, b.s AS t
+        |  FROM sym a JOIN sym b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), bc AS (SELECT p, t, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+        |top AS (SELECT p, t, c FROM bc ORDER BY c DESC, p, t LIMIT 5000),
+        |model AS (
+        |  SELECT tp.p, tp.t,
+        |    CAST(ROUND(-log2(CAST(tp.c + 1 AS DOUBLE)
+        |      / CAST(x.cc + 1001 AS DOUBLE)) * 1e6) AS BIGINT) AS m
+        |  FROM top tp JOIN ctx x USING (p)
+        |), fl AS (
+        |  SELECT p, CAST(ROUND(-log2(1.0 / CAST(cc + 1001 AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS f
+        |  FROM ctx
+        |), sc AS (
+        |  SELECT pr.doc_id, COALESCE(m.m, fl.f) AS m,
+        |    CASE WHEN m.m IS NULL THEN 1 ELSE 0 END AS backoff
+        |  FROM pairs pr
+        |  LEFT JOIN model m ON m.p = pr.p AND m.t = pr.t
+        |  JOIN fl ON fl.p = pr.p
+        |), pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+        |    CAST(SUM(m) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.n_backoff, 0) AS n_backoff,
+        |  CASE WHEN pd.n_bigrams > 0
+        |       THEN ROUND(CAST(pd.n_backoff AS DOUBLE)
+        |         / CAST(pd.n_bigrams AS DOUBLE), 6) END AS backoff_rate,
+        |  COALESCE(pd.nll_micro_sum, 0) AS nll_micro_sum,
+        |  CASE WHEN pd.n_bigrams > 0
+        |       THEN ROUND(CAST(pd.nll_micro_sum AS DOUBLE)
+        |         / (CAST(pd.n_bigrams AS DOUBLE) * 1e6), 6) END AS avg_nll_bits
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      graft.ops.TextAnalysis.bigramNll(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ---- temperature-tempered mixture weights ----------------------------
     // The data-recipe builder: per-source token counts → sqrt-tempered
     // sampling weights (w ∝ n^(1/2), the exponentiated-smoothing move

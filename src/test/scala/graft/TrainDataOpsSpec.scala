@@ -173,6 +173,60 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(got.getDouble(3) > 0.999, "r2 should be ~ 1 on a planted curve")
   }
 
+  test("bigramNll matches a naive driver-side bigram model; word order matters") {
+    import graft.ops.TextAnalysis
+    val docsSeq = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the"), // same words, shuffled order
+      (4L, "one"),                    // no bigrams
+      (5L, ""))                       // no tokens
+    val got = TextAnalysis.bigramNll(docsSeq.toDF("doc_id", "text"),
+        vocabSize = 4, bigramTop = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getLong(4), Option(r.get(5))))
+    // naive model, same recipe: top-4 vocab, top-3 bigram rows, alpha = 5
+    val toks = docsSeq.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (id, w)) }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(4).map(_._1).toSet
+    def s(w: String) = if (vocab(w)) w else "<unk>"
+    val pairs = docsSeq.flatMap { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty).map(s)
+      ws.sliding(2).filter(_.length == 2).map(a => (id, a(0), a(1)))
+    }
+    val bc = pairs.groupBy(p => (p._2, p._3)).view.mapValues(_.size).toMap
+    val ctx = pairs.groupBy(_._2).view.mapValues(_.size).toMap
+    val topB = bc.toSeq.sortBy { case ((p, t), c) => (-c, p, t) }.take(3).toMap
+    def mic(v: Double) = BigDecimal(v)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def nll(p: String, t: String): (Long, Boolean) = topB.get((p, t)) match {
+      case Some(c) =>
+        (mic(-math.log((c + 1.0) / (ctx(p) + 5.0)) / math.log(2.0) * 1e6), false)
+      case None =>
+        (mic(-math.log(1.0 / (ctx(p) + 5.0)) / math.log(2.0) * 1e6), true)
+    }
+    val want = docsSeq.map { case (id, _) =>
+      val ps = pairs.filter(_._1 == id).map(p => nll(p._2, p._3))
+      val (n, nb, sum) = (ps.size.toLong, ps.count(_._2).toLong, ps.map(_._1).sum)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, n, nb,
+        if (n > 0) Some(r6(nb.toDouble / n)) else None,
+        sum,
+        if (n > 0) Some(r6(sum.toDouble / (n * 1e6))) else None)
+    }
+    assert(got.toSeq === want, s"bigramNll must equal the naive model\n$got")
+    // the shuffled doc pays more than the natural ones: its bigrams are
+    // unseen-order, so they back off to the floor
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(3L)._6.get.asInstanceOf[Double] >
+      byId(1L)._6.get.asInstanceOf[Double],
+      "shuffled word order must score worse than natural order")
+    assert(byId(4L)._2 === 0L && byId(4L)._4.isEmpty)
+  }
+
   test("dsirWeights matches a naive driver-side log-ratio model") {
     import graft.ops.TextAnalysis
     val docsSeq = Seq(
