@@ -153,6 +153,70 @@ object Multimodal {
       n_frames: Long,
       duration_ms: Long)
 
+  case class DecimatedWav(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames_in: Long,
+      n_frames_kept: Long,
+      pcm_checksum: Long)      // Σ (k·ch + c + 1) · sample(k·everyN, c)
+
+  /** ==== REAL ==== audio decimation (the audio frame-sample): decode the
+    * full PCM stream through the JDK codec, keep every `everyN`-th frame
+    * — pure integer frame indexing, no resampling filter whose
+    * coefficients would be implementation-defined — and return a
+    * position-weighted checksum over the kept 16-bit samples, so an
+    * oracle that re-derives it closed-form from planted sample
+    * arithmetic proves the decode ran AND exactly the right frames were
+    * kept (an off-by-one stride or channel swap cannot match). Only
+    * 16-bit little-endian signed PCM is checksummed (the syntheticWav
+    * contract); other formats drop. */
+  def decimateWavMeta(r: MediaRecord, everyN: Int): Option[DecimatedWav] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = ais.getFormat
+        val ok = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getFrameSize == 2 * fmt.getChannels
+        if (!ok) None
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = ais.read(buf) }
+          val pcm = out.toByteArray
+          val ch = fmt.getChannels
+          val frameSize = 2 * ch
+          val framesIn = pcm.length / frameSize
+          var sum = 0L
+          var kept = 0L
+          var f = 0
+          while (f < framesIn) {
+            var c = 0
+            while (c < ch) {
+              val o = f * frameSize + 2 * c
+              val s = ((pcm(o) & 0xff) | (pcm(o + 1) << 8)).toShort
+              sum += (kept * ch + c + 1) * s.toLong
+              c += 1
+            }
+            kept += 1
+            f += everyN
+          }
+          Some(DecimatedWav(r.media_id, fmt.getSampleRate.toInt, ch,
+            framesIn, kept, sum))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Decimation pass over a media column (partition-local decode; see
+    * [[decimateWavMeta]]); non-PCM payloads drop. */
+  def decimateWav(ds: Dataset[MediaRecord], everyN: Int): Dataset[DecimatedWav] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(decimateWavMeta(_, everyN)))
+  }
+
   /** Audio-real decode pass: WAV payloads decode for real; anything the
     * audio system rejects is dropped (callers that need a total function
     * use decodeReal, which falls back to the stub). */

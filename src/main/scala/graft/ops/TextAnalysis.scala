@@ -325,8 +325,14 @@ object TextAnalysis {
     val a = sym.select(col(idCol), col("__pos"), col("__s").as("__p"))
     val b = sym.select(col(idCol), (col("__pos") - 1).as("__pos"),
       col("__s").as("__t"))
+    // pairs feeds BOTH the model build (bc → ctx/top) and the scoring
+    // pass — cached (narrow: id, prev, next) so the self-join subtree
+    // (two corpus scans + vocab probe per side) runs once, not once per
+    // consumer. Cache ownership follows the CleanPipeline convention:
+    // the caller (Verify/Bench clear all caches) unpersists when done.
     val pairs = a.join(b, Seq(idCol, "__pos"))
       .select(col(idCol), col("__p"), col("__t"))
+      .cache()
     val bc = pairs.groupBy("__p", "__t").agg(count(lit(1)).as("__c"))
     val ctx = bc.groupBy("__p").agg(sum(col("__c")).cast("long").as("__cc"))
     val top = bc.orderBy(col("__c").desc, col("__p"), col("__t"))

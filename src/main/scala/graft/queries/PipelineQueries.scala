@@ -821,6 +821,47 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal REAL audio decimation (the audio frame-sample) -------
+    // Every 4th frame kept by pure integer frame indexing (no resampling
+    // filter — coefficients would be implementation-defined), with a
+    // position-weighted checksum over the kept 16-bit samples. The
+    // fixture WAVs plant sample(idx) = (idx·257 + seed·131) mod 65536 −
+    // 32768, so the checksum is closed-form — a hash match proves the
+    // full PCM decode ran AND exactly the right frames/channels were
+    // kept (an off-by-one stride or channel swap cannot match).
+    sql("mm_wav_decimate",
+      """WITH p AS (
+        |  SELECT i, 1 + i % 2 AS ch, 1000 + i * 37 AS nf,
+        |    ([8000,11025,16000,22050,44100])[CAST(i % 5 + 1 AS INTEGER)] AS rate
+        |  FROM (SELECT unnest(range(20)) AS i)
+        |), cs AS (
+        |  SELECT i, CAST(SUM((kk * ch + c + 1) *
+        |      (((4 * kk * ch + c) * 257 + i * 131) % 65536 - 32768))
+        |    AS BIGINT) AS s
+        |  FROM p,
+        |    unnest(range((nf + 3) // 4)) AS tk(kk),
+        |    unnest(range(ch)) AS tc(c)
+        |  GROUP BY i
+        |)
+        |SELECT p.i AS media_id, CAST(p.rate AS INTEGER) AS sample_rate,
+        |  CAST(p.ch AS INTEGER) AS channels,
+        |  CAST(p.nf AS BIGINT) AS n_frames_in,
+        |  CAST((p.nf + 3) // 4 AS BIGINT) AS n_frames_kept,
+        |  cs.s AS pcm_checksum
+        |FROM p JOIN cs ON cs.i = p.i
+        |ORDER BY media_id""") { (s, _) =>
+      import s.implicits._
+      val rates = Seq(8000, 11025, 16000, 22050, 44100)
+      val recs = (0 until 20).map { i =>
+        Multimodal.MediaRecord(i.toLong, "audio",
+          Multimodal.syntheticWav(rates(i % 5), 1 + i % 2, 1000 + i * 37,
+            i.toLong), "synthetic")
+      }
+      Multimodal.decimateWav(s.createDataset(recs).repartition(4), everyN = 4)
+        .toDF()
+        .orderBy("media_id")
+    },
+
     // ---- multimodal REAL motion decode (multi-frame GIF), full oracle ----
     // The one motion format with an in-JDK codec: animated GIF via
     // javax.imageio's sequence reader. Fixtures are synthetic multi-frame

@@ -405,6 +405,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(real(1) === Multimodal.decodeStub(junk))
   }
 
+  test("multimodal: audio decimation keeps exactly every Nth frame's samples") {
+    import spark.implicits._
+    val recs = (0 until 4).map { i =>
+      Multimodal.MediaRecord(i.toLong, "audio",
+        Multimodal.syntheticWav(8000, 1 + i % 2, 50 + i * 7, i.toLong),
+        "synthetic")
+    } :+ Multimodal.MediaRecord(99L, "audio",
+      "not a wav".getBytes("UTF-8"), "synthetic")
+    val got = Multimodal.decimateWav(
+        spark.createDataset(recs).repartition(2), everyN = 3)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(!got.contains(99L), "non-PCM payloads must drop")
+    (0 until 4).foreach { i =>
+      val (ch, nf) = (1 + i % 2, 50 + i * 7)
+      var (sum, kept, f) = (0L, 0L, 0)
+      while (f < nf) {
+        for (c <- 0 until ch) {
+          val s = ((f * ch + c) * 257L + i * 131L) % 65536L - 32768L
+          sum += (kept * ch + c + 1) * s
+        }
+        kept += 1; f += 3
+      }
+      val r = got(i.toLong)
+      assert((r.channels, r.n_frames_in, r.n_frames_kept) ===
+        ((ch, nf.toLong, kept)), s"shape for $i")
+      assert(r.pcm_checksum === sum, s"checksum for $i")
+    }
+  }
+
   test("multimodal: real multi-frame GIF decode counts true frames; non-GIFs drop") {
     // round-trip through the JDK's GIF sequence codec: write animated
     // GIFs with known frame counts/dims, decode every frame distributed,
