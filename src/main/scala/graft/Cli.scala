@@ -131,11 +131,13 @@ object Cli {
       |                             runs) of the text column; writes
       |                             doc_redacted (scrubbed text + per-pattern
       |                             counts) and prints per-source PII density
-      |  score <docs.parquet> [--vocab V]
-      |                             unigram-LM quality scores (avg -log2 p
-      |                             per token, corpus-fit top-V model,
-      |                             default V=1000); writes doc_lm_scores and
-      |                             prints the per-source NLL distribution
+      |  score <docs.parquet> [--vocab V] [--bigram]
+      |                             LM quality scores (avg -log2 p per
+      |                             token, corpus-fit top-V model, default
+      |                             V=1000); writes doc_lm_scores and
+      |                             prints the per-source NLL distribution.
+      |                             --bigram scores order-2 conditionals
+      |                             instead (writes doc_lm_scores2)
       |  shard <docs.parquet> [--shards N]
       |                             deterministic md5-shuffle shard
       |                             addressing (default 8 shards); writes
@@ -462,19 +464,34 @@ object Cli {
     * degenerate text or the wrong language). */
   private def score(ctx: Ctx, args: Seq[String]): Unit = {
     val vocab = opt(args, "--vocab").map(_.toInt).getOrElse(1000)
-    val path = positionals(args, Set("--vocab")).headOption
+    val bigram = args.contains("--bigram")
+    val path = positionals(args, Set("--vocab"),
+      boolFlags = Set("--bigram")).headOption
       .getOrElse(sys.error("score requires a documents parquet path"))
     val docs = ctx.spark.read.parquet(path)
-    val scored = graft.ops.TextAnalysis.unigramNll(docs, vocabSize = vocab)
-    ctx.write(scored, "doc_lm_scores")
-    println("wrote doc_lm_scores")
-    ctx.read("doc_lm_scores")
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg("avg_nll_bits"), 3).as("mean_nll_bits"),
-        round(avg("oov_rate"), 4).as("mean_oov_rate"))
-      .orderBy("source").show()
+    if (bigram) {
+      val scored = graft.ops.TextAnalysis.bigramNll(docs, vocabSize = vocab)
+      ctx.write(scored, "doc_lm_scores2")
+      println("wrote doc_lm_scores2")
+      ctx.read("doc_lm_scores2")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("avg_nll_bits"), 3).as("mean_nll2_bits"),
+          round(avg("backoff_rate"), 4).as("mean_backoff_rate"))
+        .orderBy("source").show()
+    } else {
+      val scored = graft.ops.TextAnalysis.unigramNll(docs, vocabSize = vocab)
+      ctx.write(scored, "doc_lm_scores")
+      println("wrote doc_lm_scores")
+      ctx.read("doc_lm_scores")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("avg_nll_bits"), 3).as("mean_nll_bits"),
+          round(avg("oov_rate"), 4).as("mean_oov_rate"))
+        .orderBy("source").show()
+    }
   }
 
   /** PII-style scrub of the corpus text: replaces the original text with

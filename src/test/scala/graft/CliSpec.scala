@@ -197,6 +197,12 @@ class CliSpec extends SparkSpec {
       rows(graft.queries.Registry.byName("doc_unigram_nll")
         .run(spark, sf(""))))
 
+    // score --bigram — the order-2 scores must equal doc_bigram_nll
+    assert(run("--db", store, "score", docsPath, "--bigram") === 0)
+    assert(rows(spark.read.parquet(s"$store/doc_lm_scores2")) ===
+      rows(graft.queries.Registry.byName("doc_bigram_nll")
+        .run(spark, sf(""))))
+
     // shard — the partitioned-by-shard layout must carry exactly the
     // registered doc_shuffle_shards addressing, and each shard's file
     // must hold its rows in permutation (pos) order
