@@ -26,18 +26,41 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n => exec(n); reset() } // warm-up
-    def timedPass(): Map[String, Double] = names.map { name =>
+    // Machine-load calibration: a FIXED synthetic workload (registry- and
+    // data-independent, codegen'd, all cores) timed alongside the
+    // queries. Its wall time moves with background load exactly like the
+    // query times do, so the round-over-round regression gate compares
+    // ratios AGAINST the calibration ratio instead of against wall-clock
+    // absolutes — a loaded rerun of an unchanged binary stops flagging
+    // the whole registry, while a genuine per-query regression still
+    // stands out over the machine-wide drift.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: full-range hash longs overflow an ANSI sum
+      spark.range(0L, 200000000L, 1L, 32)
+        .select(bit_xor(xxhash64(col("id")))).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm-up
+    def timedPass(): (Map[String, Double], Double) = (names.map { name =>
       val t0 = System.nanoTime()
       exec(name)
       val dt = (System.nanoTime() - t0) / 1e9
       reset()
       name -> dt
-    }.toMap
+    }.toMap, calibrate())
     // several timed passes, report the per-query minimum — local-mode wall
     // times on shared hardware are noisy and min is the robust statistic
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val all = (1 to math.max(passes, 1)).map(_ => timedPass())
-    val results = names.map(n => n -> all.map(_(n)).min)
+    val results = names.map(n => n -> all.map(_._1(n)).min)
+    val calib = all.map(_._2).min
+    val loadavg = {
+      val la = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      f"$la%.2f"
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -62,27 +85,41 @@ object Bench {
       """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
+    val prevCalib: Option[Double] = prevText.flatMap { prev =>
+      """"calib":([0-9.eE+-]+)""".r
+        .findFirstMatchIn(prev).map(_.group(1).toDouble)
+    }
     val ratios = results.flatMap { case (n, v) =>
       prevQueries.get(n).filter(_ > 0).map(p => n -> v / p) }
+    // machine-drift-adjusted flag threshold: a query only flags when it
+    // regressed 1.5× OVER AND ABOVE what the calibration workload says
+    // the whole machine drifted (floored at 1 so a faster machine can't
+    // mask a real regression)
+    val calibRatio = prevCalib.filter(_ > 0).map(calib / _).getOrElse(1.0)
+    val flagThreshold = 1.5 * math.max(1.0, calibRatio)
     val ratiosJson =
       if (ratios.isEmpty) ""
       else {
         val r = ratios.map { case (n, x) =>
           "\"" + n + "\":" + f"$x%.3f" }.mkString("{", ",", "}")
-        // >1.5× entries are the ones a round reviewer must attribute; new
-        // queries (no prior entry) are listed separately so a rename can't
-        // silently hide a regression
-        val flagged = ratios.filter(_._2 > 1.5).sortBy(-_._2)
+        // flagged entries are the ones a round reviewer must attribute;
+        // new queries (no prior entry) are listed separately so a rename
+        // can't silently hide a regression
+        val flagged = ratios.filter(_._2 > flagThreshold).sortBy(-_._2)
           .map { case (n, x) => "\"" + n + "\"" }.mkString("[", ",", "]")
         val newQ = results.map(_._1).filterNot(prevQueries.contains)
           .map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","vs_prev":$r,"flagged_over_1_5x":$flagged,"new_queries":$newQ"""
+        s""","vs_prev":$r,"calib_ratio":${f"$calibRatio%.3f"},""" +
+          s""""flag_threshold":${f"$flagThreshold%.3f"},""" +
+          s""""flagged_over_threshold":$flagged,"new_queries":$newQ"""
       }
     val prevJson = prevTotal.map { p =>
       s""","prev_total":$p,"ratio_vs_prev":${total / p}"""
     }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"$prevJson$ratiosJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+        s""""calib":${f"$calib%.3f"},"loadavg":$loadavg,""" +
+        s""""queries":$qs,"sf":"$sfDir"$prevJson$ratiosJson}"""
     println(json)
     // also persist the full line: the driver's stdout tail-capture has
     // truncated the head of the per-query map in past rounds — the file

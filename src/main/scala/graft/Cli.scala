@@ -472,6 +472,11 @@ object Cli {
     if (bigram) {
       val scored = graft.ops.TextAnalysis.bigramNll(docs, vocabSize = vocab)
       ctx.write(scored, "doc_lm_scores2")
+      // bigramNll cached its exploded pair frame (caller-owned, per its
+      // contract) — release it now that the scores are materialized,
+      // mirroring the clean subcommand's train.unpersist(); the summary
+      // below re-reads the written table, not the cache
+      ctx.spark.catalog.clearCache()
       println("wrote doc_lm_scores2")
       ctx.read("doc_lm_scores2")
         .join(docs.select("doc_id", "source"), "doc_id")

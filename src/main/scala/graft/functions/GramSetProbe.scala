@@ -61,20 +61,34 @@ case class AnyGramInSet(child: Expression, packed: Array[Long])
 
 object AnyGramInSet {
 
-  /** Parse a 32-char md5 hex into (hi, lo) longs. Returns false on any
-    * non-hex/odd-length input via NumberFormatException → caller treats
-    * as "not in set" (the set holds only well-formed digests). */
-  private def hexLong(s: UTF8String, from: Int): Long = {
+  /** All 32 bytes hex digits? A malformed gram (right length, non-hex
+    * chars) can never be a member — the set holds only well-formed
+    * digests — so the probe skips its binary search entirely rather
+    * than parsing it into an in-band sentinel that could collide with
+    * a real all-FF digest half. */
+  private def isHex32(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 32) {
+      val c = bytes(i)
+      val ok = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Parse 16 validated hex chars into a long (callers check
+    * [[isHex32]] first). */
+  private def hexLong(bytes: Array[Byte], from: Int): Long = {
     var h = 0L
     var i = from
-    val bytes = s.getBytes
     while (i < from + 16) {
       val c = bytes(i)
       val d =
         if (c >= '0' && c <= '9') c - '0'
         else if (c >= 'a' && c <= 'f') c - 'a' + 10
-        else if (c >= 'A' && c <= 'F') c - 'A' + 10
-        else return -1L // flagged by caller via length check instead
+        else c - 'A' + 10
       h = (h << 4) | d
       i += 1
     }
@@ -89,9 +103,10 @@ object AnyGramInSet {
     val len = grams.numElements()
     while (gi < len) {
       val g = grams.getUTF8String(gi)
-      if (g != null && g.numBytes() == 32) {
-        val hi = hexLong(g, 0)
-        val lo = hexLong(g, 16)
+      val bytes = if (g != null && g.numBytes() == 32) g.getBytes else null
+      if (bytes != null && isHex32(bytes)) {
+        val hi = hexLong(bytes, 0)
+        val lo = hexLong(bytes, 16)
         // unsigned binary search over (hi, lo) pairs
         var a = 0
         var b = n - 1

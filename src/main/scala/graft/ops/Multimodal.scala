@@ -171,7 +171,10 @@ object Multimodal {
     * kept (an off-by-one stride or channel swap cannot match). Only
     * 16-bit little-endian signed PCM is checksummed (the syntheticWav
     * contract); other formats drop. */
-  def decimateWavMeta(r: MediaRecord, everyN: Int): Option[DecimatedWav] =
+  def decimateWavMeta(r: MediaRecord, everyN: Int): Option[DecimatedWav] = {
+    // everyN <= 0 would spin the frame loop forever (f += everyN) —
+    // and an infinite loop is not catchable by the payload-error guard
+    require(everyN >= 1, s"decimateWav stride must be >= 1, got $everyN")
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.payload))
@@ -209,10 +212,12 @@ object Multimodal {
         }
       } finally ais.close()
     } catch { case _: Exception => None }
+  }
 
   /** Decimation pass over a media column (partition-local decode; see
     * [[decimateWavMeta]]); non-PCM payloads drop. */
   def decimateWav(ds: Dataset[MediaRecord], everyN: Int): Dataset[DecimatedWav] = {
+    require(everyN >= 1, s"decimateWav stride must be >= 1, got $everyN")
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap(decimateWavMeta(_, everyN)))
   }
@@ -423,6 +428,141 @@ object Multimodal {
     } finally {
       writer.dispose()
       out.close()
+    }
+    baos.toByteArray
+  }
+
+  case class MjpegFrame(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      checksum: Long)          // Σ (rowMajorPos+1) · band-0 sample
+
+  /** ==== REAL ==== MJPEG frame decode — the first true VIDEO-FRAME
+    * path with no native codec: an MJPEG stream is back-to-back baseline
+    * JPEGs (the form webcams/AVIs carry), and the JDK ships a JPEG
+    * codec. Frames are split by a segment-aware walker (NOT a naive
+    * FFD9 scan: APPn/COM payloads may legally contain marker-shaped
+    * bytes, so lengths are honored and entropy-coded data is skipped
+    * per the FF-stuffing rules), then EVERY frame's pixels are pulled
+    * through `ImageIO.read` and checksummed position-weighted over the
+    * raster's band 0 — the decode has to run and run correctly for the
+    * checksum to come out. A frame the codec rejects drops (None row);
+    * a payload with no SOI yields no frames. mp4/h264-style
+    * inter-coded video remains the documented native-codec boundary. */
+  def decodeMjpegFrames(r: MediaRecord): Seq[MjpegFrame] = {
+    val b = r.payload
+    def u8(i: Int): Int = b(i) & 0xFF
+    val out = scala.collection.mutable.ArrayBuffer.empty[MjpegFrame]
+    var p = 0
+    var idx = 0
+    try {
+      while (p + 1 < b.length) {
+        // seek SOI
+        while (p + 1 < b.length && !(u8(p) == 0xFF && u8(p + 1) == 0xD8)) p += 1
+        if (p + 1 < b.length) {
+          val start = p
+          p += 2
+          var end = -1
+          var bad = false
+          // marker-segment walk to this frame's EOI
+          while (end < 0 && !bad && p + 1 < b.length) {
+            if (u8(p) != 0xFF) { bad = true }
+            else {
+              var m = u8(p + 1)
+              // fill bytes: FF may pad before a marker
+              while (m == 0xFF && p + 2 < b.length) { p += 1; m = u8(p + 1) }
+              if (m == 0xD9) end = p + 2
+              else if (m == 0xD8) bad = true // nested SOI: malformed
+              else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p += 2
+              else if (p + 3 < b.length) {
+                val len = (u8(p + 2) << 8) | u8(p + 3)
+                val isSos = m == 0xDA
+                p += 2 + len
+                if (isSos) {
+                  // entropy-coded data: FF is either stuffed (FF00),
+                  // a restart (FFD0-D7), or the next true marker
+                  var done = false
+                  while (!done && p + 1 < b.length) {
+                    if (u8(p) == 0xFF && u8(p + 1) != 0x00 &&
+                        !(u8(p + 1) >= 0xD0 && u8(p + 1) <= 0xD7)) done = true
+                    else p += 1
+                  }
+                }
+              } else bad = true
+            }
+          }
+          if (end > 0) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                java.util.Arrays.copyOfRange(b, start, end)))
+            if (img != null) {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (y.toLong * w + x + 1) * raster.getSample(x, y, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              out += MjpegFrame(r.media_id, idx, w, h, sum)
+              idx += 1
+            }
+            p = end
+          } else if (bad) p = start + 2 // malformed: seek the next SOI
+          else p = b.length            // ran off the end: stop
+        }
+      }
+      out.toSeq
+    } catch { case _: Exception => out.toSeq }
+  }
+
+  /** MJPEG decode pass over a media column (partition-local, one output
+    * row per decoded frame; non-MJPEG payloads yield no rows). */
+  def decodeMjpeg(ds: Dataset[MediaRecord]): Dataset[MjpegFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(decodeMjpegFrames))
+  }
+
+  /** Deterministic synthetic MJPEG (fixture generator for the
+    * real-decode oracle): `nFrames` back-to-back grayscale JPEGs,
+    * frame f a SOLID gray ((29 + seed·7 + f·13) % 256) encoded at
+    * compression quality 1.0 — all-ones quantization tables, so a
+    * uniform block's lone DC coefficient survives quantization exactly
+    * and the decoded raster equals the input bit-for-bit (verified in
+    * spec). That exact round trip is what lets the per-frame
+    * position-weighted checksum be CLOSED-FORM from the arguments:
+    * g · n(n+1)/2 with n = width·height. */
+  def syntheticMjpeg(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val g = ((29L + seed * 7L + f * 13L) % 256L).toInt
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.getRaster().setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val out = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(out)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); out.close() }
+      f += 1
     }
     baos.toByteArray
   }

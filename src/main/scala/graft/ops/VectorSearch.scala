@@ -227,7 +227,11 @@ object VectorSearch {
     * in both forms, and kmeansCentroids emits centroids cid-ascending. */
   private def assign(df: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
-    if (centroids.length > 32) {
+    if (centroids.length == 1) {
+      // k=1 degenerate case: the literal fold below would build an
+      // empty (VOID-typed) struct array for `scored.tail`
+      df.withColumn("cid", lit(centroids.head._1))
+    } else if (centroids.length > 32) {
       GraftFunctions.register(df.sparkSession)
       val cidOf = array(centroids.map(c => lit(c._1)): _*)
       df.withColumn("cid", element_at(cidOf,
@@ -270,27 +274,35 @@ object VectorSearch {
   /** Per-cluster composition report over a labeled corpus — the standard
     * "what did my embedding clusters capture" audit of a training-data
     * pipeline (cluster size, distinct labels, majority label and its
-    * share). Two map-side-combinable aggregations past the assignment
-    * projection: (cid, label) counts, then a `max(struct(cnt, -label))`
-    * argmax per cid — no per-cluster window sort, so a mega-cluster
-    * cannot straggle. Returns (cid, n_vectors, n_labels, top_label,
-    * top_label_cnt, label_share). */
+    * share). A map-side-combinable (cid, label) count, then a ranked
+    * argmax per cid (count desc, ties to the LOWEST label) over that
+    * count frame — the window ranks at most |distinct labels| rows per
+    * cid (label cardinality, never corpus size), so a mega-cluster
+    * cannot straggle, and the ordering is type-agnostic: string label
+    * columns work where the former `max(struct(cnt, -label))` needed a
+    * negatable numeric. Returns (cid, n_vectors, n_labels, top_label,
+    * top_label_cnt, label_share); top_label keeps the label column's
+    * type. */
   def clusterStats(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 16, iters: Int = 2,
       trainCap: Int = 0): DataFrame = {
     val assigned = clusterAssign(corpus, idCol, vecCol, k, iters, trainCap)
-    assigned
+    val counts = assigned
       .groupBy(col("cid"), col(labelCol).as("__lbl"))
       .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("__cnt").desc, col("__lbl").asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
       .groupBy("cid")
       .agg(
         sum(col("__cnt")).cast("long").as("n_vectors"),
         count(lit(1)).as("n_labels"),
-        max(struct(col("__cnt").as("c"), (-col("__lbl")).as("nl"))).as("m"))
+        max(when(col("__rn") === 1, col("__lbl"))).as("top_label"),
+        max(when(col("__rn") === 1, col("__cnt"))).as("top_label_cnt"))
       .select(col("cid"), col("n_vectors"), col("n_labels"),
-        (-col("m.nl")).cast("int").as("top_label"),
-        col("m.c").as("top_label_cnt"),
-        round(col("m.c").cast("double") / col("n_vectors"), 6)
+        col("top_label"), col("top_label_cnt"),
+        round(col("top_label_cnt").cast("double") / col("n_vectors"), 6)
           .as("label_share"))
   }
 
@@ -307,13 +319,25 @@ object VectorSearch {
     * is Σ|cluster|², never N². `k = 0` selects the 100 TB mode: cells ≈
     * √N (autoCells) with Lloyd over a bounded md5 sample (trainCap), so
     * per-cluster size — and with it per-cluster pair volume — grows as
-    * √N instead of N. An exact-duplicate pre-collapse (below) keeps mass
-    * BIT-IDENTICAL duplication out of the pair join; mass NEAR-identical
-    * duplication (distinct bytes, cosine ≈ 1) still concentrates in one
-    * cell and pays Σ|reps|² there — that cost is inherent to the paper's
-    * exact-within-cell semantics, so route corpora with that shape
-    * through [[nearDupPairs]]/MinHash dedup first and SemDeDup the
-    * survivors. Threshold decisions are replayable cross-engine:
+    * √N instead of N. Two pre-collapse tiers keep mass duplication out
+    * of the pair join: (1) BIT-IDENTICAL vectors collapse to their
+    * min-id rep unconditionally (cos to any member == cos to the rep, so
+    * this is decision-identical to all-pairs — spec-pinned); (2)
+    * NEAR-IDENTICAL reps (distinct bytes, cosine ≈ 1 — ε-perturbed /
+    * rescaled copies) collapse per (cid, int8-quantized code) onto their
+    * min-id quantized rep, gated by cos(rep, qrep) ≥
+    * √((1+threshold)/2) — the half-angle bound that guarantees every two
+    * collapsed members sit within `threshold` of EACH OTHER, so each
+    * collapsed rep genuinely has a lower-id above-threshold mate (its
+    * qrep) and its drop is exact; a same-code rep FAILING the bound
+    * stays its own pair-join participant and keeps the exact decision.
+    * The one approximation is one-sided: a surviving qrep's mates are
+    * tested rep-to-rep, so a borderline rep whose only above-threshold
+    * mates were collapsed members (pairs inside the quantization margin
+    * of the threshold) may be over-KEPT — never over-dropped; recall
+    * lost at the boundary, precision intact. A 90 %-near-identical
+    * corpus costs ~distinct-codes² per cell instead of 0.4·N².
+    * Threshold decisions are replayable cross-engine:
     * dots are sequential-order float sums (graft_dot == list_dot_product
     * bit-for-bit) and the cosine composes them in one fixed
     * divide-of-products. Returns (vec_id-named idCol, cid, keep 1/0). */
@@ -340,9 +364,33 @@ object VectorSearch {
       .agg(min(col(idCol)).as("__rid"))
       .withColumn("__nrm",
         sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
-    val hi = reps.select(col("__rid").as("__hi"), col("cid"),
+    // Quantized near-identical collapse (tier 2, see scaladoc): group
+    // the reps per (cid, int8 code); a rep within the half-angle bound
+    // of its group's min-id rep collapses onto it (its drop is exact:
+    // any two in-bound same-code members are within `threshold` of each
+    // other). A same-code rep OUTSIDE the bound re-enters the pair join
+    // as itself — the bound is the decision-safety gate, hit only by
+    // pathological codes (many sub-half-step coordinates); a zero
+    // vector's 0/0 cosine is NaN, which Spark orders above the bound,
+    // but a cell holds at most one all-zero REP (bit-identical zeros
+    // collapsed in tier 1) and a rep is never collapsed onto itself.
+    val collapseBound = math.sqrt((1.0 + threshold) / 2.0)
+    val coded = quantizeInt8(reps, vecCol).drop("scale")
+    val qmin = coded.groupBy(col("cid"), col("q"))
+      .agg(min(col("__rid")).as("__qid"))
+    val qrepVecs = coded.join(qmin, Seq("cid", "q"))
+      .filter(col("__rid") === col("__qid"))
+      .select(col("cid"), col("q"), col("__qid"),
+        col(vecCol).as("__qe"), col("__nrm").as("__qn"))
+    val tagged = coded.join(qrepVecs, Seq("cid", "q"))
+      .withColumn("__collapse",
+        col("__rid") =!= col("__qid") &&
+          GraftFunctions.dotProduct(col(vecCol), col("__qe")) /
+            (col("__nrm") * col("__qn")) >= collapseBound)
+    val pj = tagged.filter(!col("__collapse"))
+    val hi = pj.select(col("__rid").as("__hi"), col("cid"),
       col(vecCol).as("__he"), col("__nrm").as("__hn"))
-    val lo = reps.select(col("__rid").as("__lo"), col("cid"),
+    val lo = pj.select(col("__rid").as("__lo"), col("cid"),
       col(vecCol).as("__le"), col("__nrm").as("__ln"))
     val droppedReps = hi.join(lo, Seq("cid"))
       .filter(col("__lo") < col("__hi"))
@@ -350,13 +398,18 @@ object VectorSearch {
         (col("__hn") * col("__ln")) >= threshold)
       .select(col("__hi")).distinct()
       .withColumn("__dup", lit(1))
+    val collapsedReps = tagged.filter(col("__collapse"))
+      .select(col("__rid").as("__cr")).withColumn("__col", lit(1))
     // a member keeps iff it IS its group's rep and that rep survived
+    // both the quantized collapse and the rep pair join
     assigned
       .join(reps.select(col("cid"), col(vecCol), col("__rid")),
         Seq("cid", vecCol))
       .join(droppedReps, col("__rid") === col("__hi"), "left")
+      .join(collapsedReps, col("__rid") === col("__cr"), "left")
       .select(col(idCol), col("cid"),
-        when(col(idCol) === col("__rid") && col("__dup").isNull, lit(1))
+        when(col(idCol) === col("__rid") && col("__dup").isNull &&
+            col("__col").isNull, lit(1))
           .otherwise(lit(0)).as("keep"))
   }
 

@@ -824,7 +824,7 @@ object EventAnalytics {
         .filter(col("value").isNotNull)
         .select(col("event_type").as("key"),
           concat(col("event_id").cast("string"), lit(":sq")).as("row_key"),
-          col("value"))
+          col("value"), col("ts"))
         .as[StreamingOps.QuantilePoint]
       StreamingOps.runningQuantiles(pts, Seq(0.5, 0.95), k = 512).toDF()
         .select(col("key").as("event_type"), col("n_seen"),
@@ -883,7 +883,7 @@ object EventAnalytics {
       val pts = ev(s, dir)
         .filter(col("user_id").isNotNull)
         .select(col("event_type").as("key"),
-          col("user_id").cast("string").as("value"))
+          col("user_id").cast("string").as("value"), col("ts"))
         .as[StreamingOps.DistinctPoint]
       StreamingOps.runningDistinct(pts).toDF()
         .select(col("key").as("event_type"), col("n_seen"), col("zeros"),

@@ -890,6 +890,38 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal MJPEG FRAME decode (true video frames, pure JVM) -----
+    // Back-to-back baseline JPEGs (the MJPEG wire form) split by a
+    // segment-aware marker walker and pixel-decoded frame by frame with
+    // the JDK's JPEG codec. Fixtures are solid-gray frames at quality
+    // 1.0 (all-ones quant tables → the uniform block's DC survives
+    // exactly; spec-pinned bit round trip), so the position-weighted
+    // pixel checksum is CLOSED-FORM: g · n(n+1)/2, n = w·h — an
+    // off-by-one frame split, wrong frame order, or a decode that
+    // didn't run cannot reproduce it.
+    sql("mm_mjpeg_frames",
+      """SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(8 + (i * 5) % 40 AS INTEGER) AS width,
+        |  CAST(6 + (i * 3) % 28 AS INTEGER) AS height,
+        |  CAST((29 + i * 7 + f * 13) % 256 AS BIGINT)
+        |    * ((8 + (i * 5) % 40) * (6 + (i * 3) % 28))
+        |    * ((8 + (i * 5) % 40) * (6 + (i * 3) % 28) + 1) // 2 AS checksum
+        |FROM (SELECT i, unnest(range(1 + i % 6)) AS f
+        |      FROM (SELECT unnest(range(18)) AS i))
+        |ORDER BY media_id, frame_idx""") { (s, _) =>
+      import s.implicits._
+      val recs = (0 until 18).map { i =>
+        Multimodal.MediaRecord(i.toLong, "video",
+          Multimodal.syntheticMjpeg(8 + (i * 5) % 40, 6 + (i * 3) % 28,
+            1 + i % 6, i.toLong), "synthetic")
+      }
+      Multimodal.decodeMjpeg(s.createDataset(recs).repartition(4))
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("checksum"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---- multimodal mp4 CONTAINER metadata (pure-JVM box parser) ---------
     // The former "video stub" boundary, retired for metadata: no JDK
     // codec decodes mp4 FRAMES, but the ISO-BMFF container needs none —

@@ -28,8 +28,33 @@ object Store {
     * has been compacted; the store dir itself before that), so appends
     * keep flowing to the live version across compactions. */
   def writeEvents(events: DataFrame, dir: String,
-      mode: String = "overwrite"): Unit =
-    rawWriteEvents(events, currentDataDir(dir), mode)
+      mode: String = "overwrite"): Unit = {
+    // Append-safety across compaction: an append racing a compaction
+    // would land in the old `_v` dir, be silently dropped by the
+    // pointer flip, and then garbage-collected — data loss with no
+    // signal. The compactor holds `_writer.lock` for its whole window;
+    // a writer that sees it (or sees the pointer move mid-write) fails
+    // LOUDLY instead, so the single-writer discipline is enforced, not
+    // merely documented. (On a cluster deployment this is the
+    // metastore/table-format commit conflict.)
+    val lock = lockFile(dir)
+    if (lock.isFile)
+      throw new java.io.IOException(
+        s"store $dir is being compacted (${lock.getName} held); " +
+          "refusing to append into a version the pointer flip would drop " +
+          "— retry after the compaction finishes")
+    val resolved = currentDataDir(dir)
+    rawWriteEvents(events, resolved, mode)
+    if (currentDataDir(dir) != resolved || lock.isFile)
+      throw new java.io.IOException(
+        s"store $dir was compacted while this write was in flight; " +
+          s"the rows written to $resolved belong to a superseded version " +
+          "and will be dropped — re-drive this append against the new " +
+          "current version")
+  }
+
+  private def lockFile(dir: String): java.io.File =
+    new java.io.File(dir, "_writer.lock")
 
   private def rawWriteEvents(events: DataFrame, dataDir: String,
       mode: String = "overwrite"): Unit =
@@ -82,11 +107,13 @@ object Store {
     * Failure atomicity: a failed write or rename deletes its own
     * `_tmp-*` directory and leaves the pointer untouched — the store is
     * never degraded by a crashed compaction, and stale tmp dirs from
-    * hard crashes are swept on the next run. Concurrent APPENDS during a
-    * compaction still belong to the old version and are dropped by the
-    * flip — compaction windows are single-writer (on a cluster
-    * deployment this pointer flip is a metastore/table-format commit,
-    * which also serializes writers).
+    * hard crashes are swept on the next run. Single-writer is ENFORCED,
+    * not just documented: the compactor holds `_writer.lock` for its
+    * whole window, [[writeEvents]] refuses to start under it and fails
+    * loudly if the pointer moved mid-write — an append can no longer be
+    * silently dropped by the flip (on a cluster deployment this pointer
+    * flip is a metastore/table-format commit, which also serializes
+    * writers).
     *
     * Returns (filesBefore, filesAfter) parquet data-file counts. */
   def compactEvents(spark: SparkSession, dir: String): (Int, Int) = {
@@ -99,6 +126,19 @@ object Store {
       Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
     }
     val dirFile = new java.io.File(dir)
+    // single-writer gate (see writeEvents): hold `_writer.lock` for the
+    // whole read→rewrite→flip window; a concurrent compaction fails
+    // here instead of racing the pointer, and a concurrent append fails
+    // in writeEvents instead of vanishing. Stale locks from a hard
+    // crash are operator-removed (the lock names its creation stamp).
+    val lock = lockFile(dir)
+    if (!lock.createNewFile())
+      throw new java.io.IOException(
+        s"store $dir already holds ${lock.getName} — another compaction " +
+          "is in progress (or crashed; remove the lock after confirming)")
+    try {
+    java.nio.file.Files.writeString(lock.toPath,
+      s"compaction started ${java.time.Instant.now()}")
     val cur = new java.io.File(currentDataDir(dir))
     val before = dataFiles(cur).size
     // millis + process-monotonic counter: two compactions in the same
@@ -139,6 +179,7 @@ object Store {
         rmTree(f)
     }
     (before, dataFiles(newDir).size)
+    } finally lock.delete()
   }
 
   /** Walk the physical plan STRUCTURALLY, descending through the AQE

@@ -12,6 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Upper bound on the decontam eval suite [[cleanStream]] will pack
+    * into the per-executor probe set: 4M grams = 64 MB resident (16 B
+    * per 128-bit digest) — the broadcast-budget line past which the
+    * suite must be sharded, not shipped. */
+  val MaxEvalGrams: Long = 4000000L
+
   /** Tumbling metric rollups over a (streaming) metrics frame:
     * groupBy(window(ts, Ns), role, metric) agg n/avg/max — the streaming
     * twin of DerivedTables.rollups. With `watermark` set, late rows beyond
@@ -179,14 +185,26 @@ object StreamingOps {
       corpusHashes: DataFrame, evalGrams: DataFrame,
       cfg: graft.ops.CleanPipeline.Config = graft.ops.CleanPipeline.Config(),
       hashes: Int = 16, bandCount: Int = 4, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxEvalGrams: Long = MaxEvalGrams): DataFrame = {
     val rows = hashes / bandCount
     val n = cfg.decontamN
     // static side, materialized ONCE at stream build: the eval suite's
-    // distinct gram digests, packed sorted for the per-row binary probe
+    // distinct gram digests, packed sorted for the per-row binary probe.
+    // The pack rides inside the task binary shipped to every executor
+    // (16 B/gram), so its size is a broadcast budget, not a data plan —
+    // fail FAST at stream build past the documented bound (the
+    // jaccardPairs guard pattern) instead of collecting an unbounded
+    // suite onto the driver and shipping a multi-GB closure.
+    val distinctGrams = evalGrams.select(col("gram")).distinct()
+    val nGrams = distinctGrams.count()
+    require(nGrams <= maxEvalGrams,
+      s"cleanStream eval suite has $nGrams distinct grams; the packed " +
+        s"probe set is bounded at $maxEvalGrams (${16L * maxEvalGrams >> 20} MB " +
+        "resident per executor). Shard the eval suite across gates or " +
+        "pre-filter it to the benchmark splits this stream must guard.")
     val packedEval = graft.functions.AnyGramInSet.pack(
-      evalGrams.select(col("gram")).distinct()
-        .collect().map(_.getString(0)))
+      distinctGrams.collect().map(_.getString(0)))
     val base = docs
       .withColumn("__w", split(col(textCol), " "))
       .withColumn("__sh", shingleArray)
@@ -273,10 +291,28 @@ object StreamingOps {
       .select(col(idCol), col("old_id"), col("tbl"), col("cosine"))
   }
 
-  case class DistinctPoint(key: String, value: String)
+  case class DistinctPoint(key: String, value: String,
+      ts: java.sql.Timestamp = null)
   case class HllState(n_seen: Long, regs: Array[Byte])
   case class RunningDistinct(key: String, n_seen: Long, zeros: Int,
       est: Double)
+
+  /** State-TTL plumbing shared by the three keyed running carriers.
+    * `stateTtlMs = 0` (the default) keeps the exact NoTimeout semantics —
+    * state lives forever and the batch twin is bit-for-bit unchanged.
+    * `stateTtlMs > 0` bounds key-cardinality growth on 100-TB streams
+    * (keys churn; an abandoned key's 8-to-24k-byte state must not
+    * accumulate forever): the input gets an event-time watermark
+    * (`watermarkDelay`) and each key's state an EventTimeTimeout at
+    * (current watermark + ttl), re-armed on every arrival — once the
+    * watermark passes a key's last-activity horizon its state is
+    * REMOVED, and a later re-arrival starts a fresh, correct
+    * sketch/sample seeded only by post-eviction rows (spec-pinned).
+    * Nothing is emitted at eviction; the last pre-eviction emission
+    * already carried the final state. */
+  private def armTtl[S](state: GroupState[S], stateTtlMs: Long): Unit =
+    if (stateTtlMs > 0L)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
 
   /** Keyed RUNNING approximate-distinct — the streaming carrier of the
     * HLL sketch (functions.HllAgg): per key, hold the SAME md5-seeded
@@ -290,15 +326,24 @@ object StreamingOps {
     * what lets a batch execution of this operator be oracle-verified
     * (`ev_streaming_distinct`) and StreamingSpec pin stream == batch
     * across micro-batches. */
-  def runningDistinct(points: Dataset[DistinctPoint]): Dataset[RunningDistinct] = {
+  def runningDistinct(points: Dataset[DistinctPoint],
+      stateTtlMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[RunningDistinct] = {
     import points.sparkSession.implicits._
     import graft.functions.HllAgg
-    points
+    val src = if (stateTtlMs > 0L)
+      points.withWatermark("ts", watermarkDelay) else points
+    val timeout = if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (key: String, rows: Iterator[DistinctPoint],
             state: GroupState[HllState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val s0 = state.getOption.getOrElse(
             HllState(0L, new Array[Byte](HllAgg.M)))
           val regs = s0.regs.clone()
@@ -308,12 +353,15 @@ object StreamingOps {
             n += 1
           }
           state.update(HllState(n, regs))
+          armTtl(state, stateTtlMs)
           val (zeros, est) = HllAgg.estimate(regs)
           Iterator.single(RunningDistinct(key, n, zeros, est))
+          }
         })
   }
 
-  case class QuantilePoint(key: String, row_key: String, value: Double)
+  case class QuantilePoint(key: String, row_key: String, value: Double,
+      ts: java.sql.Timestamp = null)
   case class QuantileState(n_seen: Long, sample: Array[Byte])
   case class RunningQuantiles(key: String, n_seen: Long,
       quantiles: Seq[Double])
@@ -331,15 +379,24 @@ object StreamingOps {
     * oracle-verified (`ev_streaming_quantile`) and StreamingSpec pin
     * stream == batch across micro-batches. */
   def runningQuantiles(points: Dataset[QuantilePoint],
-      pcts: Seq[Double], k: Int = 1024): Dataset[RunningQuantiles] = {
+      pcts: Seq[Double], k: Int = 1024,
+      stateTtlMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[RunningQuantiles] = {
     import points.sparkSession.implicits._
     import graft.functions.PctSampleAgg
-    points
+    val src = if (stateTtlMs > 0L)
+      points.withWatermark("ts", watermarkDelay) else points
+    val timeout = if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (key: String, rows: Iterator[QuantilePoint],
             state: GroupState[QuantileState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val s0 = state.getOption.getOrElse(
             QuantileState(0L, PctSampleAgg.serializeBuffer(
               new PctSampleAgg.Buffer(k))))
@@ -350,8 +407,10 @@ object StreamingOps {
             n += 1
           }
           state.update(QuantileState(n, PctSampleAgg.serializeBuffer(buf)))
+          armTtl(state, stateTtlMs)
           Option(PctSampleAgg.quantilesOf(buf, pcts))
             .map(qs => RunningQuantiles(key, n, qs.toSeq)).iterator
+          }
         })
   }
 
@@ -400,14 +459,23 @@ object StreamingOps {
   def runningAnomalyGate(points: Dataset[MetricPoint],
       zThreshold: Double = 3.0, minSamples: Long = 3,
       sortWithinTrigger: Boolean = false,
-      centsScale: Double = 100.0): Dataset[Flagged] = {
+      centsScale: Double = 100.0,
+      stateTtlMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[Flagged] = {
     import points.sparkSession.implicits._
-    points
+    val src = if (stateTtlMs > 0L)
+      points.withWatermark("ts", watermarkDelay) else points
+    val timeout = if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.metric)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (metric: String, rows: Iterator[MetricPoint],
             state: GroupState[MetricState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val s0 = state.getOption.getOrElse(
             MetricState(0L, 0L, BigDecimal(0)))
           var n = s0.n
@@ -441,7 +509,9 @@ object StreamingOps {
             q += BigInt(c) * BigInt(c)
           }
           state.update(MetricState(n, sum, BigDecimal(q)))
+          armTtl(state, stateTtlMs)
           out.iterator
+          }
         })
   }
 }

@@ -59,6 +59,43 @@ class GramSetSpec extends SparkSpec {
     }
   }
 
+  test("32-char NON-hex gram never matches, even against an all-FF digest") {
+    // regression pin: a length-32 gram with non-hex chars used to parse
+    // through an in-band -1L sentinel, which is bit-identical to an
+    // all-FF digest half — such a gram could false-match an eval entry
+    // of ffff…ff. The probe must validate hex and skip the search.
+    val allFf = "f" * 32
+    val packed = AnyGramInSet.pack(Seq(allFf, md5hex("x")))
+    val df = Seq(
+      (1L, Seq("z" * 32)),               // right length, not hex
+      (2L, Seq("g" * 16 + "f" * 16)),    // half-malformed
+      (3L, Seq(allFf)),                  // genuine all-FF member
+      (4L, Seq("F" * 32))                // uppercase hex of the member
+    ).toDF("doc_id", "grams")
+    val hits = df
+      .withColumn("hit", AnyGramInSet.anyGramInSet(col("grams"), packed))
+      .orderBy("doc_id").select("hit").collect().map(_.getBoolean(0))
+    assert(hits.toSeq == Seq(false, false, true, true))
+  }
+
+  test("cleanStream fails fast past the eval-gram pack bound") {
+    import java.sql.Timestamp
+    val docs = Seq((new Timestamp(0L), 1L, "a b c"))
+      .toDF("ts", "doc_id", "text")
+    val corpusBands = Seq.empty[(Long, Int, String)]
+      .toDF("doc_id", "band", "bh")
+    val corpusHashes = Seq.empty[String].toDF("content_hash")
+    val evalGrams = (0 until 5).map(i => md5hex(s"g$i")).toDF("gram")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.cleanStream(docs, corpusBands,
+        corpusHashes, evalGrams, maxEvalGrams = 2L)
+    }
+    assert(e.getMessage.contains("5 distinct grams"))
+    // at the documented default the same suite packs fine
+    graft.streaming.StreamingOps.cleanStream(docs, corpusBands,
+      corpusHashes, evalGrams)
+  }
+
   test("per-doc cost is independent of |eval|: 600k-gram set probes like 1k") {
     // Same 20k docs x 30 grams probed against a 1k-gram and a 600k-gram
     // eval set. A linear arrays_overlap scan would be ~600x slower on

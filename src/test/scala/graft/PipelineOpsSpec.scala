@@ -87,6 +87,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"separated clusters should yield near-pure cells: ${got.map(_._6).toSeq}")
   }
 
+  test("clusterStats handles STRING labels (type-agnostic argmax, ties to lowest)") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(8)(rng.nextGaussian() * 5))
+    // label names chosen so lexicographic ≠ insertion order; a planted
+    // 50/50 cell (labels "web"/"cc" alternating) pins the tie-break
+    val names = Array("web", "cc", "books", "wiki")
+    val vecs = (0 until 160).map { i =>
+      val c = centers(i % 4)
+      val lbl = if (i % 4 == 0) (if (i % 8 == 0) "web" else "cc")
+        else names(i % 4)
+      (i.toLong, lbl, c.map(x => x + rng.nextGaussian() * 0.2).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "label", "e").cache()
+    val got = VectorSearch.clusterStats(df, "vec_id", "e", "label", k = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).sortBy(_._1)
+    val assigned = VectorSearch.clusterAssign(df, "vec_id", "e", k = 4)
+      .select(col("cid"), col("label")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val want = assigned.groupBy(_._1).toSeq.map { case (cid, rows) =>
+      val byLabel = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (topL, topC) = byLabel.toSeq.minBy { case (l, c) => (-c, l) }
+      (cid, rows.size.toLong, byLabel.size.toLong, topL, topC)
+    }.sortBy(_._1)
+    assert(got.toSeq === want,
+      "string-labeled clusterStats must equal manual aggregation")
+  }
+
   test("semDedup == naive within-cluster pair model; planted duplicates drop") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(11)
@@ -161,6 +191,66 @@ class PipelineOpsSpec extends SparkSpec {
       "all non-min exact copies must drop")
     assert(keepByid(5000L) == 1, "the min-id copy is the group's keeper")
     assert(secs < 120, f"mega-group must not straggle: $secs%.1f s")
+  }
+
+  test("semDedup survives 90% NEAR-identical duplication (quantized collapse)") {
+    GraftFunctions.register(spark)
+    // 45k ε-PERTURBED (uniformly rescaled — bit-distinct floats, cosine
+    // exactly 1, identical int8 codes) copies of one hot vector + 5k
+    // noisy members of 8 spread clusters. The tier-1 exact collapse
+    // can't touch these (no two are bit-identical); without the tier-2
+    // quantized collapse the hot cell pays ~10^9 rep pairs.
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5))
+    val hot = Array.fill(16)(rng.nextGaussian() * 5).toSeq
+    val base = (0 until 5000).map { i =>
+      (i.toLong, centers(i % 8).map(x => x + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val copies = (5000 until 50000).map { i =>
+      val s = 1.0 + 1e-9 * ((i % 997) + 1)
+      (i.toLong, hot.map(_ * s))
+    }
+    assert(copies.map(_._2).distinct.size > 900,
+      "perturbed copies must be value-distinct (the tier-1 guard is blind)")
+    val df = (base ++ copies).toDF("vec_id", "e").repartition(8).cache()
+    df.count()
+    val t0 = System.nanoTime()
+    val got = VectorSearch.semDedup(df, "vec_id", "e",
+        threshold = 0.999, k = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"semDedup on 50k vectors (45k one near-identical family): $secs%.1f s")
+    val keepByid = got.toMap
+    assert(got.length === 50000)
+    // decision-equality with all-pairs on the family: every pair of
+    // rescaled copies has cosine 1 ≥ threshold, so all-pairs keeps
+    // exactly the min id — which is what the collapsed plan must yield
+    assert((5001 until 50000).forall(i => keepByid(i.toLong) == 0),
+      "all non-min near-identical copies must drop")
+    assert(keepByid(5000L) == 1, "the min-id copy is the family's keeper")
+    assert(secs < 120, f"near-identical mega-family must not straggle: $secs%.1f s")
+  }
+
+  test("semDedup quantized collapse is gated by the half-angle bound") {
+    GraftFunctions.register(spark)
+    // Pathological same-code pair BELOW the bound: (1, .003 ×100) and
+    // (1, -.003 ×100) share the int8 code (127, 0 ×100) — every .003
+    // rounds to 0 at scale 1/127 — but their cosine ≈ 0.9982 sits under
+    // both the 0.999 threshold and the collapse bound √(1.999/2) ≈
+    // 0.99975. The gate must keep BOTH (all-pairs keeps both); an
+    // ungated collapse would wrongly drop id 2. A third, uniformly
+    // rescaled copy of id 1 is IN bound (cosine 1) and must drop.
+    val v1 = 1.0 +: Seq.fill(100)(0.003)
+    val v2 = 1.0 +: Seq.fill(100)(-0.003)
+    val v3 = v1.map(_ * 1.0000001)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "e")
+    val got = VectorSearch.semDedup(df, "vec_id", "e",
+        threshold = 0.999, k = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got(1L) == 1, "min-id rep keeps")
+    assert(got(2L) == 1,
+      "same-code rep below the collapse bound must get the exact decision")
+    assert(got(3L) == 0, "in-bound rescaled copy collapses and drops")
   }
 
   test("NearestCells: matches a Scala top-n by dot product, ties to lowest cell") {
@@ -461,6 +551,44 @@ class PipelineOpsSpec extends SparkSpec {
     val real = Multimodal.decodeReal(spark.createDataset(recs.take(1)))
       .collect().head
     assert(real.format === "gif" && real.width === 24 && real.height === 16)
+  }
+
+  test("multimodal: MJPEG frame decode — closed-form checksums, exact round trip") {
+    // the closed-form contract: a solid gray at quality 1.0 survives
+    // JPEG quantization bit-for-bit (all-ones tables, lone DC), so the
+    // decoded position-weighted checksum is g·n(n+1)/2 from arguments
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video",
+        Multimodal.syntheticMjpeg(20, 14, nFrames = 3, seed = 4L), "t"),
+      Multimodal.MediaRecord(2L, "video",
+        Multimodal.syntheticMjpeg(9, 7, nFrames = 1, seed = 11L), "t"),
+      // non-JPEG payloads yield no frames (no SOI / codec rejects)
+      Multimodal.MediaRecord(3L, "video",
+        Multimodal.syntheticPng(10, 10, seed = 2L), "t"),
+      Multimodal.MediaRecord(4L, "video",
+        "definitely not mjpeg".getBytes("UTF-8"), "t"))
+    import spark.implicits._
+    val out = Multimodal.decodeMjpeg(spark.createDataset(recs).repartition(2))
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    def want(id: Long, w: Int, h: Int, nF: Int, seed: Long) =
+      (0 until nF).map { f =>
+        val g = ((29L + seed * 7L + f * 13L) % 256L)
+        val n = (w * h).toLong
+        Multimodal.MjpegFrame(id, f, w, h, g * n * (n + 1) / 2)
+      }
+    assert(out.toSeq === want(1L, 20, 14, 3, 4L) ++ want(2L, 9, 7, 1, 11L),
+      "every frame must decode to its closed-form checksum, in order")
+    // frame INDEPENDENCE: truncating the stream mid-way keeps the
+    // leading frames' checksums intact (the walker splits on real
+    // frame boundaries, not byte offsets)
+    val two = Multimodal.syntheticMjpeg(20, 14, 2, 4L)
+    val one = Multimodal.syntheticMjpeg(20, 14, 1, 4L)
+    val frames = Multimodal.decodeMjpegFrames(
+      Multimodal.MediaRecord(9L, "video", two, "t"))
+    assert(frames.length === 2)
+    assert(frames.head.checksum ===
+      Multimodal.decodeMjpegFrames(
+        Multimodal.MediaRecord(9L, "video", one, "t")).head.checksum)
   }
 
   test("multimodal: mp4 box parser reads mvhd/tkhd/stsd; non-containers drop") {

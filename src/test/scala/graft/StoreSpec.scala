@@ -135,6 +135,36 @@ class StoreSpec extends SparkSpec {
     assert(Store.readEvents(spark, dir).count() === before)
   }
 
+  test("appends racing a compaction fail LOUDLY, never silently drop") {
+    val dir = Files.createTempDirectory("graft-lock").toString + "/events"
+    val events = Tables(spark, sf(""), "events").limit(50).cache()
+    Store.writeEvents(events, dir)
+    val before = Store.readEvents(spark, dir).count()
+    // a compactor holds _writer.lock for its whole window — simulate
+    // one mid-window and assert the racing append refuses to start
+    // (the old behavior wrote into the doomed version and the rows
+    // vanished at the pointer flip with no signal)
+    val lock = new java.io.File(dir, "_writer.lock")
+    Files.writeString(lock.toPath, "compaction started <test>")
+    val e = intercept[java.io.IOException] {
+      Store.writeEvents(events, dir, mode = "append")
+    }
+    assert(e.getMessage.contains("being compacted"))
+    assert(Store.readEvents(spark, dir).count() === before,
+      "refused append must not have written anything")
+    // a second compactor must refuse the held lock too
+    val e2 = intercept[java.io.IOException] { Store.compactEvents(spark, dir) }
+    assert(e2.getMessage.contains("another compaction"))
+    // lock released → both proceed, and the lock does not outlive the run
+    assert(lock.delete())
+    Store.writeEvents(events, dir, mode = "append")
+    assert(Store.readEvents(spark, dir).count() === before * 2)
+    Store.compactEvents(spark, dir)
+    assert(!lock.isFile, "compaction must release _writer.lock")
+    assert(Store.readEvents(spark, dir).count() === before * 2)
+    events.unpersist()
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     // managed tables land in the default warehouse dir; drop leftovers
     // from any prior aborted run before writing, and again at the end

@@ -137,7 +137,7 @@ class StreamingSpec extends SparkSpec {
     val batch = StreamingOps.runningDistinct(all.toDS())
       .collect().map(r => r.key -> r).toMap
     graft.functions.HllAgg.register(spark)
-    val agg = all.toDF("key", "value").groupBy("key")
+    val agg = all.toDF("key", "value", "ts").groupBy("key")
       .agg(graft.functions.HllAgg.hll(col("value")).as("h"))
       .select(col("key"), col("h.zeros"), col("h.est"))
       .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2))))
@@ -184,7 +184,7 @@ class StreamingSpec extends SparkSpec {
         s"$key: multi-trigger sample must equal the single-trigger batch")
     }
     // and equals the batch AGGREGATE (graft_pct_sample) bit-for-bit
-    val agg = all.toDF("key", "row_key", "value")
+    val agg = all.toDF("key", "row_key", "value", "ts")
       .groupBy("key")
       .agg(graft.functions.PctSampleAgg.pctSample(
         col("row_key"), col("value"), pcts, k).as("qs"))
@@ -193,6 +193,83 @@ class StreamingSpec extends SparkSpec {
       assert(got.quantiles === agg(key),
         s"$key: streaming state must equal the batch aggregate")
     }
+  }
+
+  test("running distinct: state TTL evicts idle keys; re-arrival starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.DistinctPoint]
+    val q = StreamingOps.runningDistinct(input.toDS(),
+        stateTtlMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("dist_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    // b1: key "a" sees u1,u2 — timeout armed at wm(0) + 1s
+    input.addData(
+      StreamingOps.DistinctPoint("a", "u1", ts("2025-01-01 00:00:00")),
+      StreamingOps.DistinctPoint("a", "u2", ts("2025-01-01 00:00:00")))
+    q.processAllAvailable()
+    // b2+b3: only key "b", an hour later — the watermark sails past
+    // "a"'s horizon and its state is evicted (silently: eviction emits
+    // nothing, the last pre-eviction emission was the final state)
+    input.addData(StreamingOps.DistinctPoint("b", "x", ts("2025-01-01 01:00:00")))
+    q.processAllAvailable()
+    input.addData(StreamingOps.DistinctPoint("b", "y", ts("2025-01-01 01:00:01")))
+    q.processAllAvailable()
+    // b4: key "a" RE-ARRIVES with u2,u3 — a fresh sketch, not a resume
+    input.addData(
+      StreamingOps.DistinctPoint("a", "u2", ts("2025-01-01 01:00:02")),
+      StreamingOps.DistinctPoint("a", "u3", ts("2025-01-01 01:00:02")))
+    q.processAllAvailable()
+    val rows = spark.table("dist_ttl_out")
+      .as[StreamingOps.RunningDistinct].collect()
+    q.stop()
+    val aEmissions = rows.filter(_.key == "a")
+    // a RESUMED state would emit n_seen (2, 4); eviction restarts at 0
+    assert(aEmissions.map(_.n_seen).sorted.toSeq === Seq(2L, 2L),
+      s"evicted key must restart n_seen at 0, got ${aEmissions.toSeq}")
+    // and the two emissions are exactly the two independent batch
+    // sketches — {u1,u2} and a FRESH {u2,u3} (order-insensitive: both
+    // emissions carry n_seen 2)
+    def sketch(vals: String*): (Int, Double) = {
+      val r = StreamingOps.runningDistinct(
+        vals.map(v => StreamingOps.DistinctPoint("a", v, null)).toDS())
+        .collect().head
+      (r.zeros, r.est)
+    }
+    assert(aEmissions.map(e => (e.zeros, e.est)).sortBy(_._2).toSeq ===
+      Seq(sketch("u1", "u2"), sketch("u2", "u3")).sortBy(_._2),
+      "re-arrival must seed a fresh, correct sketch")
+  }
+
+  test("running quantiles: state TTL evicts idle keys; re-arrival starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val pcts = Seq(0.5)
+    val input = MemoryStream[StreamingOps.QuantilePoint]
+    val q = StreamingOps.runningQuantiles(input.toDS(), pcts, k = 8,
+        stateTtlMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("quant_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamingOps.QuantilePoint("m", "r1", 10.0, ts("2025-01-01 00:00:00")),
+      StreamingOps.QuantilePoint("m", "r2", 20.0, ts("2025-01-01 00:00:00")))
+    q.processAllAvailable()
+    input.addData(StreamingOps.QuantilePoint("o", "r3", 1.0, ts("2025-01-01 01:00:00")))
+    q.processAllAvailable()
+    input.addData(StreamingOps.QuantilePoint("o", "r4", 2.0, ts("2025-01-01 01:00:01")))
+    q.processAllAvailable()
+    // re-arrival after eviction: the sample holds ONLY the new rows —
+    // p50 of {100, 200} is 150, unreachable if {10, 20} had survived
+    input.addData(
+      StreamingOps.QuantilePoint("m", "r5", 100.0, ts("2025-01-01 01:00:02")),
+      StreamingOps.QuantilePoint("m", "r6", 200.0, ts("2025-01-01 01:00:02")))
+    q.processAllAvailable()
+    val rows = spark.table("quant_ttl_out")
+      .as[StreamingOps.RunningQuantiles].collect()
+    q.stop()
+    val m = rows.filter(_.key == "m").sortBy(_.quantiles.head)
+    assert(m.map(_.n_seen).toSeq === Seq(2L, 2L),
+      s"evicted key must restart its sample, got ${m.toSeq}")
+    assert(m.last.quantiles === Seq(150.0),
+      s"fresh sample must hold only post-eviction rows: ${m.toSeq}")
   }
 
   // ---- out-of-order / late-data semantics ---------------------------------
