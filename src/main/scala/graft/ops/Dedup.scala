@@ -204,6 +204,70 @@ object Dedup {
       DataFrame =
     candidatesFrom(shingles(docs, idCol, textCol), hashes, bandCount)
 
+  /** Cross-source near-duplicate LEAKAGE matrix — the "is my web crawl
+    * bleeding into my books split" audit a multi-source corpus needs
+    * before per-source mixture weights can be trusted (a source pair
+    * with heavy overlap double-counts its mass). Pairs come from the
+    * SAME banded-MinHash candidate generation as [[minhashCandidates]];
+    * each pair maps to its lexicographically-ordered source pair, so
+    * the matrix is upper-triangular with the diagonal counting
+    * WITHIN-source duplication. Scale shape: two slim joins of the
+    * (doc_a, doc_b) pair list against (id → source), then one
+    * map-side-combinable groupBy over at most |sources|² keys — nothing
+    * new grows with the corpus beyond the pair list itself. */
+  def sourceOverlap(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol)
+    val src = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("doc_a"), col(srcCol).as("__sa")), "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(srcCol).as("__sb")), "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** MinHash CONTAINMENT estimate over the LSH candidate pairs — the
+    * asymmetric near-dup detector ("one doc embedded in a larger one"),
+    * which Jaccard under-scores by construction: a 50-shingle doc fully
+    * contained in a 1000-shingle doc has J ≈ 0.05 but containment 1.0
+    * (Broder 1997's resemblance-vs-containment distinction). Exact
+    * intersections would re-join the shingle sets — the jaccardPairs
+    * verification-twin cost, quadratic in shared shingles; instead the
+    * intersection is estimated from the signatures ALREADY computed for
+    * banding: Ĵ = matching signature positions / hashes, and from
+    * J = i/(a+b−i), |A∩B| ≈ Ĵ·(|A|+|B|)/(1+Ĵ); containment is that
+    * over min(|A|,|B|). Set sizes are exact per-doc distinct-shingle
+    * counts (one map-side-combinable groupBy). Per-pair cost is 16 hash
+    * compares + two ints — bounded, corpus-scale-safe. Returns (doc_a,
+    * doc_b, na, nb, matches, containment_est). */
+  def containmentEst(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", hashes: Int = 16,
+      bandCount: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val sig = minhashSignatures(sh, hashes)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val cand = candidatesFrom(sh, hashes, bandCount)
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until hashes).map(i => col(s"m$i").as(s"__a$i")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until hashes).map(i => col(s"m$i").as(s"__b$i")): _*)
+    cand
+      .join(a, "doc_a").join(b, "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("matches",
+        (0 until hashes).map(i =>
+          when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("__j", col("matches") / lit(hashes.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("matches"),
+        round(col("__j") * (col("na") + col("nb")) / (lit(1.0) + col("__j")) /
+          least(col("na"), col("nb")), 6).as("containment_est"))
+  }
+
   /** Incremental (bipartite) admission of a NEW ingest batch against the
     * EXISTING corpus — the continuous-ingest shape of dedup. Per new doc:
     * `exact_dup` (its content hash already exists), `near_candidates`

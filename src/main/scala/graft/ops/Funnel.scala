@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel completion — the standard "how far does each user get
+  * through signup → view → click → purchase" product-analytics operator,
+  * built for the 100 TB shape: each step is ONE equi-join on the key
+  * plus ONE map-side-combinable min aggregation (a conditional min over
+  * the step's events strictly AFTER the previous step's time), so no
+  * per-user event list is ever collected, no window sorts a whole
+  * user's history in one task, and a bot key with millions of events
+  * costs its events' aggregation, never a straggler materialization.
+  * Timestamps ride as epoch MICROS (unix_micros — the engine-wide
+  * cross-engine currency for the nanosecond events fixture).
+  */
+object Funnel {
+
+  /** Per-key funnel times: t1 = earliest `steps(0)` event; tᵢ =
+    * earliest `steps(i-1)` event STRICTLY after tᵢ₋₁ (null propagates —
+    * a key that never reached step i-1 cannot reach step i). Returns
+    * (keyCol, t1_us..tn_us, steps_completed); keys with no step-1
+    * event do not appear. */
+  def steps(events: DataFrame, stepTypes: Seq[String],
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: Column = col("ts")): DataFrame = {
+    require(stepTypes.size >= 2, "a funnel needs at least two steps")
+    val base = events
+      .filter(col(keyCol).isNotNull)
+      // the events fixture reads as TIMESTAMP_NTZ; the cast to ltz is
+      // an identity on the underlying micros under the session's UTC
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t"),
+        unix_micros(tsCol.cast("timestamp")).as("__us"))
+    var acc = base.filter(col("__t") === stepTypes.head)
+      .groupBy("__k").agg(min(col("__us")).as("t1_us"))
+    for (i <- 2 to stepTypes.size) {
+      val prior = (1 until i).map(j => s"t${j}_us")
+      val stepEv = base.filter(col("__t") === stepTypes(i - 1))
+        .select(col("__k"), col("__us"))
+      acc = acc
+        .join(stepEv, Seq("__k"), "left")
+        .groupBy(col("__k") +: prior.map(col): _*)
+        .agg(min(when(col("__us") > col(s"t${i - 1}_us"), col("__us")))
+          .as(s"t${i}_us"))
+    }
+    // ascending fold so the HIGHEST completed step's check ends up
+    // outermost in the nested conditional
+    val stepsDone = (2 to stepTypes.size).foldLeft(lit(1)) {
+      (acc2, i) => when(col(s"t${i}_us").isNotNull, lit(i)).otherwise(acc2)
+    }
+    acc.select(col("__k").as(keyCol) +:
+      (1 to stepTypes.size).map(i => col(s"t${i}_us")) :+
+      stepsDone.as("steps_completed"): _*)
+  }
+
+  /** The funnel REPORT: per-step completion counts and conversion rate
+    * vs step 1 — |sources|-independent output (one row per step), the
+    * dashboard row a 100 TB events table reduces to. */
+  def report(events: DataFrame, stepTypes: Seq[String],
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: Column = col("ts")): DataFrame = {
+    val s = steps(events, stepTypes, keyCol, typeCol, tsCol)
+    val counts = s.agg(
+      count(lit(1)).as("n1"),
+      (2 to stepTypes.size).map(i =>
+        count(col(s"t${i}_us")).as(s"n$i")): _*)
+    val rows = stepTypes.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("step"), lit(st).as("event_type"),
+        col(s"n${i + 1}").as("n_users"),
+        round(col(s"n${i + 1}").cast("double") / col("n1"), 6)
+          .as("conversion"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_users"),
+        col("r.conversion"))
+  }
+}

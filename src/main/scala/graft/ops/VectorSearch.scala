@@ -374,19 +374,38 @@ object VectorSearch {
     // vector's 0/0 cosine is NaN, which Spark orders above the bound,
     // but a cell holds at most one all-zero REP (bit-identical zeros
     // collapsed in tier 1) and a rep is never collapsed onto itself.
+    // Grouping is by a 64-bit hash of the code, not the int array
+    // itself — long shuffle keys instead of 64-element array keys, and
+    // one min_by aggregation + ONE join instead of two joins. This is
+    // decision-safe by construction: the GROUPING only proposes which
+    // rep gets compared to which min-id candidate; the half-angle
+    // cosine gate below is what authorizes a collapse (any gated drop
+    // is exact regardless of how candidates were grouped), so even a
+    // hash collision merging two codes can only propose comparisons
+    // the gate then accepts or rejects on the actual vectors.
     val collapseBound = math.sqrt((1.0 + threshold) / 2.0)
     val coded = quantizeInt8(reps, vecCol).drop("scale")
-    val qmin = coded.groupBy(col("cid"), col("q"))
-      .agg(min(col("__rid")).as("__qid"))
-    val qrepVecs = coded.join(qmin, Seq("cid", "q"))
-      .filter(col("__rid") === col("__qid"))
-      .select(col("cid"), col("q"), col("__qid"),
-        col(vecCol).as("__qe"), col("__nrm").as("__qn"))
-    val tagged = coded.join(qrepVecs, Seq("cid", "q"))
+      .withColumn("__qc", xxhash64(col("q"))).drop("q")
+    val qrep = coded.groupBy(col("cid"), col("__qc"))
+      .agg(min(col("__rid")).as("__qid"),
+        min_by(struct(col(vecCol).as("e"), col("__nrm").as("n")),
+          col("__rid")).as("__q"))
+    // tagged (one row per rep, 1:1 through the qrep join) feeds BOTH
+    // pair-join sides, the collapse list AND the final keep join —
+    // cached so the assignment + tier-1 aggregation + tier-2
+    // grouping runs once, not once per consumer. Cache ownership
+    // follows the CleanPipeline convention: the caller (Verify/Bench
+    // clear all caches) unpersists when done. Size is one row per
+    // DISTINCT vector per cell — bounded well below the corpus under
+    // mass duplication.
+    val tagged = coded.join(qrep, Seq("cid", "__qc"))
       .withColumn("__collapse",
         col("__rid") =!= col("__qid") &&
-          GraftFunctions.dotProduct(col(vecCol), col("__qe")) /
-            (col("__nrm") * col("__qn")) >= collapseBound)
+          GraftFunctions.dotProduct(col(vecCol), col("__q.e")) /
+            (col("__nrm") * col("__q.n")) >= collapseBound)
+      .select(col("cid"), col(vecCol), col("__rid"), col("__nrm"),
+        col("__collapse"))
+      .cache()
     val pj = tagged.filter(!col("__collapse"))
     val hi = pj.select(col("__rid").as("__hi"), col("cid"),
       col(vecCol).as("__he"), col("__nrm").as("__hn"))
@@ -397,19 +416,21 @@ object VectorSearch {
       .filter(GraftFunctions.dotProduct(col("__he"), col("__le")) /
         (col("__hn") * col("__ln")) >= threshold)
       .select(col("__hi")).distinct()
-      .withColumn("__dup", lit(1))
-    val collapsedReps = tagged.filter(col("__collapse"))
-      .select(col("__rid").as("__cr")).withColumn("__col", lit(1))
+    // one kill list: reps dropped by the pair join ∪ reps collapsed
+    // onto a lower-id quantized twin (disjoint sets — collapsed reps
+    // never enter the pair join)
+    val deadReps = droppedReps
+      .union(tagged.filter(col("__collapse")).select(col("__rid")))
+      .withColumnRenamed("__hi", "__dead")
+      .withColumn("__kill", lit(1))
     // a member keeps iff it IS its group's rep and that rep survived
     // both the quantized collapse and the rep pair join
     assigned
-      .join(reps.select(col("cid"), col(vecCol), col("__rid")),
+      .join(tagged.select(col("cid"), col(vecCol), col("__rid")),
         Seq("cid", vecCol))
-      .join(droppedReps, col("__rid") === col("__hi"), "left")
-      .join(collapsedReps, col("__rid") === col("__cr"), "left")
+      .join(deadReps, col("__rid") === col("__dead"), "left")
       .select(col(idCol), col("cid"),
-        when(col(idCol) === col("__rid") && col("__dup").isNull &&
-            col("__col").isNull, lit(1))
+        when(col(idCol) === col("__rid") && col("__kill").isNull, lit(1))
           .otherwise(lit(0)).as("keep"))
   }
 

@@ -198,6 +198,59 @@ object DocAnalytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- cross-source near-dup LEAKAGE matrix ----------------------------
+    // The "is my web crawl bleeding into my books split" audit: the LSH
+    // candidate pairs mapped to lexicographically-ordered source pairs
+    // (diagonal = within-source duplication). Two slim joins + one
+    // bounded groupBy past the shared pair derivation — at 100 TB the
+    // matrix is |sources|² rows no matter the corpus.
+    sql("doc_source_overlap",
+      s"""WITH $minhashPairCtes
+        |SELECT LEAST(da.source, db.source) AS src_a,
+        |  GREATEST(da.source, db.source) AS src_b,
+        |  COUNT(*) AS n_pairs
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""") { (s, dir) =>
+      graft.ops.Dedup.sourceOverlap(docs(s, dir))
+        .orderBy("src_a", "src_b")
+    },
+
+    // ---- asymmetric containment estimate over LSH candidates -------------
+    // Broder's containment (is doc A embedded in doc B?) from the
+    // signatures already computed for banding: Ĵ = matching positions /
+    // 16, |A∩B| ≈ Ĵ(|A|+|B|)/(1+Ĵ), containment = over min size.
+    // Exact set sizes, bounded per-pair cost (16 compares), no shingle
+    // re-join — the scale-safe quote/subset detector next to the exact
+    // jaccard verification twin.
+    sql("doc_containment", {
+      val matches = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashPairCtes,
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shingles GROUP BY 1),
+        |m AS (
+        |  SELECT p.doc_a, p.doc_b, sa.nsh AS na, sb.nsh AS nb,
+        |    ($matches) AS matches
+        |  FROM pairs p
+        |  JOIN sig a ON a.doc_id = p.doc_a
+        |  JOIN sig b ON b.doc_id = p.doc_b
+        |  JOIN sizes sa ON sa.doc_id = p.doc_a
+        |  JOIN sizes sb ON sb.doc_id = p.doc_b
+        |)
+        |SELECT doc_a, doc_b, na, nb, matches,
+        |  ROUND(CAST(matches AS DOUBLE) / 16.0 * (na + nb)
+        |    / (1.0 + CAST(matches AS DOUBLE) / 16.0)
+        |    / LEAST(na, nb), 6) AS containment_est
+        |FROM m
+        |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.Dedup.containmentEst(docs(s, dir))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- near-dup CLUSTERING: LSH pairs → connected components ----------
     // The dedup decision corpus pipelines actually need: transitive
     // closure of the candidate-pair graph, one representative (= minimum

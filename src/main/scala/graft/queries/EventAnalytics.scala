@@ -606,6 +606,77 @@ object EventAnalytics {
         .orderBy("bucket", "role", "metric_name")
     },
 
+    // ---- ordered funnel: signup → view → click → purchase ----------------
+    // Per-user step times (tᵢ = earliest step-i event STRICTLY after
+    // tᵢ₋₁; null propagates) via one equi-join + one conditional-min
+    // aggregation per step — no per-user event list, no window over a
+    // user's whole history, so a bot key can never straggle. Times ride
+    // as epoch micros (the cross-engine currency for the ns fixture).
+    sql("ev_funnel_users",
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS t, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE user_id IS NOT NULL
+        |), s1 AS (
+        |  SELECT k, MIN(us) AS t1_us FROM e WHERE t = 'signup' GROUP BY k
+        |), s2 AS (
+        |  SELECT s1.k, t1_us, MIN(CASE WHEN e2.us > t1_us THEN e2.us END) AS t2_us
+        |  FROM s1 LEFT JOIN e e2 ON e2.k = s1.k AND e2.t = 'view'
+        |  GROUP BY s1.k, t1_us
+        |), s3 AS (
+        |  SELECT s2.k, t1_us, t2_us, MIN(CASE WHEN e3.us > t2_us THEN e3.us END) AS t3_us
+        |  FROM s2 LEFT JOIN e e3 ON e3.k = s2.k AND e3.t = 'click'
+        |  GROUP BY s2.k, t1_us, t2_us
+        |), s4 AS (
+        |  SELECT s3.k, t1_us, t2_us, t3_us, MIN(CASE WHEN e4.us > t3_us THEN e4.us END) AS t4_us
+        |  FROM s3 LEFT JOIN e e4 ON e4.k = s3.k AND e4.t = 'purchase'
+        |  GROUP BY s3.k, t1_us, t2_us, t3_us
+        |)
+        |SELECT k AS user_id, t1_us, t2_us, t3_us, t4_us,
+        |  CASE WHEN t4_us IS NOT NULL THEN 4 WHEN t3_us IS NOT NULL THEN 3
+        |       WHEN t2_us IS NOT NULL THEN 2 ELSE 1 END AS steps_completed
+        |FROM s4
+        |ORDER BY user_id""") { (s, dir) =>
+      graft.ops.Funnel.steps(ev(s, dir),
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+
+    // ---- funnel REPORT: per-step counts + conversion vs step 1 -----------
+    sql("ev_funnel_report",
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS t, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE user_id IS NOT NULL
+        |), s1 AS (
+        |  SELECT k, MIN(us) AS t1_us FROM e WHERE t = 'signup' GROUP BY k
+        |), s2 AS (
+        |  SELECT s1.k, t1_us, MIN(CASE WHEN e2.us > t1_us THEN e2.us END) AS t2_us
+        |  FROM s1 LEFT JOIN e e2 ON e2.k = s1.k AND e2.t = 'view'
+        |  GROUP BY s1.k, t1_us
+        |), s3 AS (
+        |  SELECT s2.k, t1_us, t2_us, MIN(CASE WHEN e3.us > t2_us THEN e3.us END) AS t3_us
+        |  FROM s2 LEFT JOIN e e3 ON e3.k = s2.k AND e3.t = 'click'
+        |  GROUP BY s2.k, t1_us, t2_us
+        |), s4 AS (
+        |  SELECT s3.k, t1_us, t2_us, t3_us, MIN(CASE WHEN e4.us > t3_us THEN e4.us END) AS t4_us
+        |  FROM s3 LEFT JOIN e e4 ON e4.k = s3.k AND e4.t = 'purchase'
+        |  GROUP BY s3.k, t1_us, t2_us, t3_us
+        |), agg AS (
+        |  SELECT COUNT(*) AS n1, COUNT(t2_us) AS n2, COUNT(t3_us) AS n3,
+        |    COUNT(t4_us) AS n4 FROM s4
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users,
+        |    ROUND(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM agg
+        |  UNION ALL SELECT 2, 'view', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM agg
+        |  UNION ALL SELECT 3, 'click', n3, ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM agg
+        |  UNION ALL SELECT 4, 'purchase', n4, ROUND(CAST(n4 AS DOUBLE) / n1, 6) FROM agg
+        |)
+        |ORDER BY step""") { (s, dir) =>
+      graft.ops.Funnel.report(ev(s, dir),
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy("step")
+    },
+
     // ---- W5: gap sessionization (gaps-and-islands), 1800s gap ------------
     sql("ev_sessionize",
       """WITH marked AS (

@@ -160,6 +160,53 @@ class DedupSpec extends SparkSpec {
       s"missed: ${(truth -- cands).take(5)}")
   }
 
+  test("containmentEst: embedded doc scores ~1.0 where Jaccard stays low") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    val small = words.take(12).mkString(" ")          // 10 shingles
+    val big = words.mkString(" ")                     // 58, contains all 10
+    val other = (100 until 160).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other), (4L, big))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentEst(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5)))).toMap
+    // identical docs: every signature position matches -> J=1 ->
+    // inter=(na+nb)/2=na -> containment EXACTLY 1.0
+    val (na, nb, m, c) = got((1L, 4L))
+    assert(na == nb && m == 16 && c == 1.0, s"identical pair: $na $nb $m $c")
+    // the embedded pair must surface as a candidate and score high
+    // containment despite a true Jaccard of only 10/58
+    got.get((1L, 2L)).foreach { case (ga, gb, gm, gc) =>
+      assert(gc > 0.5, s"embedded doc under-scored: $gc (matches $gm)")
+      // and the reported estimate is exactly the documented formula
+      val j = gm / 16.0
+      val want = BigDecimal(j * (ga + gb) / (1.0 + j) / math.min(ga, gb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gc - want) < 1e-9, s"estimate formula drifted: $gc vs $want")
+    }
+    // the unrelated doc never pairs
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("sourceOverlap == manual aggregation of candidate pairs by source") {
+    val docs = Tables(spark, sf(""), "documents")
+    val src = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want, s"overlap matrix mismatch: $got vs $want")
+    assert(got.values.sum > 0, "fixture must produce candidate pairs")
+  }
+
   test("shingle frequency cap removes hot shingles, keeps planted dups") {
     import spark.implicits._
     val docs = Tables(spark, sf(""), "documents")

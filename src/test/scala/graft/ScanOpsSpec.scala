@@ -201,4 +201,49 @@ class ScanOpsSpec extends SparkSpec {
     val plan = got.queryExecution.optimizedPlan.toString
     assert(plan.contains("__scan_pid"), plan)
   }
+
+  test("Funnel.steps == naive per-key sequential scan; nulls propagate") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(13)
+    val types = Seq("a", "b", "c")
+    val evs = (1 to 3000).map { i =>
+      val user = if (rng.nextDouble() < 0.05) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rng.nextInt(80).toLong)
+      (i.toLong, user, types(rng.nextInt(3)),
+        new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L))
+    }
+    val df = evs.toDF("event_id", "user_id", "event_type", "ts")
+      .repartition(8)
+    val got = graft.ops.Funnel.steps(df, Seq("a", "b", "c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))).toMap
+    // naive model: per user, ordered scan with strict-after mins
+    val byUser = evs.filter(_._2 != null)
+      .groupBy(_._2.longValue).view.mapValues(_.sortBy(_._4.getTime))
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      def us(t: Timestamp) = t.getTime * 1000L
+      val t1 = es.filter(_._3 == "a").map(e => us(e._4)).minOption
+      val t2 = t1.flatMap(p =>
+        es.filter(e => e._3 == "b" && us(e._4) > p).map(e => us(e._4)).minOption)
+      val t3 = t2.flatMap(p =>
+        es.filter(e => e._3 == "c" && us(e._4) > p).map(e => us(e._4)).minOption)
+      t1.map { _ =>
+        val n = if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1
+        u -> ((t1.map(_.asInstanceOf[Any]), t2.map(_.asInstanceOf[Any]),
+          t3.map(_.asInstanceOf[Any]), n))
+      }
+    }.toMap
+    assert(got.keySet === want.keySet, "funnel keys must be step-1 reachers")
+    got.foreach { case (u, g) =>
+      assert(g === want(u), s"user $u: $g != ${want(u)}")
+    }
+    // report consistency: counts derive from the steps frame
+    val rep = graft.ops.Funnel.report(df, Seq("a", "b", "c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rep(1) === want.size.toLong)
+    assert(rep(2) === want.values.count(_._2.isDefined).toLong)
+    assert(rep(3) === want.values.count(_._3.isDefined).toLong)
+  }
 }
