@@ -53,6 +53,44 @@ object Funnel {
       stepsDone.as("steps_completed"): _*)
   }
 
+  /** Weekly cohort RETENTION matrix — the other half of the funnel
+    * dashboard: users cohorted by the epoch-week of their first
+    * `cohortType` event, and for each (cohort_week, week_offset ≥ 0)
+    * the count of cohort members active (ANY event) that week.
+    * Weeks are epoch-floor-divided (`us div week_us`), not calendar
+    * weeks — deterministic in every engine, no week-start convention.
+    * Scale shape: one groupBy for the cohorts, one distinct over
+    * (key, week) — both map-side-combinable — then an equi-join on the
+    * key and a two-phase count-distinct per matrix cell; the output is
+    * |weeks|² rows no matter the corpus. Returns (cohort_week,
+    * week_offset, n_active, n_cohort, retention). */
+  def retention(events: DataFrame, cohortType: String = "signup",
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: Column = col("ts")): DataFrame = {
+    val weekUs = 604800000000L
+    val base = events
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t"),
+        unix_micros(tsCol.cast("timestamp")).as("__us"))
+      // `div`, not `/`: Column./ on longs is a DOUBLE divide; the
+      // integral divide is exact and equals DuckDB's `//` on positives
+      .withColumn("__wk", expr(s"__us div ${weekUs}L")).drop("__us")
+    val cohort = base.filter(col("__t") === cohortType)
+      .groupBy("__k").agg(min(col("__wk")).as("__cw"))
+    val active = base.select(col("__k"), col("__wk")).distinct()
+    val cells = cohort.join(active, Seq("__k"))
+      .filter(col("__wk") >= col("__cw"))
+      .groupBy(col("__cw"), (col("__wk") - col("__cw")).as("week_offset"))
+      .agg(countDistinct(col("__k")).as("n_active"))
+    val sizes = cohort.groupBy(col("__cw"))
+      .agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, Seq("__cw"))
+      .select(col("__cw").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+  }
+
   /** The funnel REPORT: per-step completion counts and conversion rate
     * vs step 1 — |sources|-independent output (one row per step), the
     * dashboard row a 100 TB events table reduces to. */

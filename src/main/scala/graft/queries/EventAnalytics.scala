@@ -677,6 +677,36 @@ object EventAnalytics {
         .orderBy("step")
     },
 
+    // ---- weekly cohort retention matrix ----------------------------------
+    // Users cohorted by the epoch-week (us div week — no calendar
+    // week-start convention) of their first signup; each (cohort,
+    // offset) cell counts members active that week. |weeks|² output
+    // rows at any corpus size.
+    sql("ev_retention_cohorts",
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS t,
+        |    (epoch_ns(ts) // 1000) // 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL
+        |), c AS (
+        |  SELECT k, MIN(wk) AS cw FROM e WHERE t = 'signup' GROUP BY k
+        |), a AS (
+        |  SELECT DISTINCT k, wk FROM e
+        |), cells AS (
+        |  SELECT c.cw, a.wk - c.cw AS week_offset,
+        |    COUNT(DISTINCT a.k) AS n_active
+        |  FROM c JOIN a ON a.k = c.k WHERE a.wk >= c.cw
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT cw, COUNT(*) AS n_cohort FROM c GROUP BY 1
+        |)
+        |SELECT cells.cw AS cohort_week, week_offset, n_active, n_cohort,
+        |  ROUND(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+        |FROM cells JOIN s ON s.cw = cells.cw
+        |ORDER BY cohort_week, week_offset""") { (s, dir) =>
+      graft.ops.Funnel.retention(ev(s, dir))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // ---- W5: gap sessionization (gaps-and-islands), 1800s gap ------------
     sql("ev_sessionize",
       """WITH marked AS (

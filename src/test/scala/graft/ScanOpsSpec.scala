@@ -246,4 +246,41 @@ class ScanOpsSpec extends SparkSpec {
     assert(rep(2) === want.values.count(_._2.isDefined).toLong)
     assert(rep(3) === want.values.count(_._3.isDefined).toLong)
   }
+
+  test("Funnel.retention == naive cohort/activity model") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(29)
+    val weekMs = 604800000L
+    val t0 = 1700000000000L
+    val evs = (1 to 2500).map { i =>
+      val user = rng.nextInt(60).toLong
+      val tp = if (rng.nextDouble() < 0.3) "signup" else "other"
+      (i.toLong, user, tp,
+        new Timestamp(t0 + rng.nextInt(6) * weekMs + rng.nextInt(100000) * 1000L))
+    }
+    val df = evs.toDF("event_id", "user_id", "event_type", "ts").repartition(8)
+    val got = graft.ops.Funnel.retention(df)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def wk(t: Timestamp) = (t.getTime * 1000L) / 604800000000L
+    val cohorts = evs.filter(_._3 == "signup").groupBy(_._2).view
+      .mapValues(_.map(e => wk(e._4)).min).toMap
+    val activity = evs.map(e => (e._2, wk(e._4))).toSet
+    val want = cohorts.groupBy(_._2).flatMap { case (cw, members) =>
+      val offsets = activity.filter(a => members.contains(a._1) && a._2 >= cw)
+        .groupBy(_._2 - cw)
+      offsets.map { case (off, acts) =>
+        val nAct = acts.map(_._1).size.toLong
+        val nCoh = members.size.toLong
+        (cw, off) -> ((nAct, nCoh,
+          BigDecimal(nAct.toDouble / nCoh)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    assert(got === want, s"retention matrix mismatch")
+    assert(got.nonEmpty && got.keys.map(_._2).max >= 1,
+      "fixture must span multiple week offsets")
+  }
 }
