@@ -6,7 +6,7 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.all ++ EventAnalytics.all ++ DocAnalytics.all ++
       EmbeddingOps.all ++ TraceQueries.all ++ PipelineQueries.all ++
-      SinkRoundtrip.all
+      BpeQueries.all ++ SinkRoundtrip.all
 
   lazy val byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap
