@@ -65,12 +65,29 @@ gen("lineitem",
 gen("events",
     "event_id + {k} * CAST(10000000 AS BIGINT) AS event_id, ts, "
     "user_id + {k} * CAST(1000000 AS BIGINT) AS user_id, event_type, value, props")
+# Documents: a MIXED replicated/unique split. 80% of each replica keeps
+# the near-duplicate form (text + per-replica suffix — the hard dedup
+# path); 20% ((doc_id + k) % 5 = 4) gets fully UNIQUE synthetic text (24
+# four-hex-char words from three salted md5s of (doc_id, k, j)). The
+# unique slice passes every clean-pipeline gate — >=20 tokens, zero
+# stopwords, top2 bigram frac ~0.076 < 0.18, its own dedup component,
+# no 8-gram shared with any eval doc — so the pipeline KEEPS a nonzero
+# set at any K and the pipeline_idempotent scale invariant is
+# non-vacuous (round-9 verdict: pure replication left 0 keeps at 100x,
+# because doc_id + k*1e6 cycles all residues mod 7, putting ~1/7 of
+# every replica family into the eval set and contaminating the rest).
+UNIQ = ("array_to_string(flatten(list_transform(range(3), j -> "
+        "list_transform(range(8), i -> substr(md5(concat(doc_id, '|{k}|', j)), "
+        "CAST(i*4+1 AS INTEGER), 4)))), ' ')")
 gen("documents",
-    "doc_id + {k} * CAST(1000000 AS BIGINT) AS doc_id, text || ' replica{k}' AS text, "
+    "doc_id + {k} * CAST(1000000 AS BIGINT) AS doc_id, "
+    f"CASE WHEN (doc_id + {{k}}) % 5 = 4 THEN {UNIQ} "
+    "ELSE text || ' replica{k}' END AS text, "
     # suffix length varies with the digits of k (9 chars for k<=9, 10 for
     # k in 10..99, ...) — compute it from the literal so n_chars stays
     # equal to length(text) on every replica
-    "lang, source, n_chars + length(' replica{k}') AS n_chars")
+    f"lang, source, CASE WHEN (doc_id + {{k}}) % 5 = 4 THEN length({UNIQ}) "
+    "ELSE n_chars + length(' replica{k}') END AS n_chars")
 # Rotating each replica's vector by k dims preserves within-replica dot
 # products exactly (same near-dup structure per shard) while cross-replica
 # cosine collapses toward 0 (sampled max 0.36 < the 0.45 threshold) — so

@@ -93,10 +93,15 @@ object Bench {
       prevQueries.get(n).filter(_ > 0).map(p => n -> v / p) }
     // machine-drift-adjusted flag threshold: a query only flags when it
     // regressed 1.5× OVER AND ABOVE what the calibration workload says
-    // the whole machine drifted (floored at 1 so a faster machine can't
-    // mask a real regression)
+    // the whole machine drifted. The threshold scales DOWN as well as up —
+    // on a rerun where the calibration got faster, query times should have
+    // too, so holding the threshold at 1.5 would mask regressions up to
+    // 1.5/calibRatio. The 0.8 floor only absorbs calibration noise (the
+    // calibration is a single min-of-passes measurement like the queries);
+    // a machine that genuinely doubled in speed still tightens the gate
+    // to 1.2.
     val calibRatio = prevCalib.filter(_ > 0).map(calib / _).getOrElse(1.0)
-    val flagThreshold = 1.5 * math.max(1.0, calibRatio)
+    val flagThreshold = 1.5 * math.max(0.8, calibRatio)
     val ratiosJson =
       if (ratios.isEmpty) ""
       else {

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 import graft.trace.RcaLoop
 
 /** 100×-volume probe for the agentic RCA loop (round-9 ask 8): run the
@@ -13,13 +15,26 @@ import graft.trace.RcaLoop
   * ≤ maxIterations rows); this main turns that argument into recorded
   * numbers for COVERAGE.md.
   *
-  * Usage: runMain graft.RcaScaleProbe [logsDir]
+  * With a `local-cluster[n,c,mem]` master (round-10 ask 8) the probe
+  * separates what single-JVM local mode conflates: the cached event
+  * table lives in the EXECUTOR JVMs (as on a real cluster) and the
+  * reported heap peak is the DRIVER ALONE — the loop's bounded collects
+  * plus plan/scheduler state — so "no collect site grows with volume"
+  * becomes a driver-only number. The executor JVMs get the application
+  * classpath + JDK-17 opens the same way ClusterSmoke deploys them;
+  * launch with SPARK_HOME and SPARK_SCALA_VERSION set (see
+  * LocalClusterSpec).
+  *
+  * Usage: runMain graft.RcaScaleProbe [logsDir] [master]
   */
 object RcaScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale/logs100")
     require(new java.io.File(dir).isDirectory, s"no trace corpus at $dir")
-    val spark = GraftSession.build("graft-rca-probe")
+    val master = args.lift(1).getOrElse("")
+    val spark =
+      if (master.startsWith("local-cluster")) clusterSession(master)
+      else GraftSession.build("graft-rca-probe")
 
     def heapPeakMb: Long = {
       import scala.jdk.CollectionConverters._
@@ -38,6 +53,21 @@ object RcaScaleProbe {
       println(f"[rca-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         s"(driver heap peak ${heapPeakMb} MB)")
       r
+    }
+
+    if (master.startsWith("local-cluster")) {
+      // proof the run is genuinely multi-process before measuring: the
+      // cache and scans must execute in executor JVMs, not this one
+      val driverJvm =
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      val jvms = spark.sparkContext.parallelize(0 until 64, 16)
+        .map(_ => java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName)
+        .distinct().collect().sorted
+      require(jvms.length >= 2 && !jvms.contains(driverJvm),
+        s"not a multi-JVM run: driver=$driverJvm executors=${jvms.toSeq}")
+      println(s"[rca-probe] driver $driverJvm; " +
+        s"executors ${jvms.mkString(", ")}")
     }
 
     resetPeaks()
@@ -60,7 +90,33 @@ object RcaScaleProbe {
       s"stop=${fin.getAs[String]("stop_reason")} " +
       s"confidence=${fin.getAs[Double]("confidence")} " +
       s"hypothesis=${fin.getAs[String]("hypothesis")}")
-    println(s"[rca-probe] final driver heap peak: ${heapPeakMb} MB")
+    println(s"[rca-probe] final driver heap peak: ${heapPeakMb} MB" +
+      (if (master.startsWith("local-cluster")) " (driver ONLY — the " +
+        "cached event table lives in the executor JVMs)" else ""))
     spark.stop()
+  }
+
+  /** The ClusterSmoke deployment shape: fresh executor JVMs launched by
+    * the standalone Worker need the app classes (jar-less sbt layout)
+    * and the JDK-17 opens; extensions injected the cluster way. */
+  private def clusterSession(master: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-rca-probe-cluster")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // a 9.57M-event cache overflows memory-only storage at this size;
+      // MEMORY_AND_DISK (Dataset.cache default) spills the tail
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions",
+        ClusterSmoke.JdkAddOpens.mkString(" "))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
   }
 }

@@ -85,7 +85,8 @@ object ScaleInvariants {
       "pack_greedy" -> (s => packGreedy(s, q("doc_seq_pack"), docs)),
       "pack_examples" -> (s => packExamples(s, q("doc_pack_examples"), docs)),
       "simhash_pairs" -> (s => simhashPairs(s, q("doc_simhash_pairs"), docs)),
-      "neardup_lsh" -> (s => neardupLsh(s, q("emb_neardup_lsh"), vectors)),
+      "neardup_lsh" -> (s => neardupLsh(s, q("emb_neardup_lsh"),
+        q("emb_neardup_lsh_auto"), vectors)),
       "ivf_auto" -> (s => ivfAuto(s, q("emb_ann_ivf_auto"), vectors)),
       "semdedup" -> (s => semDedup(s, q("emb_semdedup"), vectors))
     )
@@ -384,32 +385,26 @@ object ScaleInvariants {
 
   // ---- embedding LSH near-dup pairs --------------------------------------
 
-  private def neardupLsh(s: SparkSession, pairsOf: => DataFrame,
-      vectors: DataFrame): String = {
+  private def neardupLsh(s: SparkSession, fixturePairs: => DataFrame,
+      autoPairs: => DataFrame, vectors: DataFrame): String = {
     import graft.ops.VectorSearch
-    // The REGISTERED query's fixture regime (threshold 0.45, fixed 3
+    // The fixture-regime registered query (threshold 0.45, fixed 3
     // bits) is output-quadratic BY DESIGN — at 200k vectors the
     // candidate volume before dedup is ~6·10^10 pairs, beyond any
     // single node's spill budget (measured disk-full even on the bare
-    // count). So: at ≤10× volume audit the registered query itself; at
-    // 100× audit the PRODUCTION regime — same 0.45 threshold, AUTO
-    // bits (buckets scale with the corpus, the shape a 100 TB job
-    // runs), whose candidate list is sub-linear. Both audits are the
-    // same invariants: recomputed-cosine precision + bucket provenance
-    // (recall at 100× is the banding trade, not an invariant).
+    // count). So: at ≤10× volume audit emb_neardup_lsh itself; at
+    // 100× audit emb_neardup_lsh_auto — the REGISTERED production
+    // regime (same 0.45 threshold, AUTO bits: buckets scale with the
+    // corpus, the shape a 100 TB job runs), whose candidate list is
+    // sub-linear. Both audits are the same invariants:
+    // recomputed-cosine precision + bucket provenance (recall at 100×
+    // is the banding trade, not an invariant).
     val nVec = vectors.count()
     val production = nVec > 30000L
     val (threshold, bits, tables) =
       if (production) (0.45, VectorSearch.autoBits(nVec), 6)
       else (0.45, 3, 12)
-    val pairs0 =
-      if (production)
-        VectorSearch.nearDupPairs(vectors.select(col("vec_id"), col("e")),
-          "vec_id", "e", dim = 64, threshold = threshold, bits = 0,
-          tables = tables)
-          .select(col("vec_a"), col("vec_b"),
-            round(col("cos_raw"), 6).as("cosine"))
-      else pairsOf
+    val pairs0 = if (production) autoPairs else fixturePairs
     val nPairs = pairs0.count()
     val every = math.max(1L, nPairs / 1000000L)
     val pairs = pairs0.filter(
@@ -434,7 +429,8 @@ object ScaleInvariants {
         // provenance: each pair collides in >=1 of the tables' hyperplane
         // buckets (recomputed for pair members only)
         def codeCols(side: String) = (0 until tables).map { t =>
-          val planes = VectorSearch.hyperplanes(64, bits, 42L + t)
+          val planes =
+            VectorSearch.hyperplanes(64, bits, VectorSearch.DefaultSeed + t)
           planes.zipWithIndex.map { case (pl, i) =>
             when(graft.functions.GraftFunctions.dotProduct(col(s"e$side"),
               array(pl.map(lit(_)): _*)) >= 0, lit(1 << i)).otherwise(lit(0))
@@ -506,7 +502,6 @@ object ScaleInvariants {
         require(badAssign == 0,
           s"$badAssign of $nSample sampled assignments not argmax-optimal")
         // every neighbor is a member of one of its query's nprobe cells
-        val probeLists = sample.sparkSession.emptyDataFrame
         val queries = out.select("query_id").distinct()
           .join(v.withColumnRenamed("vec_id", "query_id"), "query_id")
         val qProbe = queries.crossJoin(broadcast(centDf))
@@ -514,7 +509,10 @@ object ScaleInvariants {
             graft.functions.GraftFunctions.dotProduct(col("e"), col("c")))
           .withColumn("rk", row_number().over(Window.partitionBy("query_id")
             .orderBy(col("d").desc, col("cid2"))))
-          .filter(col("rk") <= 4).select(col("query_id"), col("cid2"))
+          // probe width from the shared constant the registered query uses
+          // — a query change cannot silently weaken this audit
+          .filter(col("rk") <= VectorSearch.AutoNprobe)
+          .select(col("query_id"), col("cid2"))
         val outside = out.select("query_id", "neighbor_id")
           .join(assigned.withColumnRenamed("vec_id", "neighbor_id"),
             "neighbor_id")

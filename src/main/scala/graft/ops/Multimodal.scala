@@ -543,28 +543,149 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < nFrames) {
-      val g = ((29L + seed * 7L + f * 13L) % 256L).toInt
-      val img = new java.awt.image.BufferedImage(
-        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) { img.getRaster().setSample(x, y, 0, g); x += 1 }
-        y += 1
-      }
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("jpeg").next()
-      val p = writer.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(1.0f)
-      val out = javax.imageio.ImageIO.createImageOutputStream(baos)
-      try {
-        writer.setOutput(out)
-        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      } finally { writer.dispose(); out.close() }
+      baos.write(encodeSolidJpeg(width, height,
+        ((29L + seed * 7L + f * 13L) % 256L).toInt))
       f += 1
     }
     baos.toByteArray
+  }
+
+  /** One solid-gray baseline JPEG at compression quality 1.0 (all-ones
+    * quantization tables — the uniform block's DC coefficient survives
+    * exactly, so the decoded raster equals the input bit-for-bit).
+    * Shared by the MJPEG and AVI fixture generators. */
+  private def encodeSolidJpeg(width: Int, height: Int,
+      gray: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.getRaster().setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val out = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); out.close() }
+    baos.toByteArray
+  }
+
+  /** ==== REAL ==== AVI (RIFF) MJPEG frame decode — how MJPEG actually
+    * ARRIVES: not raw concatenated JPEGs but RIFF chunks
+    * (Microsoft AVI, the mp4 box-walker pattern with little-endian
+    * sizes). Walks the chunk sequence — fourcc + u32le size + payload,
+    * odd sizes padded to even — recursing into `LIST` chunks; inside a
+    * `LIST movi` (or its `rec ` groupings) every `##dc`/`##db` stream
+    * chunk (two ASCII stream digits + compressed/uncompressed-DIB tag)
+    * is one video frame, whose payload feeds the same JDK JPEG decode +
+    * position-weighted band-0 raster checksum as [[decodeMjpegFrames]].
+    * Non-RIFF payloads, header/index chunks (`hdrl`/`JUNK`/`idx1`) and
+    * frames the codec rejects yield no rows. Frame order is chunk order
+    * in `movi` — the container's presentation order. */
+  def decodeAviFrames(r: MediaRecord): Seq[MjpegFrame] = {
+    val b = r.payload
+    def u32le(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return Nil
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+    val out = scala.collection.mutable.ArrayBuffer.empty[MjpegFrame]
+    var idx = 0
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = fourcc(o)
+        val size = u32le(o + 4).min(Int.MaxValue.toLong).toInt
+        val start = o + 8
+        val end = math.min(start.toLong + size, until.toLong).toInt
+        if (id == "LIST" && end >= start + 4)
+          walk(start + 4, end, inMovi || fourcc(start) == "movi")
+        else if (inMovi && isFrameChunk(id) && end > start) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(b, start, end)))
+          if (img != null) {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (y.toLong * w + x + 1) * raster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
+            }
+            out += MjpegFrame(r.media_id, idx, w, h, sum)
+            idx += 1
+          }
+        }
+        // chunk data pads to an even boundary (RIFF rule)
+        o = start + size + (size & 1)
+      }
+    }
+    try {
+      walk(12, b.length, inMovi = false)
+      out.toSeq
+    } catch { case _: Exception => out.toSeq }
+  }
+
+  /** AVI frame-decode pass over a media column (partition-local, one
+    * output row per decoded frame; non-AVI payloads yield no rows). */
+  def decodeAvi(ds: Dataset[MediaRecord]): Dataset[MjpegFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(decodeAviFrames))
+  }
+
+  /** Deterministic synthetic AVI (fixture generator for the RIFF-walker
+    * oracle): a spec-shaped RIFF/AVI — `LIST hdrl` with a real `avih`
+    * main header, an ODD-sized `JUNK` chunk (exercises the even-boundary
+    * pad rule), then `LIST movi` holding one `00dc` chunk per frame,
+    * each a solid-gray quality-1.0 JPEG with the SAME gray arithmetic as
+    * [[syntheticMjpeg]] — so the per-frame checksum stays closed-form:
+    * g · n(n+1)/2, n = width·height, g = (29 + seed·7 + f·13) % 256. */
+  def syntheticAvi(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if ((payload.length & 1) == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++
+        payload ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    // avih: dwMicroSecPerFrame, dwMaxBytesPerSec, dwPaddingGranularity,
+    // dwFlags, dwTotalFrames, dwInitialFrames, dwStreams,
+    // dwSuggestedBufferSize, dwWidth, dwHeight, dwReserved[4]
+    val avih = chunk("avih",
+      Array(40000L, 0L, 0L, 0L, nFrames.toLong, 0L, 1L, 0L,
+        width.toLong, height.toLong, 0L, 0L, 0L, 0L).flatMap(le32))
+    val hdrl = list("hdrl", avih)
+    val junk = chunk("JUNK",
+      Array.tabulate(13)(i => ((i * 17L + seed) % 251).toByte))
+    val frames = (0 until nFrames).flatMap { f =>
+      chunk("00dc", encodeSolidJpeg(width, height,
+        ((29L + seed * 7L + f * 13L) % 256L).toInt))
+    }.toArray
+    val movi = list("movi", frames)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ junk ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
   case class Mp4Meta(

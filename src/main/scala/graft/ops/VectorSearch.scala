@@ -18,8 +18,19 @@ import graft.functions.GraftFunctions
   */
 object VectorSearch {
 
+  /** Base hyperplane seed; hash table `t` draws planes with
+    * `DefaultSeed + t`. Shared with the registered-query oracle twins and
+    * the ScaleInvariants LSH provenance audit, so the parameters cannot
+    * silently diverge between the operator and its verifiers. */
+  val DefaultSeed: Long = 42L
+
+  /** Probe width of the registered auto-IVF queries (emb_ann_ivf_auto and
+    * kin) and the ScaleInvariants in-probe membership audit — one
+    * constant, so changing the query cannot silently weaken the audit. */
+  val AutoNprobe: Int = 4
+
   /** Deterministic unit-free hyperplanes: dim × bits gaussians. */
-  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+  def hyperplanes(dim: Int, bits: Int, seed: Long = DefaultSeed): Array[Array[Double]] = {
     val rng = new java.util.Random(seed)
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
@@ -167,6 +178,16 @@ object VectorSearch {
     * larger than the cap trains on a bounded sample in BOTH engines, so
     * the cross-engine hash check holds at any scale factor. */
   val DefaultTrainCap: Int = 50000
+
+  /** Per-cell tier-1 rep count past which [[semDedup]] engages its tier-2
+    * quantized collapse. A balanced autoCells clustering keeps reps/cell
+    * ≈ √N, which stays under this bound for every corpus below the
+    * 4096-cell cap (N ≤ 16M); a cell exceeding it is the mass
+    * near-duplication signature tier 2 exists for. Below the bound the
+    * operator computes the exact paper rule — identical to the all-pairs
+    * DuckDB oracle — so the approximation never touches an
+    * oracle-verified corpus. */
+  val SemDedupTier2CellBound: Int = 4096
 
   /** Deterministic k-means coarse quantizer: seeds are the k corpus
     * vectors with the smallest md5(id) (a reproducible "random" sample —
@@ -337,13 +358,27 @@ object VectorSearch {
     * of the threshold) may be over-KEPT — never over-dropped; recall
     * lost at the boundary, precision intact. A 90 %-near-identical
     * corpus costs ~distinct-codes² per cell instead of 0.4·N².
+    *
+    * Tier 2 is ADAPTIVE: it engages only when some cell holds more than
+    * `tier2CellBound` tier-1 reps — the mass-near-duplication signature
+    * it exists for (a balanced autoCells clustering keeps reps/cell ≈ √N,
+    * far under the default bound for any corpus below the 4096-cell cap).
+    * Below the bound the operator computes the paper's EXACT
+    * within-cluster rule, bit-for-bit equal to the all-pairs DuckDB
+    * oracle — so every oracle-verified corpus is exact by construction
+    * and tier-2's one-sided over-keep margin is confined to the regime
+    * where the exact rule's Σ|cell|² cost is the thing being guarded
+    * against. (The decision is one driver-side max over the ≤4096-row
+    * per-cell rep counts; skipping tier 2 also skips its two bounded
+    * shuffles, keeping the common-corpus plan at the r8 cost.)
     * Threshold decisions are replayable cross-engine:
     * dots are sequential-order float sums (graft_dot == list_dot_product
     * bit-for-bit) and the cosine composes them in one fixed
     * divide-of-products. Returns (vec_id-named idCol, cid, keep 1/0). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int = 0, iters: Int = 2,
-      trainCap: Int = DefaultTrainCap): DataFrame = {
+      trainCap: Int = DefaultTrainCap,
+      tier2CellBound: Int = SemDedupTier2CellBound): DataFrame = {
     val (cells, cap) =
       if (k > 0) (k, 0)
       else (autoCells(corpus.select(idCol).count()), trainCap)
@@ -360,10 +395,23 @@ object VectorSearch {
     // per distinct vector per cell — decision-identical to all-pairs
     // (spec-pinned), but a 90 %-identical corpus costs ~distinct² per
     // cell instead of 0.4·N².
+    //
+    // reps feeds the tier-2 decision, both pair-join sides and the final
+    // keep join — cached so the assignment + tier-1 aggregation runs
+    // once, not once per consumer. Cache ownership follows the
+    // CleanPipeline convention: the caller (Verify/Bench clear all
+    // caches) unpersists when done. Size is one row per DISTINCT vector
+    // per cell — bounded well below the corpus under mass duplication.
     val reps = assigned.groupBy(col("cid"), col(vecCol))
       .agg(min(col(idCol)).as("__rid"))
       .withColumn("__nrm",
         sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+      .cache()
+    // adaptive tier-2 trigger: the per-cell rep counts are a ≤|cells|-row
+    // aggregate of the cached rep frame; max is a driver-side scalar
+    val maxCellReps = Option(reps.groupBy("cid")
+        .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     // Quantized near-identical collapse (tier 2, see scaladoc): group
     // the reps per (cid, int8 code); a rep within the half-angle bound
     // of its group's min-id rep collapses onto it (its drop is exact:
@@ -383,29 +431,27 @@ object VectorSearch {
     // is exact regardless of how candidates were grouped), so even a
     // hash collision merging two codes can only propose comparisons
     // the gate then accepts or rejects on the actual vectors.
-    val collapseBound = math.sqrt((1.0 + threshold) / 2.0)
-    val coded = quantizeInt8(reps, vecCol).drop("scale")
-      .withColumn("__qc", xxhash64(col("q"))).drop("q")
-    val qrep = coded.groupBy(col("cid"), col("__qc"))
-      .agg(min(col("__rid")).as("__qid"),
-        min_by(struct(col(vecCol).as("e"), col("__nrm").as("n")),
-          col("__rid")).as("__q"))
-    // tagged (one row per rep, 1:1 through the qrep join) feeds BOTH
-    // pair-join sides, the collapse list AND the final keep join —
-    // cached so the assignment + tier-1 aggregation + tier-2
-    // grouping runs once, not once per consumer. Cache ownership
-    // follows the CleanPipeline convention: the caller (Verify/Bench
-    // clear all caches) unpersists when done. Size is one row per
-    // DISTINCT vector per cell — bounded well below the corpus under
-    // mass duplication.
-    val tagged = coded.join(qrep, Seq("cid", "__qc"))
-      .withColumn("__collapse",
-        col("__rid") =!= col("__qid") &&
-          GraftFunctions.dotProduct(col(vecCol), col("__q.e")) /
-            (col("__nrm") * col("__q.n")) >= collapseBound)
-      .select(col("cid"), col(vecCol), col("__rid"), col("__nrm"),
-        col("__collapse"))
-      .cache()
+    val tagged = if (maxCellReps <= tier2CellBound.toLong) {
+      // no mass-duplicated cell: the exact rule's pair join is affordable
+      // by construction, so skip tier 2 (and its two shuffles) entirely
+      reps.withColumn("__collapse", lit(false))
+    } else {
+      val collapseBound = math.sqrt((1.0 + threshold) / 2.0)
+      val coded = quantizeInt8(reps, vecCol).drop("scale")
+        .withColumn("__qc", xxhash64(col("q"))).drop("q")
+      val qrep = coded.groupBy(col("cid"), col("__qc"))
+        .agg(min(col("__rid")).as("__qid"),
+          min_by(struct(col(vecCol).as("e"), col("__nrm").as("n")),
+            col("__rid")).as("__q"))
+      coded.join(qrep, Seq("cid", "__qc"))
+        .withColumn("__collapse",
+          col("__rid") =!= col("__qid") &&
+            GraftFunctions.dotProduct(col(vecCol), col("__q.e")) /
+              (col("__nrm") * col("__q.n")) >= collapseBound)
+        .select(col("cid"), col(vecCol), col("__rid"), col("__nrm"),
+          col("__collapse"))
+        .cache()
+    }
     val pj = tagged.filter(!col("__collapse"))
     val hi = pj.select(col("__rid").as("__hi"), col("cid"),
       col(vecCol).as("__he"), col("__nrm").as("__hn"))

@@ -150,6 +150,59 @@ object EmbeddingOps {
         .orderBy("vec_a", "vec_b")
     },
 
+    // ---- embedding near-dup pairs, 100 TB regime: AUTO signature width ---
+    // The plan a real job runs (and the one the 100× invariant audit
+    // exercises): bits = 0 sizes the signature from the corpus count
+    // (autoBits, bucketTarget 256) so bucket sizes — and the candidate
+    // join volume — stay bounded as the corpus grows, where the fixture
+    // regime above (fixed 3 bits) is output-quadratic by construction.
+    // The oracle re-derives the SAME width from COUNT(*) and buckets
+    // with the first `b` of 16 embedded hyperplane rows (the prefix is
+    // exact: hyperplanes() fills rows sequentially from one seeded RNG —
+    // the emb_ann_lsh_auto pattern). sf0.001/0.01/0.1 all derive the
+    // 3-bit floor; the 10×/100× generated tables derive 7/10 bits.
+    sql("emb_neardup_lsh_auto", {
+      val (tables, maxBits, dim, target) = (6, 16, 64, 256)
+      val seed = graft.ops.VectorSearch.DefaultSeed
+      def bucketExpr(t: Int): String =
+        graft.ops.VectorSearch.hyperplanes(dim, maxBits, seed + t).zipWithIndex
+          .map { case (p, i) =>
+            val arr = p.map(_.toString).mkString("[", ",", "]")
+            s"(CASE WHEN $i < prm.b AND list_dot_product(e, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+      val bucketCase = "CASE t.tbl " + (0 until tables)
+        .map(t => s"WHEN $t THEN ${bucketExpr(t)}").mkString(" ") + " END"
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), prm AS (
+        |  SELECT GREATEST(3, CASE WHEN x = 0 THEN 0 ELSE length(bin(x)) END) AS b
+        |  FROM (SELECT CAST(COUNT(*) // $target AS BIGINT) AS x FROM v)
+        |), vn AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        |), bk AS (
+        |  SELECT vec_id, CAST($bucketCase AS BIGINT) AS bucket, t.tbl
+        |  FROM vn, (SELECT unnest(range($tables)) AS tbl) t, prm
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |  FROM bk a JOIN bk c ON a.tbl = c.tbl AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id
+        |)
+        |SELECT cand.vec_a, cand.vec_b,
+        |  ROUND(list_dot_product(av.e, bv.e) / (av.nrm * bv.nrm), 6) AS cosine
+        |FROM cand JOIN vn av ON av.vec_id = cand.vec_a
+        |          JOIN vn bv ON bv.vec_id = cand.vec_b
+        |WHERE list_dot_product(av.e, bv.e) / (av.nrm * bv.nrm) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, dir) =>
+      val v = vectors(s, dir).drop("nrm")
+      graft.ops.VectorSearch.nearDupPairs(v, "vec_id", "e", dim = 64,
+        threshold = 0.45, bits = 0, tables = 6)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+
     // ---- embedding-cosine near-duplicate pairs (exact oracle twin) -------
     sql("emb_neardup_pairs",
       s"""WITH v AS (

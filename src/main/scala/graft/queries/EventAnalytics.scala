@@ -992,6 +992,60 @@ object EventAnalytics {
         .orderBy("event_type")
     },
 
+    // ---- streaming running funnel on the batch path ----------------------
+    // StreamingOps.runningFunnel executed as one batch: the per-key
+    // sorted greedy fold over the 8·n-byte step-time state must equal
+    // batch Funnel.steps on any input order (see the operator's
+    // scaladoc for the proof), so the oracle is the SAME conditional-min
+    // cascade as ev_funnel_users. StreamingSpec separately pins
+    // 3 event-time-ordered micro-batches == 1 batch, plus TTL eviction.
+    sql("ev_streaming_funnel",
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS t, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE user_id IS NOT NULL
+        |), s1 AS (
+        |  SELECT k, MIN(us) AS t1_us FROM e WHERE t = 'signup' GROUP BY k
+        |), s2 AS (
+        |  SELECT s1.k, t1_us, MIN(CASE WHEN e2.us > t1_us THEN e2.us END) AS t2_us
+        |  FROM s1 LEFT JOIN e e2 ON e2.k = s1.k AND e2.t = 'view'
+        |  GROUP BY s1.k, t1_us
+        |), s3 AS (
+        |  SELECT s2.k, t1_us, t2_us, MIN(CASE WHEN e3.us > t2_us THEN e3.us END) AS t3_us
+        |  FROM s2 LEFT JOIN e e3 ON e3.k = s2.k AND e3.t = 'click'
+        |  GROUP BY s2.k, t1_us, t2_us
+        |), s4 AS (
+        |  SELECT s3.k, t1_us, t2_us, t3_us, MIN(CASE WHEN e4.us > t3_us THEN e4.us END) AS t4_us
+        |  FROM s3 LEFT JOIN e e4 ON e4.k = s3.k AND e4.t = 'purchase'
+        |  GROUP BY s3.k, t1_us, t2_us, t3_us
+        |)
+        |SELECT k AS user_id, t1_us, t2_us, t3_us, t4_us,
+        |  CASE WHEN t4_us IS NOT NULL THEN 4 WHEN t3_us IS NOT NULL THEN 3
+        |       WHEN t2_us IS NOT NULL THEN 2 ELSE 1 END AS steps_completed
+        |FROM s4
+        |ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val stepTypes = Seq("signup", "view", "click", "purchase")
+      val stepIdx = map(stepTypes.zipWithIndex.flatMap { case (t, i) =>
+        Seq(lit(t), lit(i + 1)) }: _*)
+      val pts = ev(s, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin(stepTypes: _*))
+        .select(col("user_id").as("key"),
+          element_at(stepIdx, col("event_type")).as("step"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[StreamingOps.FunnelPoint]
+      StreamingOps.runningFunnel(pts, nSteps = stepTypes.size).toDF()
+        .select(col("key").as("user_id"),
+          get(col("t_us"), lit(0)).as("t1_us"),
+          get(col("t_us"), lit(1)).as("t2_us"),
+          get(col("t_us"), lit(2)).as("t3_us"),
+          get(col("t_us"), lit(3)).as("t4_us"),
+          col("steps_completed"))
+        .orderBy("user_id")
+    },
+
     // ---- F5: context window around an anchor timestamp -------------------
     sql("ev_context_window",
       """SELECT event_id, event_type, value

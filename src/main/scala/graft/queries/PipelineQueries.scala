@@ -408,6 +408,14 @@ object PipelineQueries {
     // below), so per-cluster pair volume grows ~√N with the corpus.
     // Cross-cluster near-dups are invisible BY DESIGN (the paper's
     // recall trade); emb_neardup_lsh is the pair-complete path.
+    // ORACLE EXACTNESS: this DuckDB twin computes the exact all-pairs
+    // within-cell rule — and so does the Spark operator on every corpus
+    // this oracle can run on, because the tier-2 quantized collapse (the
+    // mass-near-duplication guard, one-sided over-keep inside its
+    // quantization margin) only engages when a cell holds more than
+    // SemDedupTier2CellBound tier-1 reps. A balanced autoCells corpus
+    // stays under the bound at any verifiable scale, so both engines
+    // compute the same function by construction, not by fixture luck.
     sql("emb_semdedup", {
       val threshold = 0.45
       val trainCap = graft.ops.VectorSearch.DefaultTrainCap
@@ -476,7 +484,7 @@ object PipelineQueries {
     // (500 → 23 cells) verify the literal path — both against the full
     // Lloyd re-derivation in DuckDB.
     sql("emb_ann_ivf_auto", {
-      val (nprobe, k) = (4, 10)
+      val (nprobe, k) = (VectorSearch.AutoNprobe, 10)
       val trainCap = VectorSearch.DefaultTrainCap
       def assignSql(src: String, cf: String): String =
         s"""SELECT * EXCLUDE (rk) FROM (
@@ -547,7 +555,7 @@ object PipelineQueries {
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       VectorSearch.ivfCosine(v, v.filter(col("vec_id") < 5), "vec_id", "e",
-        k = 10, nCells = 0, nprobe = 4)
+        k = 10, nCells = 0, nprobe = VectorSearch.AutoNprobe)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -916,6 +924,37 @@ object PipelineQueries {
             1 + i % 6, i.toLong), "synthetic")
       }
       Multimodal.decodeMjpeg(s.createDataset(recs).repartition(4))
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("checksum"))
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // ---- multimodal AVI (RIFF) frame decode ------------------------------
+    // MJPEG as it actually arrives: RIFF/AVI chunks, not raw
+    // concatenated JPEGs. decodeAviFrames walks the little-endian chunk
+    // tree (LIST hdrl skipped, odd-size JUNK pad rule exercised, frames
+    // pulled from LIST movi's 00dc chunks) and pixel-decodes each frame
+    // through the same JDK JPEG path as mm_mjpeg_frames — so the oracle
+    // is the same closed form, over a DIFFERENT fixture arithmetic:
+    // g · n(n+1)/2 with g = (29 + i·7 + f·13) % 256, n = w·h.
+    sql("mm_avi_frames",
+      """SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(8 + (i * 7) % 40 AS INTEGER) AS width,
+        |  CAST(6 + (i * 5) % 28 AS INTEGER) AS height,
+        |  CAST((29 + i * 7 + f * 13) % 256 AS BIGINT)
+        |    * ((8 + (i * 7) % 40) * (6 + (i * 5) % 28))
+        |    * ((8 + (i * 7) % 40) * (6 + (i * 5) % 28) + 1) // 2 AS checksum
+        |FROM (SELECT i, unnest(range(1 + i % 5)) AS f
+        |      FROM (SELECT unnest(range(18)) AS i))
+        |ORDER BY media_id, frame_idx""") { (s, _) =>
+      import s.implicits._
+      val recs = (0 until 18).map { i =>
+        Multimodal.MediaRecord(i.toLong, "video",
+          Multimodal.syntheticAvi(8 + (i * 7) % 40, 6 + (i * 5) % 28,
+            1 + i % 5, i.toLong), "synthetic")
+      }
+      Multimodal.decodeAvi(s.createDataset(recs).repartition(4))
         .toDF()
         .select(col("media_id"), col("frame_idx"), col("width"),
           col("height"), col("checksum"))

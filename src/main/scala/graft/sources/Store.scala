@@ -46,11 +46,19 @@ object Store {
     val resolved = currentDataDir(dir)
     rawWriteEvents(events, resolved, mode)
     if (currentDataDir(dir) != resolved || lock.isFile)
+      // The pre-check and the write are not one atomic step: a compaction
+      // that started just after the pre-check may have READ this append
+      // (and carried it into the new version) or missed it — we cannot
+      // tell from here. Blind re-driving would duplicate the rows in the
+      // first case, so the error demands verification, not a retry.
       throw new java.io.IOException(
         s"store $dir was compacted while this write was in flight; " +
-          s"the rows written to $resolved belong to a superseded version " +
-          "and will be dropped — re-drive this append against the new " +
-          "current version")
+          s"the rows written to $resolved MAY OR MAY NOT have been " +
+          "carried into the new current version (the compactor read the " +
+          "old version at an unknown point relative to this write). " +
+          "Verify before re-driving: compare the new version's row count " +
+          "against the expected total, and only re-append if the rows " +
+          "are absent")
   }
 
   private def lockFile(dir: String): java.io.File =

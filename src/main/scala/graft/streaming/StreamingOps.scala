@@ -514,4 +514,90 @@ object StreamingOps {
           }
         })
   }
+
+  case class FunnelPoint(key: Long, step: Int, us: Long,
+      ts: java.sql.Timestamp = null)
+  /** t(i) = epoch-micros of funnel step i+1, [[FunnelUnset]] when the key
+    * has not reached it. The set entries are strictly increasing and form
+    * a prefix (step i can only be set once step i-1 is). */
+  case class FunnelState(t: Array[Long])
+  case class RunningFunnel(key: Long, t_us: Seq[Long], steps_completed: Int)
+
+  val FunnelUnset: Long = Long.MinValue
+
+  /** Keyed RUNNING ordered funnel — the streaming carrier of
+    * [[graft.ops.Funnel.steps]]: per key, hold ONLY the t₁..tₙ step-time
+    * vector across triggers (state = EXACTLY 8·n bytes per key, TTL-able
+    * like the other carriers) and after each trigger emit the key's
+    * current (step times, steps_completed) — `t_us` carries the completed
+    * prefix, so `get(t_us, i-1)` is tᵢ or null, matching the batch
+    * schema.
+    *
+    * Within a trigger the group's rows fold SORTED by (us, step), and the
+    * sorted greedy fold IS the batch funnel: t₁ is set by the earliest
+    * step-1 event before any later event folds; a step-i event at time s
+    * folds after tᵢ₋₁ is final (s > tᵢ₋₁ means it sorts later), so the
+    * first accepted one is exactly min{s ∈ Sᵢ : s > tᵢ₋₁} — and events
+    * skipped while tᵢ₋₁ was unset are ≤ the eventual tᵢ₋₁, which the
+    * batch's STRICTLY-after rule excludes too. Hence one batch = the
+    * whole corpus (the registered `ev_streaming_funnel` execution)
+    * reproduces `Funnel.steps` bit-for-bit on ANY input order, and a
+    * multi-trigger stream reproduces it whenever each key's triggers
+    * arrive event-time ordered (the watermark contract). Cross-trigger
+    * LATE data degrades gracefully, never inconsistently: a late step-1
+    * event lowers t₁ (the chain t₁<t₂<… stays valid); a late step-i
+    * event refines tᵢ only against evidence still in hand — the t-vector
+    * cannot recall step-i events discarded in earlier triggers (that
+    * would take unbounded state), which is the documented approximation.
+    *
+    * Scale note: the per-trigger sort is bounded by what the trigger
+    * delivers per key, not the corpus. In the batch-as-oracle execution a
+    * key's ENTIRE history sorts in one task — that is the verification
+    * harness's cost; a batch job wants [[graft.ops.Funnel.steps]], whose
+    * conditional-min plan never materializes a key's event list. */
+  def runningFunnel(points: Dataset[FunnelPoint], nSteps: Int,
+      stateTtlMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[RunningFunnel] = {
+    require(nSteps >= 2, "a funnel needs at least two steps")
+    import points.sparkSession.implicits._
+    val src = if (stateTtlMs > 0L)
+      points.withWatermark("ts", watermarkDelay) else points
+    val timeout = if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (key: Long, rows: Iterator[FunnelPoint],
+            state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+          val t = state.getOption.map(_.t.clone())
+            .getOrElse(Array.fill(nSteps)(FunnelUnset))
+          val ordered = rows.toArray.sortBy(p => (p.us, p.step))
+          ordered.foreach { p =>
+            val i = p.step - 1
+            if (i == 0) {
+              if (t(0) == FunnelUnset || p.us < t(0)) t(0) = p.us
+            } else if (i > 0 && i < nSteps && t(i - 1) != FunnelUnset &&
+                p.us > t(i - 1) &&
+                (t(i) == FunnelUnset || p.us < t(i))) {
+              t(i) = p.us
+            }
+          }
+          if (t(0) == FunnelUnset) {
+            // no step-1 evidence yet: batch emits nothing for this key,
+            // and (strictly-after) its step-2+ events seen so far could
+            // never have counted — hold no state at all
+            Iterator.empty
+          } else {
+            state.update(FunnelState(t))
+            armTtl(state, stateTtlMs)
+            val done = t.takeWhile(_ != FunnelUnset)
+            Iterator.single(RunningFunnel(key, done.toSeq, done.length))
+          }
+          }
+        })
+  }
 }

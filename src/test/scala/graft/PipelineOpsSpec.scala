@@ -240,17 +240,41 @@ class PipelineOpsSpec extends SparkSpec {
     // 0.99975. The gate must keep BOTH (all-pairs keeps both); an
     // ungated collapse would wrongly drop id 2. A third, uniformly
     // rescaled copy of id 1 is IN bound (cosine 1) and must drop.
+    // tier2CellBound = 1 FORCES tier-2 on this 3-rep cell (the default
+    // bound would adaptively skip it — covered by the next test).
     val v1 = 1.0 +: Seq.fill(100)(0.003)
     val v2 = 1.0 +: Seq.fill(100)(-0.003)
     val v3 = v1.map(_ * 1.0000001)
     val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "e")
     val got = VectorSearch.semDedup(df, "vec_id", "e",
-        threshold = 0.999, k = 1)
+        threshold = 0.999, k = 1, tier2CellBound = 1)
       .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
     assert(got(1L) == 1, "min-id rep keeps")
     assert(got(2L) == 1,
       "same-code rep below the collapse bound must get the exact decision")
     assert(got(3L) == 0, "in-bound rescaled copy collapses and drops")
+  }
+
+  test("semDedup tier-2 stays OFF below the cell bound (exact path)") {
+    GraftFunctions.register(spark)
+    // Same vectors as the gate test under the DEFAULT bound: no cell
+    // exceeds SemDedupTier2CellBound, so the operator must run the exact
+    // all-pairs-within-cell rule — identical decisions here (the gate is
+    // decision-safe), reached WITHOUT the tier-2 shuffles. The plan
+    // check pins the skip: no xxhash64 of a quantized code appears.
+    val v1 = 1.0 +: Seq.fill(100)(0.003)
+    val v2 = 1.0 +: Seq.fill(100)(-0.003)
+    val v3 = v1.map(_ * 1.0000001)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "e")
+    val out = VectorSearch.semDedup(df, "vec_id", "e",
+      threshold = 0.999, k = 1)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("xxhash64"),
+      "default-bound 3-rep corpus must skip the tier-2 quantized collapse")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 0),
+      "exact path must equal the all-pairs decisions")
   }
 
   test("NearestCells: matches a Scala top-n by dot product, ties to lowest cell") {
@@ -589,6 +613,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.head.checksum ===
       Multimodal.decodeMjpegFrames(
         Multimodal.MediaRecord(9L, "video", one, "t")).head.checksum)
+  }
+
+  test("multimodal: AVI RIFF walker pulls movi 00dc frames; non-AVI drops") {
+    def want(id: Long, w: Int, h: Int, nF: Int, seed: Long) =
+      (0 until nF).map { f =>
+        val g = ((29L + seed * 7L + f * 13L) % 256L)
+        val n = (w * h).toLong
+        Multimodal.MjpegFrame(id, f, w, h, g * n * (n + 1) / 2)
+      }
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video",
+        Multimodal.syntheticAvi(20, 14, nFrames = 3, seed = 4L), "t"),
+      Multimodal.MediaRecord(2L, "video",
+        Multimodal.syntheticAvi(9, 7, nFrames = 1, seed = 11L), "t"),
+      // RAW concatenated JPEGs are NOT an AVI: no RIFF header, no rows
+      Multimodal.MediaRecord(3L, "video",
+        Multimodal.syntheticMjpeg(20, 14, 2, 4L), "t"),
+      Multimodal.MediaRecord(4L, "video",
+        "RIFF but not really".getBytes("UTF-8"), "t"))
+    import spark.implicits._
+    val out = Multimodal.decodeAvi(spark.createDataset(recs).repartition(2))
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    // same gray arithmetic as MJPEG → same closed-form checksums; the
+    // walker must skip hdrl/avih and the odd-sized JUNK chunk (pad rule)
+    // to land on the movi frames
+    assert(out.toSeq === want(1L, 20, 14, 3, 4L) ++ want(2L, 9, 7, 1, 11L),
+      "every movi 00dc frame must decode to its closed-form checksum")
+    // the JPEG payloads inside the container are the SAME bytes the raw
+    // MJPEG path decodes — cross-check one frame against decodeMjpegFrames
+    assert(out.head.checksum ===
+      Multimodal.decodeMjpegFrames(Multimodal.MediaRecord(9L, "video",
+        Multimodal.syntheticMjpeg(20, 14, 1, 4L), "t")).head.checksum)
   }
 
   test("multimodal: mp4 box parser reads mvhd/tkhd/stsd; non-containers drop") {

@@ -272,6 +272,103 @@ class StreamingSpec extends SparkSpec {
       s"fresh sample must hold only post-eviction rows: ${m.toSeq}")
   }
 
+  private def fp(key: Long, step: Int, at: String): StreamingOps.FunnelPoint = {
+    val t = ts(at)
+    StreamingOps.FunnelPoint(key, step, t.getTime * 1000L, t)
+  }
+
+  test("running funnel: multi-trigger state equals batch Funnel.steps") {
+    implicit val sqlCtx = spark.sqlContext
+    val stepTypes = Seq("signup", "view", "click", "purchase")
+    // per-key shapes: full funnel with repeats and a tie (key 1's view at
+    // the SAME micro as its signup must not count — strictly after), a
+    // step-1-only key (2), a skipped step (3: purchase without click must
+    // leave t3/t4 null), no-signup noise (4: absent from both engines),
+    // and a funnel whose steps straddle the trigger boundaries (5)
+    val all = Seq(
+      fp(1L, 1, "2025-01-01 00:00:02"), fp(1L, 2, "2025-01-01 00:00:02"),
+      fp(1L, 1, "2025-01-01 00:00:05"), fp(1L, 2, "2025-01-01 00:00:07"),
+      fp(2L, 1, "2025-01-01 00:00:03"), fp(4L, 2, "2025-01-01 00:00:04"),
+      fp(3L, 1, "2025-01-01 00:00:06"), fp(5L, 1, "2025-01-01 00:00:08"),
+      // trigger 2 (event times strictly after trigger 1's)
+      fp(1L, 3, "2025-01-01 00:01:00"), fp(1L, 2, "2025-01-01 00:01:01"),
+      fp(3L, 2, "2025-01-01 00:01:02"), fp(3L, 4, "2025-01-01 00:01:03"),
+      fp(4L, 3, "2025-01-01 00:01:04"), fp(5L, 2, "2025-01-01 00:01:05"),
+      // trigger 3
+      fp(1L, 4, "2025-01-01 00:02:00"), fp(5L, 3, "2025-01-01 00:02:01"),
+      fp(1L, 4, "2025-01-01 00:02:02"), fp(2L, 1, "2025-01-01 00:02:03"))
+    val input = MemoryStream[StreamingOps.FunnelPoint]
+    val q = StreamingOps.runningFunnel(input.toDS(), nSteps = 4)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    // intra-trigger order is arbitrary (the operator sorts); the reverse
+    // slices prove it
+    input.addData(all.slice(0, 8).reverse); q.processAllAvailable()
+    input.addData(all.slice(8, 14).reverse); q.processAllAvailable()
+    input.addData(all.slice(14, 18).reverse); q.processAllAvailable()
+    val rows = spark.table("funnel_out")
+      .as[StreamingOps.RunningFunnel].collect()
+    q.stop()
+    // one emission per key per trigger it appears in (key 4 never: no
+    // step-1 evidence ever arrives)
+    assert(!rows.exists(_.key == 4L), "no-signup key must never emit")
+    val last = rows.groupBy(_.key).view
+      .mapValues(_.maxBy(_.steps_completed)).toMap
+    // == batch Funnel.steps over the same events, bit-for-bit
+    val evDf = all.map(p => (p.key, stepTypes(p.step - 1), p.ts))
+      .toDF("user_id", "event_type", "ts")
+    val batch = graft.ops.Funnel.steps(evDf, stepTypes)
+      .collect().map { r =>
+        val t = (1 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+        r.getLong(0) -> ((t, r.getInt(5)))
+      }.toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (key, got) =>
+      val (bt, bSteps) = batch(key)
+      assert(got.steps_completed === bSteps, s"key $key steps_completed")
+      val gotT = (0 until 4).map(i =>
+        if (i < got.t_us.length) Some(got.t_us(i)) else None)
+      assert(gotT === bt, s"key $key step times: $gotT vs $bt")
+    }
+    // spot-pin the tricky shapes: the tie was excluded (key 1's t2 is the
+    // 00:00:07 view, not the 00:00:02 one), the skipped step blocked key 3
+    assert(last(1L).t_us(1) === ts("2025-01-01 00:00:07").getTime * 1000L)
+    assert(last(3L).steps_completed === 2,
+      "purchase without click must not complete the funnel")
+    assert(last(2L).steps_completed === 1)
+  }
+
+  test("running funnel: state TTL evicts idle keys; re-arrival starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.FunnelPoint]
+    val q = StreamingOps.runningFunnel(input.toDS(), nSteps = 4,
+        stateTtlMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    // b1: key 1 completes steps 1-2 — timeout armed at wm + 1s
+    input.addData(fp(1L, 1, "2025-01-01 00:00:00"),
+      fp(1L, 2, "2025-01-01 00:00:01"))
+    q.processAllAvailable()
+    // b2+b3: only key 2, an hour later — key 1's state evicts silently
+    input.addData(fp(2L, 1, "2025-01-01 01:00:00")); q.processAllAvailable()
+    input.addData(fp(2L, 1, "2025-01-01 01:00:01")); q.processAllAvailable()
+    // b4: key 1 re-arrives with a VIEW — without its evicted t1 this is
+    // pre-step-1 evidence and must emit (and store) nothing
+    input.addData(fp(1L, 2, "2025-01-01 01:00:02")); q.processAllAvailable()
+    // b5: key 1 re-signs-up — a fresh funnel starting at step 1 (the b4
+    // view is gone: strictly-ordered delivery means it could never have
+    // counted against a later signup anyway)
+    input.addData(fp(1L, 1, "2025-01-01 01:00:03")); q.processAllAvailable()
+    val rows = spark.table("funnel_ttl_out")
+      .as[StreamingOps.RunningFunnel].collect()
+    q.stop()
+    val k1 = rows.filter(_.key == 1L).sortBy(_.t_us.head)
+    assert(k1.map(_.steps_completed).toSeq === Seq(2, 1),
+      s"evicted key must restart at step 1, got ${k1.toSeq}")
+    assert(k1.last.t_us === Seq(ts("2025-01-01 01:00:03").getTime * 1000L),
+      "fresh funnel must hold only the post-eviction signup")
+  }
+
   // ---- out-of-order / late-data semantics ---------------------------------
   // The ordered-input tests above prove streaming == batch; these prove the
   // watermark CONTRACT — out-of-order rows inside the lateness bound still
