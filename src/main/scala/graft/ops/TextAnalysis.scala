@@ -474,4 +474,101 @@ object TextAnalysis {
       ((d("sy") - (num / denX) * d("sx")) / (kD * 1e6)).as("intercept"),
       ((num * num) / (denX * denY)).as("r2"))
   }
+
+  /** Words of a text row, Bpe-compatible: lowercased `[a-z]+` runs. */
+  private def words(textCol: Column): Column =
+    regexp_extract_all(lower(textCol), lit("[a-z]+"), lit(0))
+
+  /** Micro-fixed-point smooth IDF: round(1e6·ln((N+1)/(df+1))) + 1e6 —
+    * ln is 1-ulp-stable across engines only after the micro rounding
+    * (the zipfFit convention), and every downstream score stays an
+    * exact BIGINT so rankings can never flip on float summation order. */
+  private def idfFp(n: Column, df: Column): Column =
+    round(log((n.cast("double") + 1.0) / (df.cast("double") + 1.0)) * 1e6)
+      .cast("long") + lit(1000000L)
+
+  /** Per-document top-k terms by TF-IDF — the relevance profile a
+    * training-data pipeline uses for topic mixing and probe retrieval.
+    *
+    * Scale shape: one corpus pass explodes words into (doc, word, tf)
+    * (map-side combinable groupBy); document frequencies are a SECOND
+    * aggregate of that same frame (vocab-sized output), joined back on
+    * the word key — a vocab-bounded shuffle, never a corpus-squared one;
+    * the corpus count rides in as a broadcast 1-row cross join. The
+    * rank window partitions by doc_id (bounded rows per doc — never a
+    * global sort). Scores are EXACT integers: micros(idf) · tf, so the
+    * (score desc, term asc) rank order replays identically in any
+    * engine; `score_micro` is the exact fixed-point value.
+    * Returns (idCol, rk, term, tf, score_micro). */
+  def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n"))
+    tf.join(dfreq, "term")
+      .join(broadcast(n))
+      .withColumn("score_micro", col("tf") * idfFp(col("n"), col("df")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score_micro").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"),
+        col("score_micro"))
+  }
+
+  /** BM25 document ranking for a FIXED query-term set (Robertson/
+    * Spärck Jones; k1 = 1.2, b = 0.75 folded into exact integer
+    * arithmetic) — the retrieval scorer of the dedup/decontam probe
+    * loop.
+    *
+    * Per term: score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * With W = Σdl and N = #docs (avgdl = W/N), multiplying through by
+    * 10·W turns the denominator into the exact integer
+    * 10·W·tf + 3·W + 9·dl·N, so the per-term score in micros is the
+    * exact integral quotient 22·W·idf_fp·tf div (10·W·tf + 3·W + 9·dl·N)
+    * — computed in DECIMAL(38,0) so corpus-scale W cannot overflow —
+    * and the per-doc total is an exact BIGINT sum: rank order is
+    * engine-independent by construction, no float ever enters.
+    *
+    * Scale shape: `terms` is a literal handful, so tf filters BEFORE its
+    * groupBy (the per-doc frame is |terms|-bounded); dl is one map-side
+    * combinable count per doc; W/N/df ride as broadcast 1-row / |terms|-
+    * row frames. Output is top-`limit` by (score desc, id asc).
+    * Returns (idCol, n_terms, score_micro). */
+  def bm25TopDocs(df: DataFrame, terms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      limit: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val w = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val dl = w.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum(col("dl")).cast("long").as("w_total"),
+      count(lit(1)).cast("long").as("n"))
+    val tf = w.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(tot))
+      .join(dl, idCol)
+      // BM25's own idf — ln(1 + (N − df + 0.5)/(df + 0.5)) — in micros
+      .withColumn("idf_fp",
+        round(log(lit(1.0) + (col("n").cast("double") -
+          col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)) * 1e6).cast("long"))
+      // SQL `div` (IntegralDivide): the EXACT integral quotient — a
+      // decimal true-divide would round at result scale and a floor of
+      // it could cross an integer boundary
+      .withColumn("s", expr(
+        """CAST((CAST(22 AS DECIMAL(38,0)) * w_total * idf_fp * tf) div
+          |(CAST(10 AS DECIMAL(38,0)) * w_total * tf +
+          | CAST(3 AS DECIMAL(38,0)) * w_total +
+          | CAST(9 AS DECIMAL(38,0)) * dl * n) AS BIGINT)""".stripMargin))
+    perTerm.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("s")).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(limit)
+  }
 }

@@ -88,6 +88,79 @@ object DocAnalytics {
         .orderBy("source")
     },
 
+    // ---- per-doc top TF-IDF terms (exact fixed-point scores) -------------
+    // One corpus pass → (doc, term, tf); df is a vocab-bounded second
+    // aggregate of that frame joined back on the term key; N broadcasts.
+    // Scores are exact BIGINT micros (tf · micro(idf)) so the per-doc
+    // rank order — the ONLY window, partitioned by doc — replays
+    // identically in DuckDB. Capped to doc_id < 200 for output size only.
+    sql("doc_tfidf_terms",
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT COUNT(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT doc_id, term, tf,
+        |    tf * (CAST(ROUND(ln((n + 1.0) / (df + 1.0)) * 1e6) AS BIGINT)
+        |          + 1000000) AS score_micro
+        |  FROM tf JOIN dfreq USING (term), n
+        |)
+        |SELECT doc_id, rk, term, tf, score_micro FROM (
+        |  SELECT doc_id, term, tf, score_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, term) AS INTEGER) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 AND doc_id < 200
+        |ORDER BY doc_id, rk""") { (s, dir) =>
+      graft.ops.TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3)
+        .filter(col("doc_id") < 200)
+        .orderBy("doc_id", "rk")
+    },
+
+    // ---- BM25 retrieval over the corpus (exact integer ranking) ----------
+    // Fixed query-term set, k1=1.2 / b=0.75 folded into the exact
+    // integral quotient 22·W·idf_fp·tf div (10·W·tf + 3·W + 9·dl·N) —
+    // no float enters the rank key, so top-20 by (score desc, doc)
+    // is engine-independent. tf filters to the query terms BEFORE
+    // aggregating; W/N/df broadcast.
+    sql("doc_bm25_topk",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w GROUP BY doc_id
+        |), tot AS (
+        |  SELECT CAST(SUM(dl) AS BIGINT) AS w_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), per AS (
+        |  SELECT tf.doc_id,
+        |    CAST((CAST(22 AS HUGEINT) * w_total *
+        |      (CAST(ROUND(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT))
+        |      * tf) //
+        |      (CAST(10 AS HUGEINT) * w_total * tf + 3 * w_total + 9 * dl * n)
+        |      AS BIGINT) AS s
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), tot
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(s) AS BIGINT) AS score_micro
+        |FROM per GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id
+        |LIMIT 20""") { (s, dir) =>
+      graft.ops.TextAnalysis.bm25TopDocs(docs(s, dir),
+        Seq("spark", "join", "window"), "doc_id", "text", 20)
+    },
+
     // ---- per-doc quality scoring (stopword ratio, token stats) -----------
     sql("doc_quality",
       """SELECT doc_id, n_tokens, stop_tokens,

@@ -46,6 +46,12 @@ class PlanGuardSpec extends SparkSpec {
     // unigram-LM scoring: 1-row denominator / OOV-constant aggregates
     // broadcast into the vocab build and the per-token scoring
     "doc_unigram_nll" -> "broadcast sides are 1-row total/denominator aggregates",
+    // TF-IDF: the 1-row corpus-count aggregate crossJoined into the
+    // vocab-bounded (doc, term, tf) scoring frame
+    "doc_tfidf_terms" -> "broadcast side is the 1-row corpus-count aggregate",
+    // BM25: the 1-row (W, N) corpus-totals aggregate crossJoined into
+    // the |query-terms|-bounded per-doc scoring frame
+    "doc_bm25_topk" -> "broadcast side is the 1-row corpus-totals aggregate",
     // DSIR log-ratio model: the 1-row corpus/target token totals
     // broadcast into the ≤buckets-row bucket-stats frame
     "doc_dsir_weights" -> "broadcast side is the 1-row token-totals aggregate",

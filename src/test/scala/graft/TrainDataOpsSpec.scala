@@ -227,6 +227,66 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(byId(4L)._2 === 0L && byId(4L)._4.isEmpty)
   }
 
+  test("tfidfTopTerms and bm25TopDocs match naive in-memory models") {
+    val docsSeq = Seq(
+      (1L, "spark spark spark join window the a"),
+      (2L, "join join window window window common common common common"),
+      (3L, "spark join window common the"),
+      (4L, "the a common common"),                // no query-term hits
+      (5L, "Spark JOIN window spark, join!"))     // case/punct: [a-z]+ runs
+    def toks(t: String): Seq[String] =
+      "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+    val n = docsSeq.size.toLong
+    val tf = docsSeq.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, o) => (id, w, o.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+    // TF-IDF: exact micros tf·(round(1e6·ln((N+1)/(df+1))) + 1e6), top 3
+    // by (score desc, term asc)
+    def idfFp(d: Long): Long =
+      math.round(math.log((n + 1.0) / (d + 1.0)) * 1e6) + 1000000L
+    val wantTfidf = docsSeq.flatMap { case (id, _) =>
+      tf.filter(_._1 == id)
+        .map { case (_, w, f) => (w, f, f * idfFp(df(w))) }
+        .sortBy { case (w, _, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((w, f, s), i) => (id, i + 1, w, f, s) }
+    }.sortBy(x => (x._1, x._2))
+    val gotTfidf = TextAnalysis.tfidfTopTerms(docsSeq.toDF("doc_id", "text"))
+      .orderBy("doc_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(gotTfidf.toSeq === wantTfidf,
+      s"tfidf drifted\ngot:  ${gotTfidf.toSeq}\nwant: $wantTfidf")
+
+    // BM25: exact BigInt integral quotients, summed per doc
+    val terms = Seq("spark", "join", "window")
+    val dl = docsSeq.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val w = dl.values.sum
+    def bmIdf(d: Long): Long =
+      math.round(math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * 1e6)
+    val wantBm = docsSeq.map(_._1).flatMap { id =>
+      val hits = tf.filter(t => t._1 == id && terms.contains(t._2))
+      if (hits.isEmpty) None
+      else {
+        val s = hits.map { case (_, t, f) =>
+          (BigInt(22) * w * bmIdf(df(t)) * f /
+            (BigInt(10) * w * f + BigInt(3) * w + BigInt(9) * dl(id) * n))
+            .toLong
+        }.sum
+        Some((id, hits.size.toLong, s))
+      }
+    }.sortBy(x => (-x._3, x._1))
+    val gotBm = TextAnalysis.bm25TopDocs(docsSeq.toDF("doc_id", "text"), terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotBm.toSeq === wantBm,
+      s"bm25 drifted\ngot:  ${gotBm.toSeq}\nwant: $wantBm")
+    assert(!gotBm.exists(_._1 == 4L), "a doc with no query term never ranks")
+    // rank sanity: doc 1 (3× spark, rarest-weighted) beats doc 4-style
+    // common-term docs; every score is positive
+    assert(gotBm.forall(_._3 > 0L))
+  }
+
   test("dsirWeights matches a naive driver-side log-ratio model") {
     import graft.ops.TextAnalysis
     val docsSeq = Seq(
