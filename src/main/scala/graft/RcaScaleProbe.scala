@@ -109,8 +109,14 @@ object RcaScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // a 9.57M-event cache overflows memory-only storage at this size;
-      // MEMORY_AND_DISK (Dataset.cache default) spills the tail
+      // the worker grants local-cluster[n,c,mem]'s mem, but the executor
+      // JVM still boots at the 1g spark.executor.memory DEFAULT unless
+      // told otherwise (first run died exit-52 OOM mid-ingest); size it
+      // just under the worker grant — the 9.57M-event cache wants the
+      // room, and what doesn't fit spills (Dataset.cache is
+      // MEMORY_AND_DISK)
+      .config("spark.executor.memory",
+        sys.env.getOrElse("GRAFT_PROBE_EXEC_MEM", "18g"))
       .config("spark.executor.extraClassPath",
         System.getProperty("java.class.path"))
       .config("spark.executor.extraJavaOptions",
