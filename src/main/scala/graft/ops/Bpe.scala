@@ -108,17 +108,21 @@ object Bpe {
     * frame (word, cnt, seg) with every word's FINAL segmentation, ready
     * for [[encode]].
     *
-    * Each iteration ends in `localCheckpoint()`, not `cache()`: caching
-    * materializes the DATA but leaves the LOGICAL plan growing one
-    * fold-lambda layer per merge, and re-analyzing a 64-deep
+    * The plan is truncated with `localCheckpoint()` every
+    * `checkpointEvery` merges, not `cache()` and not every iteration:
+    * caching materializes the DATA but leaves the LOGICAL plan growing
+    * one fold-lambda layer per merge, and re-analyzing a 64-deep
     * higher-order-function tree every iteration turns the driver into
     * the bottleneck long before any executor does (measured: the
-    * 64-merge loop stalls in analysis). The checkpoint truncates the
-    * plan to the materialized rows — the dict frame is bounded
-    * (≤ dictCap), so the per-iteration materialization is one tiny
-    * job, and planning cost stays constant across iterations. */
+    * 64-merge loop stalls in analysis). Checkpointing EVERY iteration
+    * pays one extra materialization job per merge; a stride of 8 keeps
+    * the unanalyzed tail ≤ 8 fold layers (re-executed per argmax over
+    * the ≤ dictCap frame — trivial next to any shuffle) while cutting
+    * the per-training job count by ~64. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      dictCap: Int = DefaultDictCap): (Seq[Merge], DataFrame) = {
+      dictCap: Int = DefaultDictCap,
+      checkpointEvery: Int = 8): (Seq[Merge], DataFrame) = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     var seg = wordDict(docs, textCol, dictCap)
       .withColumn("seg", initSeg(col("word")))
       .localCheckpoint()
@@ -145,9 +149,9 @@ object Bpe {
       val m = Merge(i, top(0).getString(0), top(0).getString(1),
         top(0).getLong(2))
       merges += m
-      seg = seg
-        .withColumn("seg", applyMerge(col("seg"), m.left, m.right))
-        .localCheckpoint()
+      seg = seg.withColumn("seg", applyMerge(col("seg"), m.left, m.right))
+      if (i % checkpointEvery == 0 || i == numMerges)
+        seg = seg.localCheckpoint()
     }
     (merges.toSeq, seg)
   }
