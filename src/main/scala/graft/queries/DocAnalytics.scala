@@ -88,6 +88,44 @@ object DocAnalytics {
         .orderBy("source")
     },
 
+    // ---- per-doc character entropy (gibberish/noise gate) -----------------
+    // H = log2(L) − (1/L)·Σ n_c·log2(n_c), every log2 micro-rounded and
+    // the divide integral — an exact BIGINT statistic in both engines.
+    // Spark side is a shuffle-free per-row sorted-fold projection; the
+    // twin recomputes the counts via unnest + GROUP BY (values, not
+    // plans, are what's compared). Gate: < 2.0 bits/char flags
+    // repeated-symbol spam; natural text sits near 4.
+    sql("doc_char_entropy",
+      """WITH cs AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM cs GROUP BY doc_id, c
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars_seen,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+        |    CAST(SUM(n * CAST(ROUND(log2(n) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_chars_seen, distinct_chars, entropy_micro,
+        |  CASE WHEN entropy_micro < 2000000 THEN 1 ELSE 0 END AS is_low_entropy
+        |FROM (
+        |  SELECT doc_id, n_chars_seen, distinct_chars,
+        |    CAST(ROUND(log2(n_chars_seen) * 1e6) AS BIGINT)
+        |      - s // n_chars_seen AS entropy_micro
+        |  FROM agg WHERE n_chars_seen > 0)
+        |ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.charEntropyStats(col("text")).as("st"))
+        .filter(col("st.n_chars_seen") > 0)
+        .select(col("doc_id"), col("st.n_chars_seen"),
+          col("st.distinct_chars"), col("st.entropy_micro"),
+          when(col("st.entropy_micro") < 2000000L, 1).otherwise(0)
+            .as("is_low_entropy"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-doc top TF-IDF terms (exact fixed-point scores) -------------
     // One corpus pass → (doc, term, tf); df is a vocab-bounded second
     // aggregate of that frame joined back on the term key; N broadcasts.

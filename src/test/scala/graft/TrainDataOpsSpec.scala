@@ -227,6 +227,42 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(byId(4L)._2 === 0L && byId(4L)._4.isEmpty)
   }
 
+  test("charEntropyStats matches a naive model; spam gates, text doesn't") {
+    def naive(t: String): (Long, Long, Long) = {
+      val cs = t.toSeq.map(_.toString)
+      val counts = cs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val L = cs.size.toLong
+      def fp(n: Long): Long = math.round(math.log(n.toDouble) / math.log(2.0) * 1e6)
+      val s = counts.values.map(n => n * fp(n)).sum
+      (L, counts.size.toLong, if (L > 0) fp(L) - s / L else 0L)
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),     // 0 bits — gate fires
+      (3L, "ababababababababababababab"),          // 1 bit — gate fires
+      (4L, "aabbbbc x"),                           // hand-checkable runs
+      (5L, "k"))                                   // single char: H = 0
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.charEntropyStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_chars_seen"),
+        col("st.distinct_chars"), col("st.entropy_micro"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naive(t), s"doc $id ('$t') drifted from the model")
+    }
+    // the gate separates spam from language
+    assert(got(2L)._3 === 0L)
+    assert(got(3L)._3 < 2000000L, "alternating 2-symbol text is ~1 bit")
+    assert(got(1L)._3 > 2000000L, "natural text is far above the gate")
+    // closed form for doc 4: runs (space:1, a:2, b:4, c:1, x:1) over L=9
+    val expect4 = math.round(math.log(9.0) / math.log(2.0) * 1e6) -
+      (2 * math.round(math.log(2.0) / math.log(2.0) * 1e6) +
+        4 * math.round(math.log(4.0) / math.log(2.0) * 1e6)) / 9
+    assert(got(4L)._3 === expect4)
+  }
+
   test("tfidfTopTerms and bm25TopDocs match naive in-memory models") {
     val docsSeq = Seq(
       (1L, "spark spark spark join window the a"),
