@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash32"), graft.functions.TextFunctions.simhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_langid"),
       info("graft_langid"), graft.functions.TextFunctions.langIdBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy"),
+      graft.functions.TextFunctions.charEntropyBuilder))
     ext.injectFunction((FunctionIdentifier("graft_split_text"),
       info("graft_split_text"), graft.functions.TextFunctions.splitTextBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),

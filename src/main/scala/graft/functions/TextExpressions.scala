@@ -283,6 +283,77 @@ object SplitTextExpr {
   }
 }
 
+/** Native per-row character-entropy statistics: one compiled O(L) pass
+  * over the UTF-16 units returning [n_chars_seen, distinct_chars,
+  * entropy_micro] (H = log2fp(L) − (Σ n_c·log2fp(n_c)) div L, every
+  * log2 micro-rounded so the statistic is an exact BIGINT — see
+  * TextAnalysis.charEntropyStats' contract). A HigherOrderFunction fold
+  * computes the same values but interprets ~5 µs/char (measured 10.7 s
+  * for sf0.1's 1.75M chars); this expression runs inside whole-stage
+  * codegen at ~ns/char. ASCII counts hit a flat 128-slot array; other
+  * units fall to a map — same multiset either way. */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_entropy expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyExpr.stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharEntropyExpr.stats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CharEntropyExpr {
+  private def log2fp(n: Long): Long =
+    Math.round(Math.log(n.toDouble) / Math.log(2.0) * 1e6)
+
+  def stats(u: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = u.toString
+    val len = s.length.toLong
+    if (len == 0L)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(0L, 0L, 0L))
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Character, Long] = null
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 128) ascii(c) += 1L
+      else {
+        if (other == null) other = new java.util.HashMap[Character, Long]()
+        other.merge(c, 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var sum = 0L
+    var k = 0L
+    var j = 0
+    while (j < 128) {
+      val n = ascii(j)
+      if (n > 0L) { sum += n * log2fp(n); k += 1L }
+      j += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      k += other.size().toLong
+      while (it.hasNext) { val n = it.next(); sum += n * log2fp(n) }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(len, k, log2fp(len) - sum / len))
+  }
+}
+
 object TextFunctions {
   /** Shared builder (per-session registry AND GraftExtensions). */
   val md5SeedsBuilder: Seq[Expression] => Expression = exprs => {
@@ -301,6 +372,12 @@ object TextFunctions {
     require(exprs.length == 1,
       s"simhash32 expects (text), got ${exprs.length} arguments")
     SimHash32(exprs.head)
+  }
+
+  val charEntropyBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"graft_char_entropy expects (text), got ${exprs.length} arguments")
+    CharEntropyExpr(exprs.head)
   }
 
   val langIdBuilder: Seq[Expression] => Expression = exprs => {
@@ -332,6 +409,8 @@ object TextFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_langid", langIdBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_entropy", charEntropyBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_split_text", splitTextBuilder, "built-in")
   }
 
@@ -344,6 +423,9 @@ object TextFunctions {
   }
   def langId(c: Column): Column = {
     register(SparkSession.active); call_function("graft_langid", c)
+  }
+  def charEntropy(c: Column): Column = {
+    register(SparkSession.active); call_function("graft_char_entropy", c)
   }
   def splitText(c: Column, chunkSize: Int, overlap: Int): Column = {
     register(SparkSession.active)

@@ -487,42 +487,23 @@ object TextAnalysis {
     * engine differences vanish under the rounding) and the final divide
     * INTEGRAL, so the statistic is an exact BIGINT in any engine.
     *
-    * Scale shape: a pure per-row projection — sorted-char-array fold
-    * (the top2GramStats move), no explode, no shuffle; runs inline with
-    * the scan at any corpus size. The DuckDB twin computes the same
-    * counts via unnest + GROUP BY (its list_reduce lacks an initial
-    * accumulator) — equality is on values, not plans. ASCII-safe; on
-    * astral text Spark folds UTF-16 units where DuckDB splits
-    * codepoints (the doc_langid caveat).
+    * Scale shape: a pure per-row projection backed by the NATIVE
+    * [[graft.functions.CharEntropyExpr]] — one compiled O(L) pass per
+    * row inside whole-stage codegen, no explode, no shuffle; runs
+    * inline with the scan at any corpus size. (The first cut was a
+    * sorted-char-array `aggregate()` fold — value-identical, but
+    * higher-order functions interpret at ~5 µs/char and the fixture
+    * corpus alone cost 10.7 s; the native expression is ~ns/char.)
+    * The DuckDB twin computes the same counts via unnest + GROUP BY —
+    * equality is on values, not plans. ASCII-safe; on astral text the
+    * expression counts UTF-16 units where DuckDB splits codepoints
+    * (the doc_langid caveat).
     * Returns struct(n_chars_seen, distinct_chars, entropy_micro). */
   def charEntropyStats(textCol: Column): Column = {
-    def log2fp(n: Column): Column =
-      round(log(2.0, n.cast("double")) * 1e6).cast("long")
-    def flush(a: Column): Column =
-      when(a("run") > 0, a("run") * log2fp(a("run"))).otherwise(lit(0L))
-    val cs = array_sort(filter(split(textCol, ""), x => x =!= ""))
-    val folded = aggregate(cs,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc"),
-        lit(0L).as("k")),
-      (a, x) => {
-        val cont = x === a("prev")
-        struct(x.as("prev"),
-          when(cont, a("run") + 1).otherwise(lit(1L)).as("run"),
-          when(cont, a("acc")).otherwise(a("acc") + flush(a)).as("acc"),
-          when(cont, a("k")).otherwise(a("k") + 1).as("k"))
-      },
-      // finish flushes the final run — no sentinel element, so a text
-      // of any content (even NULs) folds correctly
-      a => struct((a("acc") + flush(a)).as("s"), a("k").as("k")))
-    val len = size(cs).cast("long")
-    val s = folded("s")
-    // exact integral divide: operands are non-negative longs and
-    // (s − s % L) is a multiple of L, so the double divide is exact
-    // (s ≤ L·log2fp(L) stays far under 2^53 for any real document)
-    val intDiv = ((s - pmod(s, len)) / len).cast("long")
-    struct(len.as("n_chars_seen"), folded("k").as("distinct_chars"),
-      when(len > 0, log2fp(len) - intDiv).otherwise(lit(0L))
-        .as("entropy_micro"))
+    val st = graft.functions.TextFunctions.charEntropy(textCol)
+    struct(element_at(st, 1).as("n_chars_seen"),
+      element_at(st, 2).as("distinct_chars"),
+      element_at(st, 3).as("entropy_micro"))
   }
 
   /** Micro-fixed-point smooth IDF: round(1e6·ln((N+1)/(df+1))) + 1e6 —
