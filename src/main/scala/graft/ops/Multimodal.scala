@@ -222,6 +222,88 @@ object Multimodal {
     ds.mapPartitions(_.flatMap(decimateWavMeta(_, everyN)))
   }
 
+  case class WavFrameFeatures(
+      media_id: Long,
+      frame_idx: Long,      // analysis-window index (windowLen PCM frames)
+      n_samples: Long,      // samples in this window across channels
+      energy_sq: Long,      // Σ s² — exact integer energy
+      zero_crossings: Long, // strict sign flips per channel inside the window
+      peak_abs: Long)       // max |s|
+
+  /** ==== REAL ==== per-window audio features over the decoded PCM — the
+    * feature-extraction step an audio training pipeline runs before
+    * quality gating (silence/clipping detection via energy + peak,
+    * noisiness via zero-crossing rate). The stream decodes through the
+    * JDK codec and every statistic is an exact integer (Σ s², sign-flip
+    * counts, max |s|), so an oracle can re-derive all of them closed-form
+    * from planted sample arithmetic — a hash match proves the real decode
+    * ran AND the window/channel indexing is exactly right.
+    *
+    * Windows are non-overlapping runs of `windowLen` PCM frames (the last
+    * may be short — n_samples says so); a zero crossing is a strict sign
+    * change between a frame and its predecessor IN THE SAME WINDOW and
+    * channel (window-local, so windows are independently computable under
+    * any partitioning — and independently replayable in SQL). Only 16-bit
+    * little-endian signed PCM qualifies (the syntheticWav contract). */
+  def wavFrameFeaturesMeta(r: MediaRecord,
+      windowLen: Int): Seq[WavFrameFeatures] = {
+    require(windowLen >= 1, s"window length must be >= 1, got $windowLen")
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = ais.getFormat
+        val ok = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getFrameSize == 2 * fmt.getChannels
+        if (!ok) Seq.empty
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = ais.read(buf) }
+          val pcm = out.toByteArray
+          val ch = fmt.getChannels
+          val frameSize = 2 * ch
+          val framesIn = pcm.length / frameSize
+          def sample(f: Int, c: Int): Long = {
+            val o = f * frameSize + 2 * c
+            ((pcm(o) & 0xff) | (pcm(o + 1) << 8)).toShort.toLong
+          }
+          val nWin = (framesIn + windowLen - 1) / windowLen
+          (0 until nWin).map { w =>
+            val f0 = w * windowLen
+            val f1 = math.min(framesIn, f0 + windowLen)
+            var energy = 0L; var zc = 0L; var peak = 0L; var cnt = 0L
+            var f = f0
+            while (f < f1) {
+              var c = 0
+              while (c < ch) {
+                val s = sample(f, c)
+                energy += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                if (f > f0 && sample(f - 1, c) * s < 0L) zc += 1L
+                cnt += 1L
+                c += 1
+              }
+              f += 1
+            }
+            WavFrameFeatures(r.media_id, w.toLong, cnt, energy, zc, peak)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  /** Feature-extraction pass over a media column (partition-local decode;
+    * see [[wavFrameFeaturesMeta]]); non-PCM payloads drop. */
+  def wavFrameFeatures(ds: Dataset[MediaRecord],
+      windowLen: Int): Dataset[WavFrameFeatures] = {
+    require(windowLen >= 1, s"window length must be >= 1, got $windowLen")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(wavFrameFeaturesMeta(_, windowLen)))
+  }
+
   /** Audio-real decode pass: WAV payloads decode for real; anything the
     * audio system rejects is dropped (callers that need a total function
     * use decodeReal, which falls back to the stub). */

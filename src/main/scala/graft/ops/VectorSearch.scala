@@ -632,6 +632,140 @@ object VectorSearch {
     aggregate(zip_with(col(qa), col(qb), (x, y) => x.cast("bigint") * y),
       lit(0L), (acc, v) => acc + v)
 
+  // ---- Product Quantization (Jégou, Douze & Schmid, TPAMI 2011) ----------
+
+  /** Left-to-right double dot — the same fold order as the codegen'd
+    * DotProduct expression and DuckDB's list_dot_product, so a driver-side
+    * constant computed here is bit-identical to either engine's column. */
+  private def dotLR(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Micro fixed-point with HALF_UP (away-from-zero) rounding — the
+    * semantics of BOTH Spark's `round()` and DuckDB's `ROUND()` on
+    * doubles, applied to the exact binary value. Dots can be negative, so
+    * Math.round (floor(x+0.5)) would disagree with the engines on
+    * negative halfway values; BigDecimal HALF_UP cannot. */
+  private def microFp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).movePointRight(6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Per-subspace PQ codebooks: the vector splits into `m` contiguous
+    * subspaces of dim/m dimensions, each trained with its own
+    * deterministic k-means ([[kmeansCentroids]] on the sliced column —
+    * md5-seeded init, exact-decimal Lloyd means), so every codebook value
+    * is re-derivable in any engine. Returns m codebooks of k
+    * (cid, sub-centroid) entries, cid-ascending.
+    *
+    * Scale shape: training cost is m small k-means runs over (at most)
+    * the trainCap sample; the codebooks are m·k·(dim/m) = k·dim doubles
+    * total — driver-held and broadcast as literals, never shuffled. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 4, k: Int = 16, iters: Int = 2,
+      trainCap: Int = 0): Array[Array[(Int, Array[Double])]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    (0 until m).toArray.map { sub =>
+      val sv = corpus.select(col(idCol),
+        slice(col(vecCol), sub * dsub + 1, dsub).as("sv"))
+      kmeansCentroids(sv, idCol, "sv", k, iters, trainCap)
+    }
+  }
+
+  /** PQ encode: adds `code_0..code_{m-1}` (nearest sub-centroid per
+    * subspace, lowest-cid ties — the [[kmeansCentroids]] assignment rule)
+    * plus `recon_n2_fp`, the reconstruction's squared norm in exact micro
+    * units (each per-codeword |c|² is a driver-side micro-rounded literal;
+    * the sum of m BIGINTs is order-free, so the value is identical in any
+    * engine and under any partitioning).
+    *
+    * THIS is the index a 100 TB store persists: m code bytes a vector
+    * instead of 4·dim float bytes — a 64× smaller scan at dim=64/m=4 —
+    * while search never touches the original vectors. */
+  def pqEncode(corpus: DataFrame, vecCol: String, dim: Int,
+      books: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    val m = books.length
+    val dsub = dim / m
+    var out = corpus
+    (0 until m).foreach { sub =>
+      out = assign(
+        out.withColumn("_sv", slice(col(vecCol), sub * dsub + 1, dsub)),
+        "_sv", books(sub))
+        .withColumnRenamed("cid", s"code_$sub")
+        .drop("_sv")
+    }
+    // Lloyd can empty a cell, leaving cid gaps — slot the literal arrays
+    // BY CID (unused slots hold 0, unreachable: assign only emits cids
+    // that exist in the book)
+    val n2 = (0 until m).map { sub =>
+      val byCid = books(sub)
+        .map { case (cid, c) => cid -> microFp(dotLR(c, c)) }.toMap
+      val slots = (0 to books(sub).map(_._1).max)
+        .map(cid => lit(byCid.getOrElse(cid, 0L)))
+      element_at(array(slots: _*), col(s"code_$sub") + 1)
+    }.reduce(_ + _)
+    out.withColumn("recon_n2_fp", n2)
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): each query builds
+    * m integer lookup tables lut_s[c] = micro(dot(q_sub, codebook_s[c]))
+    * ONCE (m·k micro-rounded dots — the query row carries k·dim literal
+    * multiplies, the corpus side none), and scoring a corpus vector is m
+    * array lookups + an integer sum — O(m) per pair instead of O(dim),
+    * and bit-deterministic because micro-fixed-point sums have no float
+    * accumulation order. The approximate cosine divides by the
+    * reconstruction norm (from `recon_n2_fp`), so ranking matches the
+    * paper's dot-to-reconstruction rule; ties break by neighbor_id.
+    *
+    * Scale shape: corpus side scans codes only (m bytes/vector), queries
+    * broadcast with their LUTs, no shuffle of the big side; the window is
+    * per-query over candidate rows. Compose with [[withBuckets]] or IVF
+    * cells to prune candidates when |Q|·N scans exceed budget. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int = 4, k: Int = 16, iters: Int = 2,
+      topK: Int = 10, trainCap: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, k, iters, trainCap)
+    val dsub = dim / m
+    val enc = pqEncode(corpus, vecCol, dim, books)
+      .select(col(idCol) +: (0 until m).map(s => col(s"code_$s"))
+        :+ col("recon_n2_fp"): _*)
+    val q0 = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm",
+        sqrt(GraftFunctions.dotProduct(col("qvec"), col("qvec"))))
+    val withLuts = (0 until m).foldLeft(q0) { (acc, sub) =>
+      val qs = slice(col("qvec"), sub * dsub + 1, dsub)
+      val byCid = books(sub).toMap
+      val entries = (0 to books(sub).map(_._1).max).map { cid =>
+        byCid.get(cid) match {
+          case Some(c) =>
+            round(GraftFunctions.dotProduct(qs, array(c.map(lit(_)): _*)) * 1e6,
+              0).cast("bigint")
+          case None => lit(0L) // cid gap (emptied cell) — never looked up
+        }
+      }
+      acc.withColumn(s"lut_$sub", array(entries: _*))
+    }.drop("qvec")
+    val adcFp = (0 until m)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    enc.crossJoin(broadcast(withLuts))
+      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .withColumn("adc_fp", adcFp)
+      .withColumn("adc_cosine",
+        col("adc_fp").cast("double") / 1e6 /
+          (col("qnrm") * sqrt(col("recon_n2_fp").cast("double") / 1e6)))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("adc_fp"), col("adc_cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Brute-force top-k over int8-quantized vectors (broadcast query set).
     * Scores are cosine over the DEquantized dot: (dot_q·sa·sb)/(|a||b|)
     * with norms from the original floats — the standard recall probe for

@@ -1046,6 +1046,53 @@ object EventAnalytics {
         .orderBy("user_id")
     },
 
+    // ---- streaming running sessionization on the batch path --------------
+    // StreamingOps.runningSessions executed as one batch: the per-key
+    // eid-sorted fold over the open session's 40-byte summary must equal
+    // batch gaps-and-islands sessionization (the ev_sessionize
+    // semantics), so the oracle is the SAME lag/running-sum derivation —
+    // plus a `closed` flag (every session except the key's last is
+    // closed). StreamingSpec separately pins multi-trigger == batch
+    // under eid-ordered delivery, plus TTL eviction/fresh-restart.
+    sql("ev_streaming_sessions",
+      """WITH marked AS (
+        |  SELECT user_id, event_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    CASE WHEN CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+        |           - LAG(CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sessions AS (
+        |  SELECT user_id, sec,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked
+        |), agg AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+        |    MAX(sec) - MIN(sec) AS duration_sec
+        |  FROM sessions GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, session_id, n_events, start_sec, end_sec, duration_sec,
+        |  session_id <> MAX(session_id) OVER (PARTITION BY user_id) AS closed
+        |FROM agg
+        |ORDER BY user_id, session_id""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val pts = ev(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id").as("key"), col("event_id").as("eid"),
+          epochSec(col("ts")).as("sec"), col("ts").cast("timestamp").as("ts"))
+        .as[StreamingOps.SessionPoint]
+      StreamingOps.runningSessions(pts, gapSec = 1800L).toDF()
+        .select(col("key").as("user_id"), col("session_id"), col("n_events"),
+          col("start_sec"), col("end_sec"),
+          (col("end_sec") - col("start_sec")).as("duration_sec"),
+          col("closed"))
+        .orderBy("user_id", "session_id")
+    },
+
     // ---- F5: context window around an anchor timestamp -------------------
     sql("ev_context_window",
       """SELECT event_id, event_type, value

@@ -336,6 +336,104 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- product quantization ADC top-k (Jégou et al., TPAMI 2011) -------
+    // The vector splits into m=4 subspaces of 16 dims; each gets its own
+    // deterministic k-means codebook (md5-seeded init, exact-decimal Lloyd
+    // means — the emb_ann_ivf recipe PER SUBSPACE, re-derived keyed by
+    // `sub` below). The persisted index is m code bytes a vector (64×
+    // smaller than float32 at dim 64); search is asymmetric distance
+    // computation — each query builds m integer LUTs once, scoring a
+    // corpus vector is m lookups + an integer sum. Every LUT entry and
+    // reconstruction norm is micro-rounded BEFORE summation, so the sums
+    // are order-free BIGINTs and the ranking doubles are bit-identical in
+    // both engines (no float accumulation order anywhere past the
+    // already-decimal-exact centroids).
+    sql("emb_ann_pq", {
+      val (m, k, topK, dsub) = (4, 16, 10, 16)
+      // keyed-by-subspace nearest-sub-centroid assignment: src(vec_id,
+      // sub, se) × cf(sub, cid, c), lowest cid wins dot ties
+      def assignSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, f.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+           |      ORDER BY list_dot_product(s.se, f.c) DESC, f.cid) AS rk
+           |  FROM $src s JOIN $cf f ON s.sub = f.sub) WHERE rk = 1""".stripMargin
+      def lloydSql(assigned: String): String =
+        s"""SELECT sub, cid, list(mm ORDER BY pos) AS c FROM (
+           |  SELECT sub, cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mm
+           |  FROM (SELECT sub, cid, unnest(se) AS x,
+           |          unnest(range(1, len(se) + 1)) AS pos FROM $assigned)
+           |  GROUP BY sub, cid, pos) GROUP BY sub, cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), sv AS (
+        |  SELECT vec_id, sub,
+        |    list_slice(e, sub * $dsub + 1, sub * $dsub + $dsub) AS se
+        |  FROM v CROSS JOIN (SELECT unnest(range($m)) AS sub)
+        |), c0 AS (
+        |  SELECT sub, cid, se AS c FROM (
+        |    SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, se
+        |    FROM sv) WHERE cid < $k
+        |), a0 AS (${assignSql("sv", "c0")}),
+        |c1 AS (${lloydSql("a0")}),
+        |a1 AS (${assignSql("sv", "c1")}),
+        |c2 AS (${lloydSql("a1")}),
+        |af AS (${assignSql("sv", "c2")}),
+        |cn AS (
+        |  SELECT sub, cid,
+        |    CAST(ROUND(1e6 * list_dot_product(c, c)) AS BIGINT) AS n2
+        |  FROM c2
+        |), rn AS (
+        |  SELECT a.vec_id, CAST(SUM(n.n2) AS BIGINT) AS recon_n2_fp
+        |  FROM af a JOIN cn n ON a.sub = n.sub AND a.cid = n.cid
+        |  GROUP BY a.vec_id
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe,
+        |    sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 5
+        |), lut AS (
+        |  SELECT q.query_id, f.sub, f.cid,
+        |    CAST(ROUND(1e6 * list_dot_product(
+        |      list_slice(q.qe, f.sub * $dsub + 1, f.sub * $dsub + $dsub),
+        |      f.c)) AS BIGINT) AS d
+        |  FROM q CROSS JOIN c2 f
+        |), scored AS (
+        |  SELECT l.query_id, a.vec_id AS neighbor_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS adc_fp
+        |  FROM af a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+        |  WHERE a.vec_id <> l.query_id
+        |  GROUP BY l.query_id, a.vec_id
+        |), ranked AS (
+        |  SELECT s.query_id, s.neighbor_id, s.adc_fp,
+        |    CAST(s.adc_fp AS DOUBLE) / 1e6
+        |      / (q.qnrm * sqrt(CAST(r.recon_n2_fp AS DOUBLE) / 1e6)) AS ac,
+        |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+        |      ORDER BY CAST(s.adc_fp AS DOUBLE) / 1e6
+        |        / (q.qnrm * sqrt(CAST(r.recon_n2_fp AS DOUBLE) / 1e6)) DESC,
+        |        s.neighbor_id) AS rank
+        |  FROM scored s
+        |  JOIN rn r ON s.neighbor_id = r.vec_id
+        |  JOIN q ON s.query_id = q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rank, adc_fp,
+        |  ROUND(ac, 6) AS adc_cosine
+        |FROM ranked WHERE rank <= $topK
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.pqTopK(v, v.filter(col("vec_id") < 5), "vec_id", "e",
+        dim = 64, m = 4, k = 16, iters = 2, topK = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc_fp"), round(col("adc_cosine"), 6).as("adc_cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- k-means cluster composition report ------------------------------
     // The IVF coarse quantizer exposed as a clustering operator: every
     // vector assigned to its deterministic-k-means cell (md5-seeded init,
@@ -868,6 +966,47 @@ object PipelineQueries {
       Multimodal.decimateWav(s.createDataset(recs).repartition(4), everyN = 4)
         .toDF()
         .orderBy("media_id")
+    },
+
+    // ---- multimodal REAL audio frame features (energy / ZCR / peak) ------
+    // The feature-extraction step before audio quality gating: per
+    // 256-frame analysis window, exact-integer Σ s² (energy), strict
+    // sign-flip count per channel (zero-crossing rate's numerator), and
+    // max |s| (clipping probe). The fixture sample arithmetic is
+    // closed-form (interleaved index j: s = (j·257 + seed·131) mod 65536
+    // − 32768), so the oracle replays every window WITHOUT a LAG — the
+    // predecessor sample is just the formula at j − ch. A hash match
+    // proves the real decode ran and the window/channel indexing is
+    // exactly right.
+    sql("mm_wav_features",
+      """WITH p AS (
+        |  SELECT i, 1 + i % 2 AS ch, 1000 + i * 37 AS nf
+        |  FROM (SELECT unnest(range(20)) AS i)
+        |), sm AS (
+        |  SELECT i, (j // ch) // 256 AS w, j // ch AS f, (j // ch) % 256 AS fo,
+        |    (j * 257 + i * 131) % 65536 - 32768 AS s,
+        |    ((j - ch) * 257 + i * 131) % 65536 - 32768 AS sp
+        |  FROM p, unnest(range(nf * ch)) AS tj(j)
+        |)
+        |SELECT i AS media_id, CAST(w AS BIGINT) AS frame_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(s * s) AS BIGINT) AS energy_sq,
+        |  CAST(SUM(CASE WHEN fo > 0 AND sp * s < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+        |FROM sm GROUP BY i, w
+        |ORDER BY media_id, frame_idx""") { (s, _) =>
+      import s.implicits._
+      val rates = Seq(8000, 11025, 16000, 22050, 44100)
+      val recs = (0 until 20).map { i =>
+        Multimodal.MediaRecord(i.toLong, "audio",
+          Multimodal.syntheticWav(rates(i % 5), 1 + i % 2, 1000 + i * 37,
+            i.toLong), "synthetic")
+      }
+      Multimodal.wavFrameFeatures(s.createDataset(recs).repartition(4),
+          windowLen = 256)
+        .toDF()
+        .orderBy("media_id", "frame_idx")
     },
 
     // ---- multimodal REAL motion decode (multi-frame GIF), full oracle ----

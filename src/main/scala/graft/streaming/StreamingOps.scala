@@ -600,4 +600,81 @@ object StreamingOps {
           }
         })
   }
+
+  case class SessionPoint(key: Long, eid: Long, sec: Long,
+      ts: java.sql.Timestamp = null)
+  /** The OPEN session only: its running index, extrema, the previous
+    * event's sec (the gap test is against the PREVIOUS event in eid
+    * order, not the max — events need not be time-ordered by eid), and
+    * its event count. Fixed 40 bytes per key, forever. */
+  case class SessionState(idx: Long, minSec: Long, maxSec: Long,
+      lastSec: Long, n: Long)
+  case class RunningSession(key: Long, session_id: Long, n_events: Long,
+      start_sec: Long, end_sec: Long, closed: Boolean)
+
+  /** Keyed RUNNING gap-sessionization — the streaming carrier of the W5
+    * gaps-and-islands operator (the `ev_sessionize` semantics: per key,
+    * events in eid order start a new session when the gap to the
+    * PREVIOUS event exceeds `gapSec`; session stats are min/max/count
+    * over its events). State per key is ONLY the open session's 40-byte
+    * summary — never an event list — so a key with 10⁹ events costs the
+    * same as one with 10.
+    *
+    * Each trigger folds its rows SORTED by eid and emits every session
+    * CLOSED by the fold (final — no later event can re-open it, because
+    * eid-ordered delivery means all its members have arrived) plus the
+    * currently-open session's refined summary (closed = false; a later
+    * trigger may extend it, and the LAST emission per (key, session_id)
+    * is the settled value). A single-batch execution therefore
+    * reproduces batch sessionization EXACTLY — every session appears
+    * once, the final one open — which is what the registered
+    * `ev_streaming_sessions` oracle verifies; StreamingSpec pins
+    * multi-trigger == batch under eid-ordered delivery (the analogue of
+    * the other carriers' event-time-ordered contract) and the TTL path.
+    */
+  def runningSessions(points: Dataset[SessionPoint], gapSec: Long = 1800L,
+      stateTtlMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[RunningSession] = {
+    require(gapSec >= 0L, s"session gap must be >= 0, got $gapSec")
+    import points.sparkSession.implicits._
+    val src = if (stateTtlMs > 0L)
+      points.withWatermark("ts", watermarkDelay) else points
+    val timeout = if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (key: Long, rows: Iterator[SessionPoint],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = rows.toArray.sortBy(_.eid)
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[RunningSession]
+            ordered.foreach { p =>
+              cur match {
+                case null =>
+                  cur = SessionState(0L, p.sec, p.sec, p.sec, 1L)
+                case s if p.sec - s.lastSec > gapSec =>
+                  out += RunningSession(key, s.idx, s.n,
+                    s.minSec, s.maxSec, closed = true)
+                  cur = SessionState(s.idx + 1L, p.sec, p.sec, p.sec, 1L)
+                case s =>
+                  cur = SessionState(s.idx, math.min(s.minSec, p.sec),
+                    math.max(s.maxSec, p.sec), p.sec, s.n + 1L)
+              }
+            }
+            if (cur == null) Iterator.empty
+            else {
+              state.update(cur)
+              armTtl(state, stateTtlMs)
+              out += RunningSession(key, cur.idx, cur.n,
+                cur.minSec, cur.maxSec, closed = false)
+              out.result().iterator
+            }
+          }
+        })
+  }
 }

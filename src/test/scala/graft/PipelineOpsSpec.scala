@@ -54,6 +54,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
+  test("PQ-ADC: codes bounded, adc_fp exactly recomputable, clustered top-k pure") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian() * 5))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "e").cache()
+    val queries = df.filter(col("vec_id") < 10)
+    val (dim, m, k) = (16, 4, 8)
+
+    val books = VectorSearch.pqCodebooks(df, "vec_id", "e", dim, m, k)
+    // Lloyd may empty cells: each book holds BETWEEN 1 and k codewords,
+    // cid-keyed (gaps allowed)
+    assert(books.length == m &&
+      books.forall(b => b.nonEmpty && b.length <= k))
+    val enc = VectorSearch.pqEncode(df, "e", dim, books)
+    val codeRows = enc.select(col("vec_id"),
+      array((0 until m).map(s => col(s"code_$s")): _*), col("recon_n2_fp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toArray, r.getLong(2))).toMap
+    val bookCids = books.map(_.map(_._1).toSet)
+    assert(codeRows.values.forall(_._1.zipWithIndex.forall {
+      case (c, sub) => bookCids(sub)(c)
+    }), "code not a cid present in its subspace's book")
+
+    val top = VectorSearch.pqTopK(df, queries, "vec_id", "e", dim, m, k)
+      .collect()
+    // every reported adc_fp must equal the driver-side recomputation from
+    // the codebooks: sum over subspaces of micro(dot(q_sub, codeword))
+    def microFp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).movePointRight(6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val qVecs = vecs.take(10).map { case (id, e) => id -> e.toArray }.toMap
+    top.foreach { r =>
+      val (qid, nid, fp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val codes = codeRows(nid)._1
+      val expect = (0 until m).map { sub =>
+        val qs = qVecs(qid).slice(sub * (dim / m), (sub + 1) * (dim / m))
+        val c = books(sub).find(_._1 == codes(sub)).get._2
+        microFp(qs.zip(c).map { case (a, b) => a * b }
+          .foldLeft(0.0)(_ + _))
+      }.sum
+      assert(fp == expect, s"adc_fp mismatch for ($qid, $nid): $fp vs $expect")
+    }
+    // clustered corpus: every top-10 neighbor comes from the query's own
+    // cluster (reconstruction collapses members near their codewords, so
+    // exact rank order inside the cluster may shuffle — purity must not)
+    top.foreach { r =>
+      assert(r.getLong(1) % 10 == r.getLong(0) % 10,
+        s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s cluster")
+    }
+    assert(top.count(_.getInt(4) == 1) == 10, "one rank-1 per query")
+    // determinism: a second full run (training included) is bit-identical
+    val again = VectorSearch.pqTopK(df, queries, "vec_id", "e", dim, m, k)
+      .collect()
+    assert(top.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted), "PQ run-to-run instability")
+  }
+
   test("clusterStats == manual aggregation over clusterAssign; pure clusters resolve") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)
@@ -545,6 +606,41 @@ class PipelineOpsSpec extends SparkSpec {
       assert((r.channels, r.n_frames_in, r.n_frames_kept) ===
         ((ch, nf.toLong, kept)), s"shape for $i")
       assert(r.pcm_checksum === sum, s"checksum for $i")
+    }
+  }
+
+  test("multimodal: audio frame features exact vs naive decode; stereo + tail window") {
+    import spark.implicits._
+    // 2-channel, 10-frame fixture with windowLen 4 → windows of 4/4/2
+    // frames; plus a mono one crossing a window boundary mid-pattern
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio",
+        Multimodal.syntheticWav(8000, 2, 10, seed = 5L), "t"),
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.syntheticWav(16000, 1, 700, seed = 9L), "t"),
+      Multimodal.MediaRecord(99L, "audio",
+        "not a wav".getBytes("UTF-8"), "t"))
+    val got = Multimodal.wavFrameFeatures(
+        spark.createDataset(recs).repartition(2), windowLen = 4)
+      .collect().groupBy(_.media_id)
+    assert(!got.contains(99L), "non-PCM payloads must drop")
+    def naive(id: Long, ch: Int, nf: Int, seed: Long, win: Int) = {
+      def s(f: Int, c: Int): Long = ((f * ch + c) * 257L + seed * 131L) % 65536L - 32768L
+      (0 until (nf + win - 1) / win).map { w =>
+        val fs = (w * win) until math.min(nf, (w + 1) * win)
+        Multimodal.WavFrameFeatures(id, w.toLong, fs.size.toLong * ch,
+          fs.map(f => (0 until ch).map(c => s(f, c) * s(f, c)).sum).sum,
+          fs.filter(_ > w * win).map(f => (0 until ch)
+            .count(c => s(f - 1, c) * s(f, c) < 0L).toLong).sum,
+          fs.map(f => (0 until ch).map(c => math.abs(s(f, c))).max).max)
+      }
+    }
+    assert(got(1L).sortBy(_.frame_idx).toSeq === naive(1L, 2, 10, 5L, 4))
+    assert(got(2L).sortBy(_.frame_idx).toSeq === naive(2L, 1, 700, 9L, 4))
+    assert(got(1L).map(_.n_samples).sorted.toSeq === Seq(4L, 8L, 8L),
+      "tail window must be short")
+    intercept[IllegalArgumentException] {
+      Multimodal.wavFrameFeaturesMeta(recs.head, 0)
     }
   }
 

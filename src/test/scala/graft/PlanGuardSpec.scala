@@ -28,6 +28,8 @@ class PlanGuardSpec extends SparkSpec {
     "emb_knn_cosine" -> "broadcast side is the 5-vector query set",
     // same shape, int8-quantized scoring (exact integer dots)
     "emb_int8_knn" -> "broadcast side is the 5-vector quantized query set",
+    // same shape, PQ-ADC scoring (5 query rows carrying m integer LUTs)
+    "emb_ann_pq" -> "broadcast side is the 5-query LUT set",
     // three 1-row aggregate counts crossJoined into one summary row
     "q14_nation_set_ops" -> "all sides are 1-row aggregates",
     // AnomalyGate.stats: total-events 1-row agg × anomaly-count 1-row agg

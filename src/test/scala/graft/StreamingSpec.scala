@@ -369,6 +369,94 @@ class StreamingSpec extends SparkSpec {
       "fresh funnel must hold only the post-eviction signup")
   }
 
+  private def sp(key: Long, eid: Long, at: String): StreamingOps.SessionPoint = {
+    val t = ts(at)
+    StreamingOps.SessionPoint(key, eid, t.getTime / 1000L, t)
+  }
+
+  test("running sessions: multi-trigger closed+open equals hand-derived sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    // key 1: session 0 (2 events), >30min gap STRADDLING a trigger
+    // boundary, session 1 (2 events); key 2: one event ever; key 3: eid
+    // order ≠ time order — the gap test must use the PREVIOUS event's
+    // sec (eid order), and min/max must cover the whole session
+    val t1 = Seq(
+      sp(1L, 10L, "2025-01-01 00:00:00"), sp(1L, 11L, "2025-01-01 00:10:00"),
+      sp(2L, 20L, "2025-01-01 00:00:05"),
+      sp(3L, 30L, "2025-01-01 00:16:40"), sp(3L, 31L, "2025-01-01 01:23:20"))
+    val t2 = Seq(
+      sp(1L, 12L, "2025-01-01 01:00:00"), sp(1L, 13L, "2025-01-01 01:05:00"),
+      // eid 32 steps BACK in time vs eid 31 by 30 min (not a new session:
+      // |gap| is negative) — session must span [00:53:20 .. 01:23:20]
+      sp(3L, 32L, "2025-01-01 00:53:20"))
+    val input = MemoryStream[StreamingOps.SessionPoint]
+    val q = StreamingOps.runningSessions(input.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(t1.reverse); q.processAllAvailable() // operator sorts by eid
+    input.addData(t2.reverse); q.processAllAvailable()
+    val rows = spark.table("sessions_out")
+      .as[StreamingOps.RunningSession].collect()
+    q.stop()
+    // settled value per (key, session_id): the closed emission if any,
+    // else the open emission with the largest n_events
+    val settled = rows.groupBy(r => (r.key, r.session_id)).view.mapValues {
+      es => es.find(_.closed).getOrElse(es.maxBy(_.n_events))
+    }.toMap
+    def secOf(at: String) = ts(at).getTime / 1000L
+    assert(settled((1L, 0L)).closed &&
+      settled((1L, 0L)).n_events == 2L &&
+      settled((1L, 0L)).start_sec == secOf("2025-01-01 00:00:00") &&
+      settled((1L, 0L)).end_sec == secOf("2025-01-01 00:10:00"))
+    assert(!settled((1L, 1L)).closed &&
+      settled((1L, 1L)).n_events == 2L &&
+      settled((1L, 1L)).start_sec == secOf("2025-01-01 01:00:00") &&
+      settled((1L, 1L)).end_sec == secOf("2025-01-01 01:05:00"))
+    assert(!settled((2L, 0L)).closed && settled((2L, 0L)).n_events == 1L)
+    // key 3: eid 30→31 is a real 4000 s gap (two sessions); eid 32 steps
+    // BACK 30 min vs eid 31 — a negative gap is NOT a session break, and
+    // the open session's min comes from the LATER-eid event
+    assert(settled.keySet.filter(_._1 == 3L) === Set((3L, 0L), (3L, 1L)))
+    assert(settled((3L, 0L)).closed && settled((3L, 0L)).n_events == 1L &&
+      settled((3L, 0L)).start_sec == secOf("2025-01-01 00:16:40") &&
+      settled((3L, 0L)).end_sec == secOf("2025-01-01 00:16:40"))
+    assert(!settled((3L, 1L)).closed && settled((3L, 1L)).n_events == 2L &&
+      settled((3L, 1L)).start_sec == secOf("2025-01-01 00:53:20") &&
+      settled((3L, 1L)).end_sec == secOf("2025-01-01 01:23:20"))
+    // the session that closed mid-stream (1,0) must never re-emit after
+    // closing: exactly one closed emission
+    assert(rows.count(r => r.key == 1L && r.session_id == 0L && r.closed) == 1)
+  }
+
+  test("running sessions: state TTL evicts idle keys; re-arrival starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionPoint]
+    val q = StreamingOps.runningSessions(input.toDS(), gapSec = 1800L,
+        stateTtlMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(sp(1L, 1L, "2025-01-01 00:00:00"),
+      sp(1L, 2L, "2025-01-01 00:00:10")); q.processAllAvailable()
+    // an hour later, a different key advances the watermark → key 1 evicts
+    input.addData(sp(2L, 3L, "2025-01-01 01:00:00")); q.processAllAvailable()
+    input.addData(sp(2L, 4L, "2025-01-01 01:00:01")); q.processAllAvailable()
+    // key 1 re-arrives (ahead of the watermark — late rows are a separate
+    // contract): with surviving state this would be session_id 1 (the gap
+    // exceeds 1800 s); after eviction it must restart at session_id 0
+    // with a fresh 1-event summary (the documented TTL trade)
+    input.addData(sp(1L, 5L, "2025-01-01 01:30:00")); q.processAllAvailable()
+    val rows = spark.table("sessions_ttl_out")
+      .as[StreamingOps.RunningSession].collect()
+    q.stop()
+    val k1 = rows.filter(_.key == 1L)
+    assert(k1.map(r => (r.session_id, r.n_events)).toSeq.sorted ===
+      Seq((0L, 1L), (0L, 2L)).sorted,
+      s"evicted key must restart at session 0 with 1 event, got ${k1.toSeq}")
+    assert(k1.filter(_.n_events == 1L).forall(r =>
+      r.start_sec == ts("2025-01-01 01:30:00").getTime / 1000L),
+      "fresh session must hold only the post-eviction event")
+  }
+
   // ---- out-of-order / late-data semantics ---------------------------------
   // The ordered-input tests above prove streaming == batch; these prove the
   // watermark CONTRACT — out-of-order rows inside the lateness bound still
