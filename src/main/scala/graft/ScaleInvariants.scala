@@ -88,7 +88,8 @@ object ScaleInvariants {
       "neardup_lsh" -> (s => neardupLsh(s, q("emb_neardup_lsh"),
         q("emb_neardup_lsh_auto"), vectors)),
       "ivf_auto" -> (s => ivfAuto(s, q("emb_ann_ivf_auto"), vectors)),
-      "semdedup" -> (s => semDedup(s, q("emb_semdedup"), vectors))
+      "semdedup" -> (s => semDedup(s, q("emb_semdedup"), vectors)),
+      "pq_adc" -> (s => pqAdc(s, q("emb_ann_pq"), vectors))
     )
     var failed = 0
     val ran = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -591,6 +592,102 @@ object ScaleInvariants {
         s"$n vectors, cells equal clusterAssign; $nd sampled drops " +
           f"justified, $nk sampled keeps clean below ${keepBound}%.4f"
       } finally { o.unpersist(); () }
+    } finally { v.unpersist(); () }
+  }
+
+  // ---- Product quantization ------------------------------------------------
+
+  /** PQ-ADC audit (for the volumes where the DuckDB replay's keyed
+    * Lloyd joins exceed memory): the codebooks re-derive with the
+    * deterministic trainer (replay, not trust), then three independent
+    * plans assert (a) sampled per-subspace code OPTIMALITY — each stored
+    * code maximizes the sub-centroid dot (explode/argmax, ties to the
+    * lowest cid); (b) every REPORTED (query, neighbor) adc_fp equals an
+    * integer-LUT recomputation built by melt + join — the oracle's SQL
+    * shape, in-engine; (c) reported adc_cosine and rank re-derive from
+    * adc_fp and independently-recomputed reconstruction norms. PQ is
+    * lossy BY DESIGN — there is no claim about WHICH neighbors surface
+    * (the fixture-scale brute twin anchors recall), only exactness of
+    * everything computed about them. */
+  private def pqAdc(s: SparkSession, out0: DataFrame, v0: DataFrame): String = {
+    import s.implicits._
+    val (dim, m, k) = (64, 4, 16) // the registered emb_ann_pq parameters
+    val dsub = dim / m
+    val v = v0.select(col("vec_id"), col("e")).cache()
+    try {
+      val out = out0.cache() // query_id, neighbor_id, rank, adc_fp, adc_cosine
+      val n = v.count()
+      val books = graft.ops.VectorSearch.pqCodebooks(v, "vec_id", "e", dim, m, k)
+      val enc = graft.ops.VectorSearch.pqEncode(v, "e", dim, books)
+        .select(col("vec_id") +: (0 until m).map(i => col(s"code_$i")): _*)
+        .cache()
+      try {
+        // melt: (vec_id, sub, code); sub-centroids: (sub, cid2, c)
+        val codes = enc.select(col("vec_id"),
+          posexplode(array((0 until m).map(i => col(s"code_$i")): _*))
+            .as(Seq("sub", "code")))
+        val subCent = books.zipWithIndex.flatMap { case (b, sub) =>
+          b.map { case (cid, c) => (sub, cid, c.toSeq) }
+        }.toSeq.toDF("sub", "cid2", "c")
+        // (a) sampled code optimality via explode/argmax
+        val sample = codes.filter(col("vec_id") % 199 === 0)
+          .join(v, "vec_id")
+        val best = sample.join(broadcast(subCent), "sub")
+          .withColumn("d", graft.functions.GraftFunctions.dotProduct(
+            slice(col("e"), col("sub") * dsub + 1, lit(dsub)), col("c")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id", "sub")
+              .orderBy(col("d").desc, col("cid2"))))
+          .filter(col("rk") === 1)
+        val badCode = best.filter(col("code") =!= col("cid2")).count()
+        val nSample = best.count()
+        require(badCode == 0,
+          s"$badCode of $nSample sampled sub-codes not argmax-optimal")
+        // (b) reported adc_fp == melt/join LUT recomputation
+        val qe = out.select("query_id").distinct()
+          .join(v.withColumnRenamed("vec_id", "query_id"), "query_id")
+          .withColumnRenamed("e", "qe")
+        val lut = qe.crossJoin(broadcast(subCent))
+          .withColumn("d_fp", round(graft.functions.GraftFunctions.dotProduct(
+            slice(col("qe"), col("sub") * dsub + 1, lit(dsub)), col("c"))
+            * 1e6, 0).cast("bigint"))
+          .select(col("query_id"), col("sub"), col("cid2"), col("d_fp"))
+        val expect = out.select(col("query_id"), col("neighbor_id"),
+            col("adc_fp"))
+          .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"))
+          .join(lut.withColumnRenamed("cid2", "code"),
+            Seq("query_id", "sub", "code"))
+          .groupBy("query_id", "neighbor_id", "adc_fp")
+          .agg(sum(col("d_fp")).as("recomputed"))
+        val badFp = expect.filter(col("adc_fp") =!= col("recomputed")).count()
+        require(badFp == 0, s"$badFp reported adc_fp differ from the recompute")
+        // (c) cosine + rank re-derivation from independent norms
+        val n2 = subCent.withColumn("n2", round(
+            graft.functions.GraftFunctions.dotProduct(col("c"), col("c"))
+              * 1e6, 0).cast("bigint"))
+          .select(col("sub"), col("cid2").as("code"), col("n2"))
+        val rn = codes.join(broadcast(n2), Seq("sub", "code"))
+          .groupBy("vec_id").agg(sum(col("n2")).as("rn2"))
+        val qn = qe.withColumn("qnrm", sqrt(
+          graft.functions.GraftFunctions.dotProduct(col("qe"), col("qe"))))
+          .select(col("query_id"), col("qnrm"))
+        val scored = out
+          .join(rn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+          .join(qn, "query_id")
+          .withColumn("truecos", col("adc_fp").cast("double") / 1e6 /
+            (col("qnrm") * sqrt(col("rn2").cast("double") / 1e6)))
+        val badCos = scored
+          .filter(round(col("truecos"), 6) =!= col("adc_cosine")).count()
+        require(badCos == 0, s"$badCos reported adc_cosine differ")
+        val badRank = scored.withColumn("rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("truecos").desc, col("neighbor_id"))))
+          .filter(col("rk") =!= col("rank")).count()
+        require(badRank == 0, s"$badRank ranks out of order")
+        s"$n vectors: $nSample sampled sub-codes argmax-optimal, " +
+          "reported adc_fp/cosine/rank all recompute exactly"
+      } finally { enc.unpersist(); out.unpersist(); () }
     } finally { v.unpersist(); () }
   }
 }

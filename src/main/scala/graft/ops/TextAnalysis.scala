@@ -598,4 +598,116 @@ object TextAnalysis {
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(limit)
   }
+
+  /** Jelinek-Mercer interpolated LM scoring (λ = 1/2): every bigram is
+    * scored −log₂(P_bi/2 + P_uni/2) in exact micro-bits, where P_bi is
+    * the bounded bigram model of [[bigramNll]] (top-`bigramTop` pairs
+    * add-one smoothed over the top-`vocabSize`+<unk> alphabet, floor
+    * 1/(cc+α) past the cap) and P_uni the add-one unigram over the same
+    * alphabet. Interpolation is THE fix for the pure bigram's harsh
+    * backoff floor — an unseen pair with a common target word scores
+    * near its unigram mass instead of the uniform floor — and is what
+    * perplexity-gating pipelines actually deploy (Jelinek & Mercer 1980).
+    *
+    * Scale shape: identical to [[bigramNll]] (one cached (id, p, t) pair
+    * frame feeds model build and scoring) plus a ≤(V+1)-row unigram
+    * broadcast and a 1-row total broadcast; the per-pair math is a
+    * projection. Every micro value is rounded BEFORE the per-doc BIGINT
+    * sum, so results are order-free and engine-exact. */
+  def interpNll(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", vocabSize: Int = 1000,
+      bigramTop: Int = 5000): DataFrame = {
+    val alpha = vocabSize + 1
+    val toks = df.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => w =!= ""))
+        .as(Seq("__pos", "__w")))
+    val counts = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val vocab = counts.orderBy(col("__c").desc, col("__w"))
+      .limit(vocabSize).select(col("__w"), lit(1).as("__v"))
+    val sym = toks.join(broadcast(vocab), Seq("__w"), "left")
+      .select(col(idCol), col("__pos"),
+        when(col("__v").isNull, lit("<unk>")).otherwise(col("__w")).as("__s"))
+    val a = sym.select(col(idCol), col("__pos"), col("__s").as("__p"))
+    val b = sym.select(col(idCol), (col("__pos") - 1).as("__pos"),
+      col("__s").as("__t"))
+    val pairs = a.join(b, Seq(idCol, "__pos"))
+      .select(col(idCol), col("__p"), col("__t"))
+      .cache()
+    val bc = pairs.groupBy("__p", "__t").agg(count(lit(1)).as("__c"))
+    val ctx = bc.groupBy("__p").agg(sum(col("__c")).cast("long").as("__cc"))
+    val top = bc.orderBy(col("__c").desc, col("__p"), col("__t"))
+      .limit(bigramTop).select(col("__p"), col("__t"), col("__c"))
+    val uni = sym.groupBy(col("__s").as("__t"))
+      .agg(count(lit(1)).as("__uc"))
+    val tot = sym.agg(count(lit(1)).cast("long").as("__n"))
+    val perDoc = pairs
+      .join(broadcast(top), Seq("__p", "__t"), "left")
+      .join(broadcast(ctx), Seq("__p"))
+      .join(broadcast(uni), Seq("__t"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__pb",
+        coalesce((col("__c") + 1).cast("double"), lit(1.0)) /
+          (col("__cc") + alpha).cast("double"))
+      .withColumn("__pu",
+        (col("__uc") + 1).cast("double") /
+          (col("__n") + alpha).cast("double"))
+      .withColumn("__m",
+        round(-log2(col("__pb") / 2.0 + col("__pu") / 2.0) * 1e6)
+          .cast("long"))
+      .withColumn("__backoff", when(col("__c").isNull, 1L).otherwise(0L))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__backoff")).cast("long").as("n_backoff"),
+        sum(col("__m")).cast("long").as("nll_micro_sum"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("nll_micro_sum"), lit(0L)).as("nll_micro_sum"),
+        when(col("n_bigrams") > 0,
+          round(col("nll_micro_sum").cast("double") /
+            (col("n_bigrams").cast("double") * 1e6), 6)).as("avg_nll_bits"))
+  }
+
+  /** Hashed bag-of-words document vectors (the "hashing trick"): every
+    * word lands in bucket md5(word)[:8] mod `dim`, per-doc bucket counts
+    * form a dense integer vector, L2-normalized to unit length — the
+    * standard text-clustering feature when no embedding model is in the
+    * loop (spherical k-means over these IS topic clustering). The md5
+    * bucket and the normalization (integer counts → one exact sqrt →
+    * one divide per slot) are bit-identical in any engine, so the
+    * vectors feed the deterministic k-means machinery directly.
+    *
+    * Scale shape: one corpus scan → a (doc, bucket) count (map-side
+    * combinable, ≤ dim rows per doc), the dense layout is a per-doc
+    * explode(sequence(dim)) + equi-join + collect_list — never a
+    * vocabulary-sized state (that is the trick's point: the feature
+    * space is FIXED at `dim` no matter how many distinct words 100 TB
+    * holds). Returns (idCol, v (raw counts), e (unit vector)); docs with
+    * zero words drop. */
+  def hashedTfVectors(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 32): DataFrame = {
+    require(dim >= 1, s"hashing dim must be >= 1, got $dim")
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val cnts = toks
+      .withColumn("b",
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("bigint")
+          % dim.toLong)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val grid = toks.select(col(idCol)).distinct()
+      .select(col(idCol),
+        explode(sequence(lit(0L), lit(dim.toLong - 1L))).as("b"))
+      .join(cnts, Seq(idCol, "b"), "left")
+      .na.fill(0L, Seq("c"))
+    val vecs = grid.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("b"), col("c")))).as("bc"))
+      .select(col(idCol),
+        expr("transform(bc, s -> CAST(s.c AS DOUBLE))").as("v"))
+    vecs
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dotProduct(col("v"), col("v"))))
+      .filter(col("nrm") > 0.0)
+      .withColumn("e", transform(col("v"), x => x / col("nrm")))
+      .drop("nrm")
+  }
 }

@@ -710,6 +710,32 @@ object VectorSearch {
     out.withColumn("recon_n2_fp", n2)
   }
 
+  /** Adds `lut_0..lut_{m-1}` integer LUT columns to a query frame:
+    * lut_s[cid] = micro(dot(q_sub_s, codebook_s[cid])) — slotted BY CID
+    * (Lloyd gaps hold a never-looked-up 0). */
+  private def withPqLuts(q: DataFrame, vecCol: String, dsub: Int,
+      books: Array[Array[(Int, Array[Double])]]): DataFrame =
+    books.indices.foldLeft(q) { (acc, sub) =>
+      val qs = slice(col(vecCol), sub * dsub + 1, dsub)
+      val byCid = books(sub).toMap
+      val entries = (0 to books(sub).map(_._1).max).map { cid =>
+        byCid.get(cid) match {
+          case Some(c) =>
+            round(GraftFunctions.dotProduct(qs, array(c.map(lit(_)): _*)) * 1e6,
+              0).cast("bigint")
+          case None => lit(0L) // cid gap (emptied cell) — never looked up
+        }
+      }
+      acc.withColumn(s"lut_$sub", array(entries: _*))
+    }
+
+  /** The ADC score: Σ_sub lut_sub[code_sub] — m integer lookups, one
+    * order-free BIGINT sum. */
+  private def pqAdcFp(m: Int): Column =
+    (0 until m)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s") + 1))
+      .reduce(_ + _)
+
   /** PQ top-k by asymmetric distance computation (ADC): each query builds
     * m integer lookup tables lut_s[c] = micro(dot(q_sub, codebook_s[c]))
     * ONCE (m·k micro-rounded dots — the query row carries k·dim literal
@@ -736,27 +762,81 @@ object VectorSearch {
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qnrm",
         sqrt(GraftFunctions.dotProduct(col("qvec"), col("qvec"))))
-    val withLuts = (0 until m).foldLeft(q0) { (acc, sub) =>
-      val qs = slice(col("qvec"), sub * dsub + 1, dsub)
-      val byCid = books(sub).toMap
-      val entries = (0 to books(sub).map(_._1).max).map { cid =>
-        byCid.get(cid) match {
-          case Some(c) =>
-            round(GraftFunctions.dotProduct(qs, array(c.map(lit(_)): _*)) * 1e6,
-              0).cast("bigint")
-          case None => lit(0L) // cid gap (emptied cell) — never looked up
-        }
-      }
-      acc.withColumn(s"lut_$sub", array(entries: _*))
-    }.drop("qvec")
-    val adcFp = (0 until m)
-      .map(s => element_at(col(s"lut_$s"), col(s"code_$s") + 1))
-      .reduce(_ + _)
+    val withLuts = withPqLuts(q0, "qvec", dsub, books).drop("qvec")
+    val adcFp = pqAdcFp(books.length)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_cosine").desc, col("neighbor_id"))
     enc.crossJoin(broadcast(withLuts))
       .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .withColumn("adc_fp", adcFp)
+      .withColumn("adc_cosine",
+        col("adc_fp").cast("double") / 1e6 /
+          (col("qnrm") * sqrt(col("recon_n2_fp").cast("double") / 1e6)))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("adc_fp"), col("adc_cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** IVF + PQ — the IVFADC architecture (Jégou et al., TPAMI 2011 §V)
+    * minus the residual step: the coarse quantizer routes each query to
+    * its `nprobe` nearest cells and candidates are gathered by an
+    * EQUI-JOIN on cid (never a corpus × queries product), then scored by
+    * PQ-ADC over m byte codes — the exact integer-LUT arithmetic of
+    * [[pqTopK]]. The resident index row is (cid, m code bytes, one
+    * norm long): the layout a 100 TB embedding store keeps hot, with the
+    * probe bounding scan work to Σ|probed cells| per query.
+    *
+    * Vectors encode RAW (not as coarse-cell residuals): one sub-codebook
+    * set serves all cells and both trainings re-derive in plain SQL; the
+    * residual refinement's extra precision-per-byte is the documented
+    * trade. Ranking is (adc_cosine desc, neighbor_id). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nCells: Int = 16, nprobe: Int = 4,
+      m: Int = 4, k: Int = 16, iters: Int = 2, topK: Int = 10,
+      trainCap: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCells, iters,
+      trainCap)
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, k, iters,
+      trainCap)
+    val dsub = dim / m
+    // shield the coarse cell id: pqEncode's per-subspace assigns each
+    // (re)write a `cid` column and would clobber it
+    val enc = pqEncode(
+        assign(corpus, vecCol, centroids).withColumnRenamed("cid", "__cell"),
+        vecCol, dim, books)
+      .withColumnRenamed("__cell", "cid")
+      .select(col(idCol) +: col("cid") +:
+        (0 until m).map(s => col(s"code_$s")) :+ col("recon_n2_fp"): _*)
+    val probeCol =
+      if (centroids.length > 32) {
+        val cidOf = array(centroids.map(c => lit(c._1)): _*)
+        transform(GraftFunctions.nearestCells(col(vecCol),
+          centroids.map(_._2), nprobe), i => element_at(cidOf, i + 1))
+      } else {
+        val probeScores = centroids.map { case (cid, c) =>
+          struct(nanvl(GraftFunctions.dotProduct(col(vecCol),
+            array(c.map(lit(_)): _*)) * -1,
+            lit(Double.PositiveInfinity)).as("negd"), lit(cid).as("cid"))
+        }
+        transform(slice(array_sort(array(probeScores: _*)), 1, nprobe),
+          s => s.getField("cid"))
+      }
+    // LUTs build on the un-exploded frame (once per query, not per probe)
+    val probed = withPqLuts(
+      queries
+        .withColumn("qnrm",
+          sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+          col("qnrm"), probeCol.as("probes")),
+      "qvec", dsub, books)
+      .withColumn("cid", explode(col("probes")))
+      .drop("qvec", "probes")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    enc.join(probed, Seq("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc_fp", pqAdcFp(m))
       .withColumn("adc_cosine",
         col("adc_fp").cast("double") / 1e6 /
           (col("qnrm") * sqrt(col("recon_n2_fp").cast("double") / 1e6)))

@@ -199,6 +199,101 @@ object DocAnalytics {
         Seq("spark", "join", "window"), "doc_id", "text", 20)
     },
 
+    // ---- topic clustering over hashed bag-of-words vectors ---------------
+    // The no-embedding-model text-clustering path (data-mixing audits run
+    // it when an encoder isn't in the loop): every word hashes into one
+    // of 32 buckets (md5 — the feature space is FIXED no matter how many
+    // distinct words the corpus holds), per-doc counts L2-normalize to a
+    // unit vector, and spherical k-means (the SAME deterministic
+    // md5-seeded / exact-decimal-Lloyd machinery as emb_kmeans_stats,
+    // fully re-derived below) labels every doc. Report: cluster size,
+    // token mass, and the dominant bucket (count argmax, ties to the
+    // lowest bucket) — all exact integers.
+    sql("doc_topic_clusters", {
+      val (dim, k) = (32, 8)
+      def assignSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |), cnts AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % $dim AS b,
+        |    COUNT(*) AS c
+        |  FROM toks GROUP BY doc_id, b
+        |), grid AS (
+        |  SELECT d.doc_id, gb.b, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM toks) d
+        |  CROSS JOIN (SELECT unnest(range($dim)) AS b) gb
+        |  LEFT JOIN cnts c ON c.doc_id = d.doc_id AND c.b = gb.b
+        |), vecs AS (
+        |  SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+        |  FROM grid GROUP BY doc_id
+        |), v AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS e
+        |  FROM vecs WHERE list_dot_product(v, v) > 0
+        |), c0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < $k
+        |), a0 AS (${assignSql("v", "c0")}),
+        |c1 AS (${lloydSql("a0")}),
+        |a1 AS (${assignSql("v", "c1")}),
+        |c2 AS (${lloydSql("a1")}),
+        |af AS (${assignSql("v", "c2")}),
+        |bc AS (
+        |  SELECT a.cid, g.b, CAST(SUM(g.c) AS BIGINT) AS tok
+        |  FROM af a JOIN grid g ON g.doc_id = a.vec_id
+        |  GROUP BY a.cid, g.b
+        |), nd AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_docs FROM af GROUP BY cid),
+        |tt AS (SELECT cid, CAST(SUM(tok) AS BIGINT) AS total_tokens FROM bc GROUP BY cid),
+        |top AS (
+        |  SELECT cid, b AS top_bucket, tok AS top_bucket_tokens FROM (
+        |    SELECT cid, b, tok, ROW_NUMBER() OVER (PARTITION BY cid
+        |      ORDER BY tok DESC, b) AS rk FROM bc) WHERE rk = 1
+        |)
+        |SELECT n.cid, n.n_docs, tt.total_tokens, top.top_bucket, top.top_bucket_tokens
+        |FROM nd n JOIN tt ON tt.cid = n.cid JOIN top ON top.cid = n.cid
+        |ORDER BY n.cid""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      // cache the feature frame: k-means re-reads its input for the seed
+      // pull, each Lloyd pass, and the final assignment — without the
+      // cache the whole tokenize/count/densify derivation re-runs ~5×
+      val feats = graft.ops.TextAnalysis.hashedTfVectors(
+        docs(s, dir), "doc_id", "text", dim = 32).cache()
+      val assigned = graft.ops.VectorSearch
+        .clusterAssign(feats, "doc_id", "e", k = 8, iters = 2)
+        .select(col("doc_id"), col("v"), col("cid")).cache()
+      val bc = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("b", "x")))
+        .groupBy("cid", "b").agg(sum(col("x").cast("long")).as("tok"))
+      val nd = assigned.groupBy("cid").agg(count(lit(1)).as("n_docs"))
+      val tt = bc.groupBy("cid").agg(sum(col("tok")).as("total_tokens"))
+      val w = Window.partitionBy("cid").orderBy(col("tok").desc, col("b"))
+      val top = bc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cid"), col("b").cast("bigint").as("top_bucket"),
+          col("tok").as("top_bucket_tokens"))
+      nd.join(tt, "cid").join(top, "cid")
+        .select(col("cid"), col("n_docs"), col("total_tokens"),
+          col("top_bucket"), col("top_bucket_tokens"))
+        .orderBy("cid")
+    },
+
     // ---- per-doc quality scoring (stopword ratio, token stats) -----------
     sql("doc_quality",
       """SELECT doc_id, n_tokens, stop_tokens,
@@ -1285,6 +1380,70 @@ object DocAnalytics {
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""") { (s, dir) =>
       graft.ops.TextAnalysis.bigramNll(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- Jelinek-Mercer interpolated LM gate (λ = 1/2) --------------------
+    // The deployed form of perplexity gating: every bigram scores
+    // −log₂(P_bi/2 + P_uni/2) in exact micro-bits — the unseen-pair floor
+    // is softened by the target word's unigram mass (Jelinek & Mercer
+    // 1980) instead of the uniform 1/(cc+α). Same bounded model state as
+    // doc_bigram_nll (top-5000 pairs over a 1000+<unk> alphabet) plus a
+    // ≤1001-row unigram broadcast and a 1-row total; each micro value is
+    // rounded BEFORE the per-doc BIGINT sum, so the statistic is
+    // order-free and engine-exact.
+    sql("doc_interp_nll",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM w, unnest(range(1, len(w) + 1)) AS t(i)
+        |), cnts AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT word FROM cnts ORDER BY c DESC, word LIMIT 1000),
+        |sym AS (
+        |  SELECT t.doc_id, t.pos,
+        |    CASE WHEN v.word IS NULL THEN '<unk>' ELSE t.word END AS s
+        |  FROM tok t LEFT JOIN vocab v USING (word)
+        |), pairs AS (
+        |  SELECT a.doc_id, a.s AS p, b.s AS t
+        |  FROM sym a JOIN sym b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), bc AS (SELECT p, t, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+        |top AS (SELECT p, t, c FROM bc ORDER BY c DESC, p, t LIMIT 5000),
+        |uni AS (SELECT s AS t, COUNT(*) AS uc FROM sym GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sym),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(-log2(pb / 2.0 + pu / 2.0) * 1e6) AS BIGINT) AS m,
+        |    backoff
+        |  FROM (
+        |    SELECT pr.doc_id,
+        |      CAST(COALESCE(tp.c + 1, 1) AS DOUBLE)
+        |        / CAST(x.cc + 1001 AS DOUBLE) AS pb,
+        |      CAST(u.uc + 1 AS DOUBLE)
+        |        / CAST(tot.n + 1001 AS DOUBLE) AS pu,
+        |      CASE WHEN tp.c IS NULL THEN 1 ELSE 0 END AS backoff
+        |    FROM pairs pr
+        |    LEFT JOIN top tp ON tp.p = pr.p AND tp.t = pr.t
+        |    JOIN ctx x ON x.p = pr.p
+        |    JOIN uni u ON u.t = pr.t
+        |    CROSS JOIN tot)
+        |), pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+        |    CAST(SUM(m) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.n_backoff, 0) AS n_backoff,
+        |  COALESCE(pd.nll_micro_sum, 0) AS nll_micro_sum,
+        |  CASE WHEN pd.n_bigrams > 0
+        |       THEN ROUND(CAST(pd.nll_micro_sum AS DOUBLE)
+        |         / (CAST(pd.n_bigrams AS DOUBLE) * 1e6), 6) END AS avg_nll_bits
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      graft.ops.TextAnalysis.interpNll(docs(s, dir)).orderBy("doc_id")
     },
 
     // ---- temperature-tempered mixture weights ----------------------------

@@ -434,6 +434,132 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF + PQ: cell-pruned candidates, byte-code ADC scoring ----------
+    // The IVFADC architecture (Jégou et al. 2011 §V) minus the residual
+    // step: the emb_ann_ivf coarse quantizer routes each query to 4 cells
+    // (candidates by EQUI-JOIN on cid — probe-bounded scan work), and
+    // scoring is emb_ann_pq's integer-LUT ADC over m=4 code bytes. The
+    // oracle re-derives BOTH trainings — the full-vector coarse k-means
+    // and the keyed-by-subspace PQ codebooks — from the same md5 seeds.
+    sql("emb_ann_ivfpq", {
+      val (nCells, nprobe, m, k, topK, dsub) = (16, 4, 4, 16, 10, 16)
+      def assignVecSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydVecSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      def assignSubSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, f.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+           |      ORDER BY list_dot_product(s.se, f.c) DESC, f.cid) AS rk
+           |  FROM $src s JOIN $cf f ON s.sub = f.sub) WHERE rk = 1""".stripMargin
+      def lloydSubSql(assigned: String): String =
+        s"""SELECT sub, cid, list(mm ORDER BY pos) AS c FROM (
+           |  SELECT sub, cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mm
+           |  FROM (SELECT sub, cid, unnest(se) AS x,
+           |          unnest(range(1, len(se) + 1)) AS pos FROM $assigned)
+           |  GROUP BY sub, cid, pos) GROUP BY sub, cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), k0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < $nCells
+        |), ka0 AS (${assignVecSql("v", "k0")}),
+        |k1 AS (${lloydVecSql("ka0")}),
+        |ka1 AS (${assignVecSql("v", "k1")}),
+        |k2 AS (${lloydVecSql("ka1")}),
+        |kaf AS (SELECT vec_id, cid FROM (${assignVecSql("v", "k2")})),
+        |sv AS (
+        |  SELECT vec_id, sub,
+        |    list_slice(e, sub * $dsub + 1, sub * $dsub + $dsub) AS se
+        |  FROM v CROSS JOIN (SELECT unnest(range($m)) AS sub)
+        |), c0 AS (
+        |  SELECT sub, cid, se AS c FROM (
+        |    SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, se
+        |    FROM sv) WHERE cid < $k
+        |), a0 AS (${assignSubSql("sv", "c0")}),
+        |c1 AS (${lloydSubSql("a0")}),
+        |a1 AS (${assignSubSql("sv", "c1")}),
+        |c2 AS (${lloydSubSql("a1")}),
+        |af AS (${assignSubSql("sv", "c2")}),
+        |cn AS (
+        |  SELECT sub, cid,
+        |    CAST(ROUND(1e6 * list_dot_product(c, c)) AS BIGINT) AS n2
+        |  FROM c2
+        |), rn AS (
+        |  SELECT a.vec_id, CAST(SUM(n.n2) AS BIGINT) AS recon_n2_fp
+        |  FROM af a JOIN cn n ON a.sub = n.sub AND a.cid = n.cid
+        |  GROUP BY a.vec_id
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe,
+        |    sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.query_id, k2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qe, k2.c) DESC, k2.cid) AS rk
+        |    FROM q CROSS JOIN k2) WHERE rk <= $nprobe
+        |), lut AS (
+        |  SELECT q.query_id, f.sub, f.cid,
+        |    CAST(ROUND(1e6 * list_dot_product(
+        |      list_slice(q.qe, f.sub * $dsub + 1, f.sub * $dsub + $dsub),
+        |      f.c)) AS BIGINT) AS d
+        |  FROM q CROSS JOIN c2 f
+        |), cand AS (
+        |  SELECT p.query_id, i.vec_id
+        |  FROM probe p JOIN kaf i USING (cid)
+        |  WHERE i.vec_id <> p.query_id
+        |), scored AS (
+        |  SELECT c.query_id, c.vec_id AS neighbor_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS adc_fp
+        |  FROM cand c
+        |  JOIN af a ON a.vec_id = c.vec_id
+        |  JOIN lut l ON l.query_id = c.query_id
+        |    AND l.sub = a.sub AND l.cid = a.cid
+        |  GROUP BY c.query_id, c.vec_id
+        |), ranked AS (
+        |  SELECT s.query_id, s.neighbor_id, s.adc_fp,
+        |    CAST(s.adc_fp AS DOUBLE) / 1e6
+        |      / (q.qnrm * sqrt(CAST(r.recon_n2_fp AS DOUBLE) / 1e6)) AS ac,
+        |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+        |      ORDER BY CAST(s.adc_fp AS DOUBLE) / 1e6
+        |        / (q.qnrm * sqrt(CAST(r.recon_n2_fp AS DOUBLE) / 1e6)) DESC,
+        |        s.neighbor_id) AS rank
+        |  FROM scored s
+        |  JOIN rn r ON s.neighbor_id = r.vec_id
+        |  JOIN q ON s.query_id = q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rank, adc_fp,
+        |  ROUND(ac, 6) AS adc_cosine
+        |FROM ranked WHERE rank <= $topK
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.ivfPqTopK(v, v.filter(col("vec_id") < 5), "vec_id", "e",
+        dim = 64, nCells = 16, nprobe = 4, m = 4, k = 16, iters = 2,
+        topK = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc_fp"), round(col("adc_cosine"), 6).as("adc_cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- k-means cluster composition report ------------------------------
     // The IVF coarse quantizer exposed as a clustering operator: every
     // vector assigned to its deterministic-k-means cell (md5-seeded init,

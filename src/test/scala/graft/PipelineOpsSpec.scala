@@ -115,6 +115,45 @@ class PipelineOpsSpec extends SparkSpec {
       again.map(_.toString).sorted), "PQ run-to-run instability")
   }
 
+  test("IVF+PQ: cell-pruned candidates score like PQ; no product in the plan") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian() * 5))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "e").cache()
+    val queries = df.filter(col("vec_id") < 10)
+    val res = VectorSearch.ivfPqTopK(df, queries, "vec_id", "e",
+      dim = 16, nCells = 16, nprobe = 3, m = 4, k = 8)
+    // pruned candidate gather must be an equi-join, never a product
+    val plan = res.queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    assert(!nodes(plan).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "IVF+PQ must gather candidates by equi-join on cid")
+    val rows = res.collect()
+    // clustered corpus: probes find the home cell, ADC keeps purity
+    rows.foreach { r =>
+      assert(r.getLong(1) % 10 == r.getLong(0) % 10,
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s cluster")
+    }
+    assert(rows.count(_.getInt(4) == 1) == 10, "one rank-1 per query")
+    // ADC arithmetic identical to the full-scan PQ operator: on the rows
+    // both return, (neighbor, adc_fp) must agree exactly
+    val pqAll = VectorSearch.pqTopK(df, queries, "vec_id", "e",
+        dim = 16, m = 4, k = 8, topK = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(pqAll((r.getLong(0), r.getLong(1))) === r.getLong(2),
+        "IVF+PQ adc_fp must equal the full-scan PQ score")
+    }
+  }
+
   test("clusterStats == manual aggregation over clusterAssign; pure clusters resolve") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)

@@ -30,6 +30,8 @@ class PlanGuardSpec extends SparkSpec {
     "emb_int8_knn" -> "broadcast side is the 5-vector quantized query set",
     // same shape, PQ-ADC scoring (5 query rows carrying m integer LUTs)
     "emb_ann_pq" -> "broadcast side is the 5-query LUT set",
+    // 1-row total-symbols frame crossJoined onto the pair scoring
+    "doc_interp_nll" -> "broadcast side is a 1-row symbol-total frame",
     // three 1-row aggregate counts crossJoined into one summary row
     "q14_nation_set_ops" -> "all sides are 1-row aggregates",
     // AnomalyGate.stats: total-events 1-row agg × anomaly-count 1-row agg

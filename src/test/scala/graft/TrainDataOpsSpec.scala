@@ -362,6 +362,66 @@ class TrainDataOpsSpec extends SparkSpec {
       "target-language docs must out-score off-target docs")
   }
 
+  test("interpNll matches a naive interpolated model; unseen pair beats the bigram floor") {
+    import graft.ops.TextAnalysis
+    val docsSeq = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the"), // same words, shuffled order
+      (4L, "one"),                    // no bigrams
+      (5L, ""))                       // no tokens
+    val (v, bTop) = (4, 3)
+    val got = TextAnalysis.interpNll(docsSeq.toDF("doc_id", "text"),
+        vocabSize = v, bigramTop = bTop)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4))))
+    val alpha = v + 1
+    val toks = docsSeq.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (id, w)) }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(v).map(_._1).toSet
+    def s(w: String) = if (vocab(w)) w else "<unk>"
+    val syms = toks.map { case (id, w) => (id, s(w)) }
+    val uni = syms.groupBy(_._2).view.mapValues(_.size).toMap
+    val n = syms.size
+    val pairs = docsSeq.flatMap { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty).map(s)
+      ws.sliding(2).filter(_.length == 2).map(a => (id, a(0), a(1)))
+    }
+    val bc = pairs.groupBy(p => (p._2, p._3)).view.mapValues(_.size).toMap
+    val ctx = pairs.groupBy(_._2).view.mapValues(_.size).toMap
+    val topB = bc.toSeq.sortBy { case ((p, t), c) => (-c, p, t) }
+      .take(bTop).toMap
+    def mic(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def nll(p: String, t: String): (Long, Boolean) = {
+      val (cNum, backoff) = topB.get((p, t)) match {
+        case Some(c) => (c + 1.0, false)
+        case None => (1.0, true)
+      }
+      val pb = cNum / (ctx(p) + alpha).toDouble
+      val pu = (uni(t) + 1).toDouble / (n + alpha).toDouble
+      (mic(-math.log(pb / 2.0 + pu / 2.0) / math.log(2.0) * 1e6), backoff)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docsSeq.map { case (id, _) =>
+      val ps = pairs.filter(_._1 == id).map(p => nll(p._2, p._3))
+      val (np, nb, sum) = (ps.size.toLong, ps.count(_._2).toLong, ps.map(_._1).sum)
+      (id, np, nb, sum, if (np > 0) Some(r6(sum.toDouble / (np * 1e6))) else None)
+    }
+    assert(got.toSeq === want, s"interpNll must equal the naive model\n${got.toSeq}\n$want")
+    // the interpolation's point: the shuffled doc's unseen pairs land on
+    // common target words, so it pays LESS than the pure-bigram floor
+    val bigram = TextAnalysis.bigramNll(docsSeq.toDF("doc_id", "text"),
+        vocabSize = v, bigramTop = bTop)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val interp = got.map(r => r._1 -> r._4).toMap
+    assert(interp(3L) < bigram(3L),
+      "unigram mass must soften the unseen-pair floor for the shuffled doc")
+  }
+
   test("unigramNll matches a naive driver-side unigram model") {
     // tiny corpus with known token counts: the naive model recomputes the
     // smoothed fixed-point scores and per-doc exact sums independently
@@ -607,6 +667,62 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(got(11L)._2 >= 1L, "one-word edit must hit the LSH index")
     assert(got(11L)._3 === 0)
     assert(got(12L) === ((0, 0L, 1)), "novel doc must be admitted")
+  }
+
+  test("hashedTfVectors: md5 buckets + unit norm match a naive model; wordless docs drop") {
+    graft.functions.GraftFunctions.register(spark)
+    val docsSeq = Seq(
+      (1L, "Alpha beta beta GAMMA gamma gamma"),
+      (2L, "alpha alpha delta-epsilon 42"), // '-' and digits split words
+      (3L, "12345 !!!"),                    // no [a-z] words at all
+      (4L, "zeta"))
+    val out = TextAnalysis.hashedTfVectors(
+        docsSeq.toDF("doc_id", "text"), "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)).toMap
+    assert(!out.contains(3L), "a doc with no words must drop")
+    def bucket(word: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    def naive(words: Seq[String]): Array[Double] = {
+      val v = new Array[Double](16)
+      words.foreach(w => v(bucket(w)) += 1.0)
+      v
+    }
+    val expect1 = naive(Seq("alpha", "beta", "beta", "gamma", "gamma", "gamma"))
+    val expect2 = naive(Seq("alpha", "alpha", "delta", "epsilon"))
+    assert(out(1L)._1.toSeq === expect1.toSeq, "doc 1 raw counts")
+    assert(out(2L)._1.toSeq === expect2.toSeq, "doc 2 raw counts")
+    // e is v / sqrt(v·v) computed with the same fold the engine uses
+    val n1 = math.sqrt(expect1.map(x => x * x).sum)
+    assert(out(1L)._2.toSeq === expect1.map(_ / n1).toSeq, "doc 1 unit vector")
+    assert(math.abs(out(4L)._2.map(x => x * x).sum - 1.0) < 1e-12,
+      "single-word doc must normalize to a unit axis vector")
+  }
+
+  test("topic clustering: disjoint vocabularies separate under spherical k-means") {
+    graft.functions.GraftFunctions.register(spark)
+    // two topics with disjoint word pools; 30 docs each, varying lengths —
+    // the hashing trick + spherical k-means must split them exactly
+    val poolA = Seq("kernel", "tensor", "gradient", "epoch", "batch")
+    val poolB = Seq("sonata", "violin", "tempo", "legato", "octave")
+    val docsSeq = (0 until 60).map { i =>
+      val pool = if (i % 2 == 0) poolA else poolB
+      val words = (0 to i % 7 + 2).map(j => pool((i + j) % pool.size))
+      (i.toLong, words.mkString(" "))
+    }
+    val feats = TextAnalysis.hashedTfVectors(
+      docsSeq.toDF("doc_id", "text"), "doc_id", "text", dim = 32)
+    val assigned = VectorSearch.clusterAssign(feats, "doc_id", "e", k = 2)
+      .select("doc_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cidsA = (0 until 60 by 2).map(i => assigned(i.toLong)).toSet
+    val cidsB = (1 until 60 by 2).map(i => assigned(i.toLong)).toSet
+    assert(cidsA.size == 1 && cidsB.size == 1 && cidsA != cidsB,
+      s"topics must separate: A=$cidsA B=$cidsB")
   }
 
   test("quantizeInt8: values bounded, reconstruction within half-step, exact integer dots") {
