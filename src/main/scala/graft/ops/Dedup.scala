@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication library for document corpora: exact, normalized
@@ -28,6 +29,47 @@ object Dedup {
         array_distinct(expr(
           "transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
         )).as("shingles"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS algorithm): hash every word k-gram, slide a window of
+    * `win` consecutive gram hashes, keep each window's minimum (ties to
+    * the RIGHTMOST position — the paper's rule), dedupe the picks. The
+    * guarantee: any shared run of win+k-1 words between two documents
+    * yields at least one IDENTICAL selected (hash) fingerprint, at
+    * density ~2/(win+1) instead of every gram — the local-similarity
+    * detector plagiarism/citation pipelines deploy.
+    *
+    * Scale shape: per-row gram explode (win-bounded window fan-out, no
+    * joins), one window ranked per (doc, window-end) — each partition
+    * group holds ≤ win rows, massively parallel, never a per-doc
+    * history. Hashes are md5-derived so any engine re-derives them.
+    * Short docs (< win grams) winnow their single clipped window.
+    * Returns (doc_id, pos, h) — 1-based gram position + selected hash. */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, win: Int = 4): DataFrame = {
+    require(k >= 1 && win >= 1, s"k and win must be >= 1, got k=$k win=$win")
+    val g = docs
+      .withColumn("w", split(col(textCol), " "))
+      .withColumn("gcnt", greatest(size(col("w")) - (k - 1), lit(1)))
+      .select(col(idCol).as("doc_id"), col("gcnt"),
+        posexplode(expr(
+          s"transform(sequence(1, gcnt), i -> concat_ws(' ', slice(w, i, $k)))"
+        )).as(Seq("p0", "gram")))
+      .withColumn("pos", col("p0") + 1)
+      .withColumn("h",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("bigint"))
+    // each gram fans out to the ≤win window-ends it can win; the pick per
+    // (doc, end) is the min hash, rightmost on ties
+    val wnd = g.withColumn("e", explode(sequence(
+      greatest(col("pos"), least(lit(win), col("gcnt"))),
+      least(col("pos") + (win - 1), col("gcnt")))))
+    val rk = Window.partitionBy("doc_id", "e")
+      .orderBy(col("h").asc, col("pos").desc)
+    wnd.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("h"))
+      .distinct()
+  }
 
   /** Distinct word 3-gram shingles per doc, one row per (doc, shingle).
     * NOTE: the generator expression stays INLINE in the explode — routing

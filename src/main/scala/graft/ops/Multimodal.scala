@@ -419,6 +419,75 @@ object Multimodal {
     ds.mapPartitions(_.flatMap(resizeImageMeta(_, outW, outH)))
   }
 
+  case class ImageAHash(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      ahash: Long,     // grid² bits, bit (y·grid+x) = gray(x,y) > mean
+      bits_set: Int)
+
+  /** ==== REAL ==== perceptual average-hash over the decoded pixels —
+    * the image near-dup fingerprint (a re-encoded / slightly-cropped
+    * copy keeps most bits, so Hamming distance on `ahash` buckets
+    * duplicates the way SimHash buckets text). ALL-INTEGER recipe so any
+    * engine replays it bit-for-bit: nearest-neighbor sample to a
+    * grid×grid raster (the [[resizeImageMeta]] index math — srcX = x·w
+    * div grid), gray = (r + g + b) div 3, mean = Σ gray div grid²
+    * (integer floor), bit set iff gray > mean. No float, no DCT, no
+    * implementation-defined resampler anywhere. None for payloads no
+    * image reader claims. */
+  def imageAHashMeta(r: MediaRecord, grid: Int = 8): Option[ImageAHash] = {
+    require(grid >= 1 && grid * grid <= 64,
+      s"grid² must fit the 64-bit hash, got $grid")
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val rd = readers.next()
+        try {
+          rd.setInput(in)
+          val img = rd.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Long](grid * grid)
+          var sum = 0L
+          var y = 0
+          while (y < grid) {
+            val sy = y * h / grid
+            var x = 0
+            while (x < grid) {
+              val sx = x * w / grid
+              val v = img.getRGB(sx, sy) & 0xFFFFFF
+              val g = (((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)) / 3
+              gray(y * grid + x) = g.toLong
+              sum += g
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum / (grid * grid)
+          var hash = 0L
+          var bits = 0
+          var i = 0
+          while (i < grid * grid) {
+            if (gray(i) > mean) { hash |= (1L << i); bits += 1 }
+            i += 1
+          }
+          Some(ImageAHash(r.media_id, w, h, hash, bits))
+        } catch { case _: Exception => None }
+        finally rd.dispose()
+      }
+    } finally if (in != null) in.close()
+  }
+
+  /** Fingerprint pass over a media column (partition-local decode; see
+    * [[imageAHashMeta]]); non-images drop. */
+  def imageAHash(ds: Dataset[MediaRecord], grid: Int = 8): Dataset[ImageAHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(imageAHashMeta(_, grid)))
+  }
+
   case class GifMeta(
       media_id: Long,
       format: String,

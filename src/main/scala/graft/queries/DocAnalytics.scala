@@ -365,6 +365,66 @@ object DocAnalytics {
         .orderBy("fingerprint")
     },
 
+    // ---- streaming exact-dedup admission on the batch path ---------------
+    // StreamingOps.runningDedup executed as one batch: continuous-ingest
+    // admission with 8 bytes of state per distinct fingerprint (the
+    // winning doc_id). The doc_id-sorted fold makes a single-batch
+    // execution admit exactly the per-fingerprint MINIMUM id — the batch
+    // dedup rule, which is the oracle below. StreamingSpec separately
+    // pins multi-trigger first-seen semantics and TTL eviction.
+    sql("doc_streaming_dedup",
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  doc_id = MIN(doc_id) OVER (
+        |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  ) AS admitted
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val pts = docs(s, dir)
+        .select(graft.ops.Dedup.fingerprint(col("text")).as("key"),
+          col("doc_id"), lit(null).cast("timestamp").as("ts"))
+        .as[StreamingOps.DedupPoint]
+      StreamingOps.runningDedup(pts).toDF()
+        .select(col("doc_id"), col("key").as("fingerprint"), col("admitted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- winnowing fingerprints (Schleimer et al., SIGMOD 2003) ----------
+    // The MOSS local-similarity fingerprint: hash every word 3-gram,
+    // slide a 4-gram-hash window, keep each window's minimum hash (ties
+    // to the RIGHTMOST position), dedupe. Any shared 6-word run between
+    // two docs yields an identical selected hash at ~2/(win+1) density.
+    // Window groups hold ≤ 4 rows each (doc × window-end) — massively
+    // parallel, never a per-doc history; md5-derived hashes replay in
+    // any engine.
+    sql("doc_winnow_fingerprints",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, i AS pos, GREATEST(len(w) - 2, 1) AS gcnt,
+        |    CAST('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 8)
+        |      AS BIGINT) AS h
+        |  FROM d, unnest(range(1, GREATEST(len(w) - 2, 1) + 1)) AS t(i)
+        |), wnd AS (
+        |  SELECT doc_id, pos, h, unnest(range(
+        |    GREATEST(pos, LEAST(4, gcnt)),
+        |    LEAST(pos + 3, gcnt) + 1)) AS e
+        |  FROM g
+        |), pick AS (
+        |  SELECT doc_id, pos, h FROM (
+        |    SELECT doc_id, pos, h,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, e
+        |        ORDER BY h, pos DESC) AS rk
+        |    FROM wnd) WHERE rk = 1
+        |)
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h
+        |FROM pick ORDER BY doc_id, pos""") { (s, dir) =>
+      graft.ops.Dedup.winnowFingerprints(docs(s, dir), k = 3, win = 4)
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- exact n-gram Jaccard near-dup pairs (verification path) ---------
     // |A∩B| via shingle self-join, sizes via per-doc distinct counts.
     // This all-pairs form is the ORACLE TWIN; the production path at

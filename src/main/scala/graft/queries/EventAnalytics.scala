@@ -860,6 +860,52 @@ object EventAnalytics {
         .orderBy("event_type")
     },
 
+    // ---- robust anomalies: median absolute deviation (MAD) ---------------
+    // The robust complement of A11's z-scores: mean/stddev move with the
+    // outliers they are supposed to find; median and MAD do not (50%
+    // breakdown point vs 0). Two exact-percentile passes per event_type
+    // (both map-side-bounded: the per-group medians broadcast back), and
+    // the FLAG compares micro-rounded integers — dev_micro > 3·mad_micro
+    // — so the cut is identical in any engine (a raw double compare
+    // could flip within an ulp exactly at the boundary).
+    sql("ev_mad_anomalies",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    ABS(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  ROUND(d.med, 6) AS med, ROUND(mad.mad, 6) AS mad,
+        |  CAST(ROUND(d.adev * 1e6) AS BIGINT) AS dev_micro
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE CAST(ROUND(d.adev * 1e6) AS BIGINT)
+        |  > 3 * CAST(ROUND(mad.mad * 1e6) AS BIGINT)
+        |ORDER BY event_id""") { (s, dir) =>
+      val med = ev(s, dir).groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = ev(s, dir)
+        .filter(col("value").isNotNull)
+        .join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("dev_micro", round(col("adev") * 1e6, 0).cast("bigint"))
+        .withColumn("mad_micro", round(col("mad") * 1e6, 0).cast("bigint"))
+        .filter(col("dev_micro") > lit(3L) * col("mad_micro"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("dev_micro"))
+        .orderBy("event_id")
+    },
+
     // ---- A16 at 100 TB: bounded-state percentile (deterministic
     // bottom-k sample — graft.functions.PctSampleAgg). The oracle
     // replays the EXACT sampling rule: the k rows with smallest
@@ -1091,6 +1137,40 @@ object EventAnalytics {
           (col("end_sec") - col("start_sec")).as("duration_sec"),
           col("closed"))
         .orderBy("user_id", "session_id")
+    },
+
+    // ---- behavioral transition matrix (first-order Markov counts) --------
+    // What follows what: per user, consecutive event pairs in event_id
+    // order → a |types|² transition-count matrix with exact integral
+    // row-normalized probabilities (n·10⁶ div row_total — no float ever
+    // enters). The per-user LAG window is bounded by a user's history;
+    // the matrix aggregation is map-side combinable. The standard input
+    // to session-model sanity checks and bot detection.
+    sql("ev_markov_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |), t AS (
+        |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+        |)
+        |SELECT prev_type, next_type, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS p_micro
+        |FROM t
+        |ORDER BY prev_type, next_type""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      ev(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_micro", expr(
+          "CAST((n * 1000000) div (SUM(n) OVER (PARTITION BY prev_type)) AS BIGINT)"))
+        .orderBy("prev_type", "next_type")
     },
 
     // ---- F5: context window around an anchor timestamp -------------------

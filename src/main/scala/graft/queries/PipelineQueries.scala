@@ -1022,6 +1022,58 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal REAL perceptual hash (average-hash, all-integer) ------
+    // The image near-dup fingerprint: 8×8 nearest-neighbor raster (the
+    // mm_resize index math), integer gray = (r+g+b) div 3, integer mean,
+    // bit per cell. No float/DCT/resampler — the oracle re-derives every
+    // bit closed-form from the planted gradient. The 64-bit hash ships as
+    // two 32-bit halves (DuckDB's SUM promotes to 128-bit, so a sign-bit
+    // set at position 63 would not round-trip a BIGINT compare).
+    sql("mm_image_ahash",
+      """WITH imgs AS (
+        |  SELECT i, 16 + (i * 7) % 97 AS w, 12 + (i * 5) % 71 AS h
+        |  FROM (SELECT unnest(range(20)) AS i)
+        |), gr AS (
+        |  SELECT i, w, h, y * 8 + x AS idx,
+        |    ((v // 65536) % 256 + (v // 256) % 256 + v % 256) // 3 AS gray
+        |  FROM (
+        |    SELECT i, w, h, x, y,
+        |      (((x * w) // 8) * 31 + ((y * h) // 8) * 17 + i) % 16777215 AS v
+        |    FROM imgs,
+        |      (SELECT unnest(range(8)) AS y) ys,
+        |      (SELECT unnest(range(8)) AS x) xs)
+        |), m AS (
+        |  SELECT i, CAST(SUM(gray) // 64 AS BIGINT) AS mean FROM gr GROUP BY i
+        |)
+        |SELECT gr.i AS media_id,
+        |  CAST(MAX(gr.w) AS INTEGER) AS width,
+        |  CAST(MAX(gr.h) AS INTEGER) AS height,
+        |  CAST(SUM(CASE WHEN gray > mean AND idx < 32
+        |    THEN CAST(1 AS BIGINT) << CAST(idx AS INTEGER) ELSE 0 END)
+        |    AS BIGINT) AS ahash_lo,
+        |  CAST(SUM(CASE WHEN gray > mean AND idx >= 32
+        |    THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INTEGER) ELSE 0 END)
+        |    AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN gray > mean THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS bits_set
+        |FROM gr JOIN m ON m.i = gr.i
+        |GROUP BY gr.i
+        |ORDER BY media_id""") { (s, _) =>
+      import s.implicits._
+      val recs = (0 until 20).map { i =>
+        Multimodal.MediaRecord(i.toLong, "image",
+          Multimodal.syntheticPng(16 + (i * 7) % 97, 12 + (i * 5) % 71,
+            i.toLong), "synthetic")
+      }
+      Multimodal.imageAHash(s.createDataset(recs).repartition(4), 8)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("bits_set"))
+        .orderBy("media_id")
+    },
+
     // ---- multimodal REAL audio decode (javax.sound.sampled), full oracle -
     // Same move as mm_png_decode for the other JDK-shipped codec: WAV/PCM
     // fixtures whose sample rate / channels / frame count follow known

@@ -601,6 +601,59 @@ object StreamingOps {
         })
   }
 
+  case class DedupPoint(key: String, doc_id: Long,
+      ts: java.sql.Timestamp = null)
+  case class DedupAdmit(key: String, doc_id: Long, admitted: Boolean)
+
+  /** Keyed RUNNING exact-dedup — the streaming carrier of fingerprint
+    * dedup (continuous-ingest admission: the first document carrying a
+    * content fingerprint is admitted, every later copy rejected). State
+    * per fingerprint is ONLY the winning doc_id — 8 bytes, TTL-able —
+    * so the admission set never materializes.
+    *
+    * Within a trigger rows fold SORTED by doc_id, so a single-batch
+    * execution admits exactly the per-fingerprint MINIMUM id — the batch
+    * dedup rule, which is what the registered `doc_streaming_dedup`
+    * oracle verifies. Across triggers the winner is FIRST-SEEN: a later
+    * trigger cannot dethrone it even with a smaller id (re-admitting
+    * would retract the earlier rejection — unbounded output revision),
+    * which equals the batch rule whenever delivery is id-ordered — the
+    * same contract as the other carriers. */
+  def runningDedup(points: Dataset[DedupPoint],
+      stateTtlMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[DedupAdmit] = {
+    import points.sparkSession.implicits._
+    val src = if (stateTtlMs > 0L)
+      points.withWatermark("ts", watermarkDelay) else points
+    val timeout = if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (key: String, rows: Iterator[DedupPoint],
+            state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = rows.toArray.sortBy(_.doc_id)
+            val out = Seq.newBuilder[DedupAdmit]
+            var has = state.exists
+            var winner = if (has) state.get else Long.MinValue
+            ordered.foreach { p =>
+              if (!has) {
+                winner = p.doc_id; has = true
+                out += DedupAdmit(key, p.doc_id, admitted = true)
+              } else {
+                out += DedupAdmit(key, p.doc_id, admitted = false)
+              }
+            }
+            if (has) { state.update(winner); armTtl(state, stateTtlMs) }
+            out.result().iterator
+          }
+        })
+  }
+
   case class SessionPoint(key: Long, eid: Long, sec: Long,
       ts: java.sql.Timestamp = null)
   /** The OPEN session only: its running index, extrema, the previous

@@ -73,6 +73,49 @@ class DedupSpec extends SparkSpec {
       f"skewed nearDupComponents took $secs%.1f s (bound $wallBound%.0f s)")
   }
 
+  test("winnowing == naive model; shared 6-word run guarantees a shared pick") {
+    import spark.implicits._
+    val (k, win) = (3, 4)
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = win+k-1 words
+    val docsSeq = Seq(
+      (1L, s"one two three four five $shared six seven"),
+      (2L, s"$shared completely different tail words here indeed"),
+      (3L, "tiny doc"),          // < k words: one whole-text gram
+      (4L, "a b c d"))           // 2 grams < win: one clipped window
+    val got = Dedup.winnowFingerprints(
+        docsSeq.toDF("doc_id", "text"), k = k, win = win)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // naive winnowing, straight from the paper
+    def h(gram: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def naive(text: String): Set[(Long, Long)] = {
+      val w = text.split(" ", -1)
+      val grams = (1 to math.max(w.length - k + 1, 1))
+        .map(i => i.toLong -> h(w.slice(i - 1, i - 1 + k).mkString(" ")))
+      val picks = for (e <- math.min(win, grams.size) to grams.size) yield {
+        val window = grams.slice(math.max(0, e - win), e)
+        window.minBy { case (pos, hh) => (hh, -pos) }
+      }
+      picks.toSet
+    }
+    docsSeq.foreach { case (id, text) =>
+      assert(got(id) === naive(text), s"winnow mismatch for doc $id")
+    }
+    // the winnowing guarantee: a shared win+k-1-word run yields at least
+    // one identical selected HASH in both docs
+    val hashes1 = got(1L).map(_._2)
+    val hashes2 = got(2L).map(_._2)
+    assert((hashes1 & hashes2).nonEmpty,
+      "docs sharing a 6-word run must share a fingerprint")
+    assert(got(3L).size == 1, "sub-k doc winnows its single gram")
+    assert(got(4L).size == 1, "sub-win doc winnows one clipped window")
+  }
+
   test("canonicalReps picks the longest member per component, ties to min id") {
     val docs = Tables(spark, sf(""), "documents")
     val got = Dedup.canonicalReps(docs).collect()

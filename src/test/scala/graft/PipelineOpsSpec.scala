@@ -590,6 +590,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(up.pix_checksum === wantUp, "upscale must replicate source pixels")
   }
 
+  test("multimodal: average-hash matches the closed-form gradient; exact dups collide") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.syntheticPng(40, 30, 3L), "t"),
+      Multimodal.MediaRecord(2L, "image", Multimodal.syntheticPng(40, 30, 3L), "t"),
+      Multimodal.MediaRecord(3L, "image", Multimodal.syntheticPng(25, 19, 900000L), "t"),
+      Multimodal.MediaRecord(9L, "image", "not an image".getBytes("UTF-8"), "t"))
+    val got = Multimodal.imageAHash(spark.createDataset(recs).repartition(2), 8)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(!got.contains(9L), "non-images must drop")
+    def naive(w: Int, h: Int, seed: Long): (Long, Int) = {
+      val gray = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val v = ((x * w / 8) * 31L + (y * h / 8) * 17L + seed) % 0xFFFFFF
+        (((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)) / 3
+      }
+      val mean = gray.sum / 64
+      val bits = gray.zipWithIndex.filter(_._1 > mean).map(_._2)
+      (bits.foldLeft(0L)((a, i) => a | (1L << i)), bits.size)
+    }
+    Seq((1L, 40, 30, 3L), (3L, 25, 19, 900000L)).foreach { case (id, w, h, s) =>
+      val (hash, nbits) = naive(w, h, s)
+      assert(got(id).ahash === hash && got(id).bits_set === nbits,
+        s"hash mismatch for media $id")
+      assert(got(id).width === w && got(id).height === h)
+    }
+    assert(got(1L).ahash === got(2L).ahash,
+      "byte-identical images must share the fingerprint")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageAHashMeta(recs.head, 9) // 81 bits > the 64-bit hash
+    }
+  }
+
   test("multimodal: real WAV decode reads true rate/channels/frames; non-audio falls back") {
     // round-trip through the JDK audio system: write known-parameter PCM
     // WAVs, decode them distributed (every frame pulled through the

@@ -457,6 +457,59 @@ class StreamingSpec extends SparkSpec {
       "fresh session must hold only the post-eviction event")
   }
 
+  test("running dedup: first-seen admission across triggers; batch fold = min rule") {
+    implicit val sqlCtx = spark.sqlContext
+    def dp(key: String, id: Long, at: String) =
+      StreamingOps.DedupPoint(key, id, ts(at))
+    val input = MemoryStream[StreamingOps.DedupPoint]
+    val q = StreamingOps.runningDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    // trigger 1 delivered in reverse: the fold must admit the MIN id
+    input.addData(dp("fpA", 7L, "2025-01-01 00:00:02"),
+      dp("fpA", 3L, "2025-01-01 00:00:01"),
+      dp("fpB", 9L, "2025-01-01 00:00:03"))
+    q.processAllAvailable()
+    // trigger 2: a SMALLER id for fpA arrives late — first-seen keeps 3
+    input.addData(dp("fpA", 1L, "2025-01-01 00:01:00"),
+      dp("fpB", 9L, "2025-01-01 00:01:01")) // a literal duplicate row
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out")
+      .as[StreamingOps.DedupAdmit].collect()
+    q.stop()
+    val admitted = rows.filter(_.admitted).map(r => (r.key, r.doc_id)).toSet
+    assert(admitted === Set(("fpA", 3L), ("fpB", 9L)),
+      s"winners must be first-seen minima, got $admitted")
+    assert(rows.count(r => r.key == "fpA" && !r.admitted) == 2,
+      "both later fpA copies rejected (incl. the smaller late id)")
+    assert(rows.count(r => r.key == "fpB" && !r.admitted) == 1,
+      "the duplicate fpB row rejected")
+  }
+
+  test("running dedup: state TTL evicts idle fingerprints; re-arrival re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    def dp(key: String, id: Long, at: String) =
+      StreamingOps.DedupPoint(key, id, ts(at))
+    val input = MemoryStream[StreamingOps.DedupPoint]
+    val q = StreamingOps.runningDedup(input.toDS(),
+        stateTtlMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(dp("fpA", 3L, "2025-01-01 00:00:00")); q.processAllAvailable()
+    // an hour later another key advances the watermark → fpA evicts
+    input.addData(dp("fpB", 5L, "2025-01-01 01:00:00")); q.processAllAvailable()
+    input.addData(dp("fpB", 6L, "2025-01-01 01:00:01")); q.processAllAvailable()
+    // fpA re-arrives: the evicted winner is forgotten → re-admitted (the
+    // documented TTL trade: a duplicate older than the TTL re-enters)
+    input.addData(dp("fpA", 8L, "2025-01-01 01:30:00")); q.processAllAvailable()
+    val rows = spark.table("dedup_ttl_out")
+      .as[StreamingOps.DedupAdmit].collect()
+    q.stop()
+    assert(rows.filter(r => r.key == "fpA" && r.admitted)
+      .map(_.doc_id).sorted.toSeq === Seq(3L, 8L),
+      s"evicted fingerprint must re-admit, got ${rows.toSeq}")
+  }
+
   // ---- out-of-order / late-data semantics ---------------------------------
   // The ordered-input tests above prove streaming == batch; these prove the
   // watermark CONTRACT — out-of-order rows inside the lateness bound still
