@@ -71,6 +71,34 @@ object Dedup {
       .distinct()
   }
 
+  /** MOSS-style document-overlap report over [[winnowFingerprints]]:
+    * pairs of documents sharing at least `minShared` selected hashes,
+    * with the shared count — the plagiarism/citation-leak detector the
+    * fingerprints exist for. Candidates come from an EQUI-JOIN on the
+    * hash (work = Σ per-hash pairs, never corpus²); a hash held by more
+    * than `hotCap` documents is boilerplate (license headers, templates)
+    * and is dropped before pairing — the hot-shingle cap's rationale,
+    * the same documented recall trade. Per-doc hash sets are distinct,
+    * so `shared_fps` counts distinct shared fingerprints. */
+  def winnowOverlap(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, win: Int = 4,
+      minShared: Int = 3, hotCap: Int = 50): DataFrame = {
+    require(minShared >= 1 && hotCap >= 2,
+      s"minShared >= 1 and hotCap >= 2 required, got $minShared/$hotCap")
+    val fp = winnowFingerprints(docs, idCol, textCol, k, win)
+      .select(col("doc_id"), col("h")).distinct()
+    val hot = fp.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > hotCap).select("h")
+    val ok = fp.join(hot, Seq("h"), "left_anti")
+    val a = ok.select(col("h"), col("doc_id").as("doc_a"))
+    val b = ok.select(col("h"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Distinct word 3-gram shingles per doc, one row per (doc, shingle).
     * NOTE: the generator expression stays INLINE in the explode — routing
     * it through shingleArrays would materialize every doc's full string

@@ -23,6 +23,30 @@ object DocAnalytics {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** DuckDB twin of graft.ops.Dedup.winnowFingerprints (k=3, win=4) as
+    * a WITH prefix ending in the `pick` CTE — shared by the fingerprint
+    * dump and the overlap report so the derivations cannot drift. */
+  private val WinnowCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), g AS (
+      |  SELECT doc_id, i AS pos, GREATEST(len(w) - 2, 1) AS gcnt,
+      |    CAST('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 8)
+      |      AS BIGINT) AS h
+      |  FROM d, unnest(range(1, GREATEST(len(w) - 2, 1) + 1)) AS t(i)
+      |), wnd AS (
+      |  SELECT doc_id, pos, h, unnest(range(
+      |    GREATEST(pos, LEAST(4, gcnt)),
+      |    LEAST(pos + 3, gcnt) + 1)) AS e
+      |  FROM g
+      |), pick AS (
+      |  SELECT doc_id, pos, h FROM (
+      |    SELECT doc_id, pos, h,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id, e
+      |        ORDER BY h, pos DESC) AS rk
+      |    FROM wnd) WHERE rk = 1
+      |)""".stripMargin
+
   /** DuckDB twin of graft.ops.Dedup.shingles as a CTE body. */
   private def shingleSqlOver(src: String) =
     s"""SELECT doc_id, unnest(list_distinct(
@@ -400,29 +424,35 @@ object DocAnalytics {
     // parallel, never a per-doc history; md5-derived hashes replay in
     // any engine.
     sql("doc_winnow_fingerprints",
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |), g AS (
-        |  SELECT doc_id, i AS pos, GREATEST(len(w) - 2, 1) AS gcnt,
-        |    CAST('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 8)
-        |      AS BIGINT) AS h
-        |  FROM d, unnest(range(1, GREATEST(len(w) - 2, 1) + 1)) AS t(i)
-        |), wnd AS (
-        |  SELECT doc_id, pos, h, unnest(range(
-        |    GREATEST(pos, LEAST(4, gcnt)),
-        |    LEAST(pos + 3, gcnt) + 1)) AS e
-        |  FROM g
-        |), pick AS (
-        |  SELECT doc_id, pos, h FROM (
-        |    SELECT doc_id, pos, h,
-        |      ROW_NUMBER() OVER (PARTITION BY doc_id, e
-        |        ORDER BY h, pos DESC) AS rk
-        |    FROM wnd) WHERE rk = 1
-        |)
+      s"""$WinnowCte
         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h
         |FROM pick ORDER BY doc_id, pos""") { (s, dir) =>
       graft.ops.Dedup.winnowFingerprints(docs(s, dir), k = 3, win = 4)
         .orderBy("doc_id", "pos")
+    },
+
+    // ---- MOSS overlap report: doc pairs sharing winnow fingerprints ------
+    // The detector the fingerprints exist for: pairs of documents with
+    // ≥ 3 shared selected hashes, via an equi-join on the hash (work =
+    // Σ per-hash pairs, never corpus²); hashes held by > 50 docs are
+    // boilerplate and drop first (the hot-shingle cap's rationale —
+    // documented recall trade).
+    sql("doc_winnow_overlap",
+      s"""$WinnowCte, fp AS (
+        |  SELECT DISTINCT doc_id, h FROM pick
+        |), ok AS (
+        |  SELECT doc_id, h FROM fp
+        |  WHERE h NOT IN (SELECT h FROM fp GROUP BY h HAVING COUNT(*) > 50)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      graft.ops.Dedup.winnowOverlap(docs(s, dir), k = 3, win = 4,
+          minShared = 3, hotCap = 50)
+        .orderBy("doc_a", "doc_b")
     },
 
     // ---- exact n-gram Jaccard near-dup pairs (verification path) ---------

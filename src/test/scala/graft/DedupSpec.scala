@@ -116,6 +116,38 @@ class DedupSpec extends SparkSpec {
     assert(got(4L).size == 1, "sub-win doc winnows one clipped window")
   }
 
+  test("winnowOverlap counts distinct shared fingerprints; hot hashes drop first") {
+    import spark.implicits._
+    val runR = "red orange yellow green blue indigo violet umber"   // 8 words
+    val runS = "apple banana cherry damson elder fig grape haw"     // 8 words
+    val docsSeq = Seq(
+      (1L, s"one two $runR three $runS"),
+      (2L, s"$runS four five six $runR"),
+      (3L, s"seven $runR eight nine ten eleven twelve thirteen"))
+    val df = docsSeq.toDF("doc_id", "text")
+    // naive shared counts from the fingerprint sets themselves
+    val sets = Dedup.winnowFingerprints(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Dedup.winnowOverlap(df, minShared = 1, hotCap = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).foreach { case (a, b) =>
+      val want = (sets(a) & sets(b)).size.toLong
+      assert(got.getOrElse((a, b), 0L) === want, s"pair ($a,$b)")
+    }
+    // all three docs share runR → its fingerprints are "hot" at cap 2 and
+    // drop; pair (1,2) must fall back to runS-only overlap, (1,3)/(2,3)
+    // must lose their runR-derived overlap entirely
+    val hotIn = sets.values.reduce(_ & _) // hashes common to ALL 3 docs
+    val capped = Dedup.winnowOverlap(df, minShared = 1, hotCap = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want12 = ((sets(1L) & sets(2L)) -- hotIn).size.toLong
+    assert(capped.getOrElse((1L, 2L), 0L) === want12,
+      "hot fingerprints must not count toward pairs")
+    assert(!capped.contains((1L, 3L)) ||
+      capped((1L, 3L)) < got((1L, 3L)), "capped overlap must shrink")
+  }
+
   test("canonicalReps picks the longest member per component, ties to min id") {
     val docs = Tables(spark, sf(""), "documents")
     val got = Dedup.canonicalReps(docs).collect()
