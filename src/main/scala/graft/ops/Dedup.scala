@@ -42,7 +42,12 @@ object Dedup {
     * Scale shape: per-row gram explode (win-bounded window fan-out, no
     * joins), one window ranked per (doc, window-end) — each partition
     * group holds ≤ win rows, massively parallel, never a per-doc
-    * history. Hashes are md5-derived so any engine re-derives them.
+    * history. Hashes are md5-derived so any engine re-derives them:
+    * the first 15 hex chars = 60 bits, always-positive BIGINT. The
+    * width matters at corpus scale — a 32-bit hash collides random
+    * unrelated grams past ~77k distinct grams (birthday bound),
+    * inflating winnowOverlap's shared_fps with false pairs the hot cap
+    * cannot catch; 60 bits pushes the bound past 10⁹ distinct grams.
     * Short docs (< win grams) winnow their single clipped window.
     * Returns (doc_id, pos, h) — 1-based gram position + selected hash. */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
@@ -57,7 +62,7 @@ object Dedup {
         )).as(Seq("p0", "gram")))
       .withColumn("pos", col("p0") + 1)
       .withColumn("h",
-        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("bigint"))
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("bigint"))
     // each gram fans out to the ≤win window-ends it can win; the pick per
     // (doc, end) is the min hash, rightmost on ties
     val wnd = g.withColumn("e", explode(sequence(

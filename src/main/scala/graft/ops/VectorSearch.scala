@@ -646,8 +646,14 @@ object VectorSearch {
 
   /** Micro fixed-point with HALF_UP (away-from-zero) rounding — the
     * semantics of BOTH Spark's `round()` and DuckDB's `ROUND()` on
-    * doubles, applied to the exact binary value. Dots can be negative, so
-    * Math.round (floor(x+0.5)) would disagree with the engines on
+    * doubles. BigDecimal.valueOf(x) rounds the SHORTEST-DECIMAL
+    * representation of x (Double.toString), NOT the exact binary
+    * expansion — which is precisely what matches the engines, because
+    * their round() goes through the same shortest-decimal view. Do NOT
+    * "correct" this to `new BigDecimal(x)` (exact binary): it would
+    * break engine parity on values whose binary expansion crosses a
+    * half boundary the decimal rendering doesn't. Dots can be negative,
+    * so Math.round (floor(x+0.5)) would disagree with the engines on
     * negative halfway values; BigDecimal HALF_UP cannot. */
   private def microFp(x: Double): Long =
     java.math.BigDecimal.valueOf(x).movePointRight(6)
@@ -736,6 +742,22 @@ object VectorSearch {
       .map(s => element_at(col(s"lut_$s"), col(s"code_$s") + 1))
       .reduce(_ + _)
 
+  /** Guarded ADC cosine over (adc_fp, qnrm, recon_n2_fp): a zero query
+    * vector (qnrm 0) or an all-zero reconstruction (recon_n2_fp 0 —
+    * degenerate codebooks over a degenerate corpus) would divide by zero
+    * and yield NaN/Infinity, which Spark's desc window ranks FIRST,
+    * silently promoting garbage to rank 1. Demote to -Infinity instead
+    * (the nanvl move assign() uses): degenerate rows rank last,
+    * deterministically by neighbor_id. Non-degenerate corpora are
+    * untouched (denominator > 0 ⇒ same value as the unguarded divide),
+    * so the DuckDB oracle twins — which omit the guard; the fixtures
+    * hold no zero vectors — stay bit-identical. */
+  private def adcCosineGuarded: Column = {
+    val denom = col("qnrm") * sqrt(col("recon_n2_fp").cast("double") / 1e6)
+    when(denom > 0.0, col("adc_fp").cast("double") / 1e6 / denom)
+      .otherwise(lit(Double.NegativeInfinity))
+  }
+
   /** PQ top-k by asymmetric distance computation (ADC): each query builds
     * m integer lookup tables lut_s[c] = micro(dot(q_sub, codebook_s[c]))
     * ONCE (m·k micro-rounded dots — the query row carries k·dim literal
@@ -769,9 +791,7 @@ object VectorSearch {
     enc.crossJoin(broadcast(withLuts))
       .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .withColumn("adc_fp", adcFp)
-      .withColumn("adc_cosine",
-        col("adc_fp").cast("double") / 1e6 /
-          (col("qnrm") * sqrt(col("recon_n2_fp").cast("double") / 1e6)))
+      .withColumn("adc_cosine", adcCosineGuarded)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("adc_fp"), col("adc_cosine"))
       .withColumn("rank", row_number().over(w))
@@ -837,9 +857,7 @@ object VectorSearch {
     enc.join(probed, Seq("cid"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("adc_fp", pqAdcFp(m))
-      .withColumn("adc_cosine",
-        col("adc_fp").cast("double") / 1e6 /
-          (col("qnrm") * sqrt(col("recon_n2_fp").cast("double") / 1e6)))
+      .withColumn("adc_cosine", adcCosineGuarded)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("adc_fp"), col("adc_cosine"))
       .withColumn("rank", row_number().over(w))

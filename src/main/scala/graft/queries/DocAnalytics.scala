@@ -31,7 +31,7 @@ object DocAnalytics {
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), g AS (
       |  SELECT doc_id, i AS pos, GREATEST(len(w) - 2, 1) AS gcnt,
-      |    CAST('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 8)
+      |    CAST('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 15)
       |      AS BIGINT) AS h
       |  FROM d, unnest(range(1, GREATEST(len(w) - 2, 1) + 1)) AS t(i)
       |), wnd AS (

@@ -618,7 +618,22 @@ object StreamingOps {
     * trigger cannot dethrone it even with a smaller id (re-admitting
     * would retract the earlier rejection — unbounded output revision),
     * which equals the batch rule whenever delivery is id-ordered — the
-    * same contract as the other carriers. */
+    * same contract as the other carriers.
+    *
+    * Memory bounds, precisely: cross-trigger STATE is O(1) per key (the
+    * 8-byte winner), but the per-trigger fold buffers each key's rows
+    * delivered IN THAT TRIGGER (`rows.toArray.sortBy`) — O(rows per key
+    * per trigger) task memory, which in the single-batch oracle
+    * execution is the key's entire history on one task. That is the
+    * verification harness's cost, not the streaming deployment's (a
+    * trigger delivers an interval's worth of rows). Two unbounded-horizon
+    * caveats: (a) with no TTL the state map grows with |distinct
+    * fingerprints| — 8 bytes each, honest but unbounded; admission-
+    * forever semantics at corpus scale belongs to the store-backed
+    * [[graft.ops.Dedup.incrementalAdmit]], with TTL'd runningDedup as
+    * the windowed-recency form; (b) a fingerprint hot WITHIN one trigger
+    * buffers all its copies in the fold — cap the trigger interval, not
+    * this operator. */
   def runningDedup(points: Dataset[DedupPoint],
       stateTtlMs: Long = 0L,
       watermarkDelay: String = "10 minutes"): Dataset[DedupAdmit] = {
@@ -684,7 +699,15 @@ object StreamingOps {
     * `ev_streaming_sessions` oracle verifies; StreamingSpec pins
     * multi-trigger == batch under eid-ordered delivery (the analogue of
     * the other carriers' event-time-ordered contract) and the TTL path.
-    */
+    *
+    * Memory bounds, precisely: cross-trigger STATE is the fixed 40
+    * bytes, but the per-trigger fold buffers each key's rows delivered
+    * in THAT trigger (`rows.toArray.sortBy`) — O(rows per key per
+    * trigger) task memory. The "a key with 10⁹ events costs the same as
+    * one with 10" claim is about state; in the single-batch oracle
+    * execution the whole key sorts on one task (the harness's cost —
+    * a batch job wants `ev_sessionize`'s window plan). A real streaming
+    * deployment bounds the fold by the trigger interval. */
   def runningSessions(points: Dataset[SessionPoint], gapSec: Long = 1800L,
       stateTtlMs: Long = 0L,
       watermarkDelay: String = "10 minutes"): Dataset[RunningSession] = {

@@ -86,12 +86,13 @@ class DedupSpec extends SparkSpec {
         docsSeq.toDF("doc_id", "text"), k = k, win = win)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
-    // naive winnowing, straight from the paper
+    // naive winnowing, straight from the paper (60-bit hash = the op's
+    // first 15 md5 hex chars)
     def h(gram: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(gram.getBytes("UTF-8"))
       java.lang.Long.parseLong(
-        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
     }
     def naive(text: String): Set[(Long, Long)] = {
       val w = text.split(" ", -1)

@@ -154,6 +154,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC guards zero denominators: degenerate rows rank last, no NaN") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(23)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian()).toSeq))
+    // query 99 is the all-zero vector: qnrm = 0 would divide by zero —
+    // unguarded that is NaN, which a desc window ranks FIRST
+    val df = (vecs :+ (99L, Seq.fill(8)(0.0))).toDF("vec_id", "e").cache()
+    val queries = df.filter(col("vec_id") === 99L || col("vec_id") < 2)
+    Seq(
+      VectorSearch.pqTopK(df, queries, "vec_id", "e",
+        dim = 8, m = 2, k = 4, topK = 5),
+      VectorSearch.ivfPqTopK(df, queries, "vec_id", "e",
+        dim = 8, nCells = 4, nprobe = 4, m = 2, k = 4, topK = 5)
+    ).foreach { res =>
+      val rows = res.collect()
+      val zeroRows = rows.filter(_.getLong(0) == 99L)
+      assert(zeroRows.nonEmpty, "zero query must still return ranked rows")
+      zeroRows.foreach { r =>
+        val c = r.getDouble(3)
+        assert(!c.isNaN, "guard must demote NaN, not rank it")
+        assert(c == Double.NegativeInfinity, s"degenerate cosine was $c")
+      }
+      // all scores tie at -Infinity → rank order must be neighbor_id
+      val ordered = zeroRows.sortBy(_.getInt(4)).map(_.getLong(1))
+      assert(ordered.sameElements(ordered.sorted),
+        "degenerate ties must break by neighbor_id")
+      // non-degenerate queries keep finite, unguard-identical cosines
+      assert(rows.filter(_.getLong(0) < 2)
+        .forall(r => java.lang.Double.isFinite(r.getDouble(3))),
+        "guard must not touch non-degenerate rows")
+    }
+  }
+
   test("clusterStats == manual aggregation over clusterAssign; pure clusters resolve") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)
