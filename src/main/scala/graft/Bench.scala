@@ -25,6 +25,7 @@ object Bench {
       graft.queries.TraceQueries.evictFixtureCache(spark)
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    graft.queries.BpeQueries.evictTrainMemo()
     names.foreach { n => exec(n); reset() } // warm-up
     // Machine-load calibration: a FIXED synthetic workload (registry- and
     // data-independent, codegen'd, all cores) timed alongside the
@@ -43,13 +44,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // warm-up
-    def timedPass(): (Map[String, Double], Double) = (names.map { name =>
+    // The BPE training memo is evicted per PASS, not per query: the two
+    // full-dict BPE queries share one identical 64-merge training (the
+    // clean-pipeline sharing pattern), so each pass bills exactly one
+    // training — on its alphabetically-first consumer — instead of one
+    // per consumer. Everything else still pays its full standalone cost
+    // via reset() between queries.
+    def timedPass(): (Map[String, Double], Double) = {
+      graft.queries.BpeQueries.evictTrainMemo()
+      (names.map { name =>
       val t0 = System.nanoTime()
       exec(name)
       val dt = (System.nanoTime() - t0) / 1e9
       reset()
       name -> dt
     }.toMap, calibrate())
+    }
     // several timed passes, report the per-query minimum — local-mode wall
     // times on shared hardware are noisy and min is the robust statistic
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt

@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *    frame already HOLDS the final segmentation of every dict word, so
   *    encode is pre-tokenize → join against the bounded dict → per-doc
   *    aggregate. Per-document work is a hash join probe, not a merge
-  *    replay.
+  *    replay. Encoding is TOTAL: words outside the capped dict segment
+  *    by replaying the merge table over the corpus' distinct
+  *    out-of-dict words ([[segmentWords]] — bounded per-word work,
+  *    worst case ending at character symbols), so the cap bounds
+  *    training state, never coverage.
   *
   * Determinism, cross-engine: the pre-tokenizer is lowercased `[a-z]+`
   * runs; a segmentation is a single-space-joined symbol string with a
@@ -168,25 +172,87 @@ object Bpe {
       .toDF("rank", "lft", "rgt", "merged", "cnt")
   }
 
+  /** Segment arbitrary words by replaying the trained merge table: each
+    * word starts at its character segmentation and folds through ALL
+    * `merges` in rank order — textbook BPE inference for words the
+    * bounded training dict never held. Per-word work is
+    * |merges| × |symbols| (both bounded: ≤ numMerges fold layers over a
+    * word-length list), fully distributed, no corpus-scale state — the
+    * merge table itself is the only driver-held input (numMerges rows,
+    * applied as literal column layers, never joined). The same
+    * `checkpointEvery` plan-truncation stride as [[train]] keeps the
+    * 64-layer fold tree out of the analyzer's way.
+    *
+    * Input: a frame with a `word` column (distinct words — callers
+    * dedupe first so replay cost is per distinct word, not per
+    * occurrence). Returns (word, seg). */
+  def segmentWords(words: DataFrame, merges: Seq[Merge],
+      checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    var seg = words.select(col("word"))
+      .withColumn("seg", initSeg(col("word")))
+    merges.foreach { m =>
+      seg = seg.withColumn("seg", applyMerge(col("seg"), m.left, m.right))
+      if (m.rank % checkpointEvery == 0) seg = seg.localCheckpoint()
+    }
+    seg
+  }
+
   /** Encode `docs(idCol, textCol)` against a trained dict: per document,
-    * the number of pre-tokenized words found in the dict and the total
-    * BPE token count. Per-document cost is pre-tokenize + one hash-join
-    * probe per word against the BOUNDED dict (whose `seg` column already
-    * carries the fully merged segmentation) — no per-document merge
-    * replay. Words outside the capped dict are outside the tokenizer's
-    * vocabulary and are not counted (the bounded-dict contract; at
-    * fixture scale the cap never binds). */
+    * the total pre-tokenized word count and the total BPE token count —
+    * over 100 % of words. Dict words cost one hash-join probe against
+    * the BOUNDED dict (whose `seg` column already carries the fully
+    * merged segmentation — no per-document merge replay); words OUTSIDE
+    * the capped dict (the tail vocabulary a token-count operator exists
+    * to price at 100 TB) segment by [[segmentWords]] merge-table replay
+    * over the corpus' DISTINCT out-of-dict words — bounded per-word
+    * work, then the same hash-join probe. A real tokenizer is total;
+    * the dict cap bounds TRAINING state, never coverage.
+    * Returns (idCol, n_words, n_tokens). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      trainedDict: DataFrame): DataFrame = {
-    val perWordTokens = trainedDict
-      .select(col("word"), size(symbols(col("seg"))).as("n_toks"))
-    docs
+      trainedDict: DataFrame, merges: Seq[Merge],
+      checkpointEvery: Int = 8): DataFrame = {
+    val wordStream = docs
       .select(col(idCol), explode(
         regexp_extract_all(lower(col(textCol)), lit(WordPattern), lit(0)))
         .as("word"))
-      .join(perWordTokens, "word")
+    val dictTokens = trainedDict
+      .select(col("word"), size(symbols(col("seg"))).as("n_toks"))
+    val oovWords = wordStream.select("word").distinct()
+      .join(trainedDict.select("word"), Seq("word"), "left_anti")
+    val oovTokens = segmentWords(oovWords, merges, checkpointEvery)
+      .select(col("word"), size(symbols(col("seg"))).as("n_toks"))
+    wordStream
+      .join(dictTokens.unionByName(oovTokens), "word")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** [[encode]] plus an `n_oov` column (words priced via merge-table
+    * replay rather than the trained dict) — the observability column for
+    * corpora where the dict cap binds. Returns (idCol, n_words,
+    * n_tokens, n_oov). */
+  def encodeWithOov(docs: DataFrame, idCol: String, textCol: String,
+      trainedDict: DataFrame, merges: Seq[Merge],
+      checkpointEvery: Int = 8): DataFrame = {
+    val wordStream = docs
+      .select(col(idCol), explode(
+        regexp_extract_all(lower(col(textCol)), lit(WordPattern), lit(0)))
+        .as("word"))
+    val dictTokens = trainedDict
+      .select(col("word"), size(symbols(col("seg"))).as("n_toks"),
+        lit(false).as("is_oov"))
+    val oovWords = wordStream.select("word").distinct()
+      .join(trainedDict.select("word"), Seq("word"), "left_anti")
+    val oovTokens = segmentWords(oovWords, merges, checkpointEvery)
+      .select(col("word"), size(symbols(col("seg"))).as("n_toks"),
+        lit(true).as("is_oov"))
+    wordStream
+      .join(dictTokens.unionByName(oovTokens), "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_oov"), 1L).otherwise(0L)).as("n_oov"))
   }
 }

@@ -7,8 +7,9 @@ import graft.Tables
 import graft.ops.Bpe
 import QueryDef._
 
-/** Learned-BPE registry entries: merge-table training and corpus
-  * encoding, each with a FULL DuckDB replay oracle.
+/** Learned-BPE registry entries: merge-table training, corpus encoding,
+  * and the cap-binding out-of-vocabulary variant — each with a FULL
+  * DuckDB replay oracle.
   *
   * The oracle replays the exact training loop with the merge iterations
   * UNROLLED as generated CTE triples (pair counts → one-row argmax →
@@ -21,20 +22,55 @@ import QueryDef._
   * left-to-right non-overlapping semantics, runs included), and the
   * argmax tiebreak (count DESC, pair ASC) is ASCII-binary in both
   * engines, so the two sides select the SAME merge at every rank and
-  * every downstream segmentation string is bit-identical.
+  * every downstream segmentation string is bit-identical. OOV inference
+  * unrolls the same way: one fold CTE per merge over the out-of-dict
+  * word set (Bpe.segmentWords' replay, merge by merge).
   *
   * numMerges = 64 leaves a wide margin under the fixture corpora's
   * ~105-merge capacity (all SFs share one 31-word synthetic vocabulary;
   * exhaustion would cascade empty CTEs through the unrolled oracle —
-  * the Spark trainer fails fast instead, see Bpe.train).
+  * the Spark trainer fails fast instead, see Bpe.train). The OOV query
+  * trains a dictCap-12 tokenizer (the cap BINDS: 19 of the 31 fixture
+  * words are out-of-dict) with 16 merges — 12 short words exhaust well
+  * under 64.
   */
 object BpeQueries {
 
-  /** Merge-table length of the registered queries. */
+  /** Merge-table length of the registered full-dict queries. */
   val NumMerges = 64
+
+  /** The cap-binding OOV query's parameters: dictCap far under the
+    * fixture's 31-word vocabulary, merges far under 12 short words'
+    * exhaustion point. */
+  val OovDictCap = 12
+  val OovNumMerges = 16
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+
+  // Registry-level training memo — the clean-pipeline move for the one
+  // genuinely shareable expensive artifact: doc_bpe_vocab and
+  // doc_bpe_encode run the IDENTICAL 64-merge training (16+ s of a bench
+  // pass when billed twice). The memo holds (merges, trained dict) keyed
+  // by (session, sfDir, params); the dict frame is localCheckpoint'd by
+  // Bpe.train, so it survives `spark.catalog.clearCache()` (checkpoint
+  // blocks are RDD-level, not CacheManager entries). Verify semantics are
+  // unchanged — a memo hit returns the exact frame a fresh training
+  // would — and Bench evicts the memo at the START of each timed pass, so
+  // each pass bills exactly one training (on its alphabetically-first
+  // consumer) instead of one per consumer.
+  private val trainMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), (Seq[Bpe.Merge], DataFrame)]
+
+  /** Train-or-reuse for the registered queries. */
+  def trainedFor(s: SparkSession, dir: String, numMerges: Int,
+      dictCap: Int): (Seq[Bpe.Merge], DataFrame) =
+    trainMemo.getOrElseUpdate((s, dir, numMerges, dictCap),
+      Bpe.train(docs(s, dir), "text", numMerges, dictCap))
+
+  /** Drop all memoized trainings (Bench calls this per timed pass;
+    * long-lived sessions call it when done with a corpus). */
+  def evictTrainMemo(): Unit = trainMemo.clear()
 
   /** One fold application of the CURRENT row's b CTE merge (b.a, b.b)
     * to `seg` — the DuckDB twin of Bpe.applyMerge. */
@@ -56,7 +92,7 @@ object BpeQueries {
     * file handles long before it runs out of CPU. Materialization makes
     * the oracle compute each (dict-sized) stage exactly once, same as
     * the Spark trainer's per-iteration localCheckpoint. */
-  private def trainCtes(n: Int): String = {
+  private def trainCtes(n: Int, dictCap: Int): String = {
     val head = Seq(
       s"""w0 AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -68,7 +104,7 @@ object BpeQueries {
          |  SELECT word, cnt FROM (
          |    SELECT word, cnt,
          |      ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk FROM w0)
-         |  WHERE rk <= ${Bpe.DefaultDictCap}
+         |  WHERE rk <= $dictCap
          |)""".stripMargin,
       """s0 AS MATERIALIZED (
         |  SELECT word, cnt,
@@ -88,6 +124,31 @@ object BpeQueries {
     (head ++ iters).mkString(",\n")
   }
 
+  /** The OOV inference CTE chain (append after [[trainCtes]] and a `dw`
+    * word-stream CTE): ov0 = distinct out-of-dict words at their char
+    * segmentation, then one fold CTE per trained merge — the unrolled
+    * twin of Bpe.segmentWords. */
+  private def oovCtes(n: Int): String = {
+    val head =
+      """ov0 AS MATERIALIZED (
+        |  SELECT word,
+        |    ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w>' AS seg
+        |  FROM (SELECT DISTINCT word FROM dw)
+        |  WHERE word NOT IN (SELECT word FROM w)
+        |)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s"ov$i AS MATERIALIZED (SELECT word, $foldSql AS seg FROM ov${i - 1}, b$i b)"
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  private val dwCte =
+    s"""dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '${Bpe.WordPattern}')) AS word
+       |  FROM documents
+       |)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- learned merge table ---------------------------------------------
@@ -96,28 +157,28 @@ object BpeQueries {
         .map(i => s"SELECT $i AS rank, a AS lft, b AS rgt, " +
           s"a || b AS merged, c AS cnt FROM b$i")
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH ${trainCtes(NumMerges)}
+      s"""WITH ${trainCtes(NumMerges, Bpe.DefaultDictCap)}
          |SELECT rank, lft, rgt, merged, cnt FROM (
          |  $union
          |) ORDER BY rank""".stripMargin
     }) { (s, dir) =>
-      val (merges, dict) =
-        Bpe.train(docs(s, dir), "text", NumMerges, Bpe.DefaultDictCap)
+      val (merges, _) = trainedFor(s, dir, NumMerges, Bpe.DefaultDictCap)
       Bpe.mergeTable(s, merges).orderBy("rank")
     },
 
     // ---- corpus encoding against the learned merges ----------------------
-    // Per doc: dict words found + total BPE tokens. The Spark side joins
-    // the pre-tokenized word stream against the trained dict's FINAL
-    // segmentations (bounded hash probe per word, no per-doc replay);
-    // the oracle reads the same segmentations straight out of s{N}.
+    // Per doc: word count + total BPE tokens, over 100 % of words. The
+    // Spark side joins the pre-tokenized word stream against the trained
+    // dict's FINAL segmentations (bounded hash probe per word, no per-doc
+    // replay), with out-of-dict words priced by merge-table replay
+    // (Bpe.encode is total); here dictCap = 100k never binds on the
+    // 31-word fixture vocabulary — the replay branch is provably empty —
+    // so the oracle reads every segmentation straight out of s{N}. The
+    // cap-BINDING regime, where the replay branch carries real words, is
+    // doc_bpe_encode_oov below.
     sql("doc_bpe_encode",
-      s"""WITH ${trainCtes(NumMerges)},
-         |dw AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
-         |    '${Bpe.WordPattern}')) AS word
-         |  FROM documents
-         |),
+      s"""WITH ${trainCtes(NumMerges, Bpe.DefaultDictCap)},
+         |$dwCte,
          |et AS (
          |  SELECT word, len(list_filter(string_split(seg,' '),
          |    x -> x <> '')) AS n_toks
@@ -128,9 +189,41 @@ object BpeQueries {
          |FROM dw JOIN et USING (word)
          |GROUP BY doc_id
          |ORDER BY doc_id""") { (s, dir) =>
-      val (_, dict) =
-        Bpe.train(docs(s, dir), "text", NumMerges, Bpe.DefaultDictCap)
-      Bpe.encode(docs(s, dir), "doc_id", "text", dict)
+      val (merges, dict) = trainedFor(s, dir, NumMerges, Bpe.DefaultDictCap)
+      Bpe.encode(docs(s, dir), "doc_id", "text", dict, merges)
+        .orderBy("doc_id")
+    },
+
+    // ---- total encoding where the dict cap BINDS: OOV merge replay -------
+    // dictCap 12 on the 31-word fixture vocabulary leaves 19 words
+    // out-of-dict; each segments by replaying the 16 trained merges from
+    // its character segmentation (bounded per-word work — the tail
+    // vocabulary is exactly what a token-count operator exists to price
+    // at 100 TB). n_words/n_tokens cover 100 % of words; n_oov counts the
+    // replay-priced ones. The oracle unrolls the SAME replay: one fold
+    // CTE per merge over the out-of-dict word set, so both engines carry
+    // bit-identical segmentations for every word, in or out of dict.
+    sql("doc_bpe_encode_oov",
+      s"""WITH ${trainCtes(OovNumMerges, OovDictCap)},
+         |$dwCte,
+         |${oovCtes(OovNumMerges)},
+         |et AS (
+         |  SELECT word, len(list_filter(string_split(seg,' '),
+         |    x -> x <> '')) AS n_toks, FALSE AS is_oov
+         |  FROM s$OovNumMerges
+         |  UNION ALL
+         |  SELECT word, len(list_filter(string_split(seg,' '),
+         |    x -> x <> '')) AS n_toks, TRUE AS is_oov
+         |  FROM ov$OovNumMerges
+         |)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |FROM dw JOIN et USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""") { (s, dir) =>
+      val (merges, dict) = trainedFor(s, dir, OovNumMerges, OovDictCap)
+      Bpe.encodeWithOov(docs(s, dir), "doc_id", "text", dict, merges)
         .orderBy("doc_id")
     }
   )

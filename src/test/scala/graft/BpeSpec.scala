@@ -78,8 +78,8 @@ class BpeSpec extends SparkSpec {
   test("encode: per-doc token counts match a naive replay") {
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val (_, dict) = Bpe.train(df, "text", numMerges = 12)
-    val got = Bpe.encode(df, "doc_id", "text", dict)
+    val (merges, dict) = Bpe.train(df, "text", numMerges = 12)
+    val got = Bpe.encode(df, "doc_id", "text", dict, merges)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val (_, segs) = naiveTrain(corpus, 12)
@@ -90,6 +90,67 @@ class BpeSpec extends SparkSpec {
     }
     assert(got.toSeq === want,
       "per-doc (n_words, n_tokens) must match the naive replay")
+  }
+
+  /** Naive replay of a trained merge table over ANY word — textbook BPE
+    * inference (char segmentation folded through the merges in order). */
+  private def naiveSegment(w: String, merges: Seq[Bpe.Merge]): List[String] = {
+    var l = w.toList.map(_.toString) :+ "</w>"
+    merges.foreach { m =>
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      l.foreach { x =>
+        if (out.nonEmpty && out.last == m.left && x == m.right)
+          out(out.size - 1) = m.left + m.right
+        else out += x
+      }
+      l = out.toList
+    }
+    l
+  }
+
+  test("OOV encoding: merge replay prices 100% of words; dict pricing unchanged") {
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // dictCap 5 BINDS on this corpus' 11 distinct words
+    val (merges, dict) = Bpe.train(df, "text", numMerges = 8, dictCap = 5)
+    val dictSegs = dict.select(col("word"), Bpe.symbols(col("seg")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val dictWords = dictSegs.keySet
+    assert(dictWords.size == 5, "cap must bind")
+    val allWords = corpus
+      .flatMap(t => Bpe.WordPattern.r.findAllIn(t.toLowerCase)).toSeq
+    val oov = allWords.toSet -- dictWords
+    assert(oov.nonEmpty, "test needs out-of-dict words")
+    // segmentWords == the naive replay; every OOV seg reconcatenates
+    val got = Bpe.segmentWords(oov.toSeq.toDF("word"), merges)
+      .select(col("word"), Bpe.symbols(col("seg")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    oov.foreach { w =>
+      assert(got(w) === naiveSegment(w, merges), s"replay mismatch for '$w'")
+      assert(got(w).mkString("") === w + "</w>",
+        s"tokens of OOV '$w' must concatenate back to the word")
+    }
+    // total encode: n_words covers EVERY word; dict words still price via
+    // the trained dict (unchanged), OOV words via the replay; n_oov counts
+    // the replay-priced occurrences
+    val enc = Bpe.encodeWithOov(df, "doc_id", "text", dict, merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = corpus.zipWithIndex.map { case (t, i) =>
+      val words = Bpe.WordPattern.r.findAllIn(t.toLowerCase).toSeq
+      (i.toLong, words.size.toLong,
+        words.map(w =>
+          dictSegs.getOrElse(w, naiveSegment(w, merges)).size.toLong).sum,
+        words.count(w => !dictWords(w)).toLong)
+    }
+    assert(enc.toSeq === want,
+      "total encode must price dict words via the dict and OOV via replay")
+    // and the 3-column encode agrees with it minus the n_oov column
+    val enc3 = Bpe.encode(df, "doc_id", "text", dict, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(enc3.toSeq === want.map(t => (t._1, t._2, t._3)))
   }
 
   test("merge-capacity exhaustion fails fast with the iteration number") {
