@@ -867,7 +867,10 @@ object EventAnalytics {
     // (both map-side-bounded: the per-group medians broadcast back), and
     // the FLAG compares micro-rounded integers — dev_micro > 3·mad_micro
     // — so the cut is identical in any engine (a raw double compare
-    // could flip within an ulp exactly at the boundary).
+    // could flip within an ulp exactly at the boundary). Exact
+    // `percentile` buffers every distinct value per group — the
+    // verification form; the 100 TB path is ev_mad_anomalies_approx
+    // below (bounded bottom-k sampled medians, the A16 recipe).
     sql("ev_mad_anomalies",
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -896,6 +899,74 @@ object EventAnalytics {
         .withColumn("adev", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type")
         .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("dev_micro", round(col("adev") * 1e6, 0).cast("bigint"))
+        .withColumn("mad_micro", round(col("mad") * 1e6, 0).cast("bigint"))
+        .filter(col("dev_micro") > lit(3L) * col("mad_micro"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("dev_micro"))
+        .orderBy("event_id")
+    },
+
+    // ---- MAD at 100 TB: bounded-state medians (graft_pct_sample) ---------
+    // The exact ev_mad_anomalies above buffers every distinct value per
+    // event_type TWICE (two `percentile` passes) — the state shape A16
+    // already replaced with the deterministic bottom-k sample. This twin
+    // swaps BOTH median passes for graft_pct_sample (k=1024: 24 KB/group
+    // forever; groups under k keep all rows → identical to the exact
+    // form, spec-pinned), with per-pass salts so the two samples are
+    // independent. The oracle replays the exact sampling rule twice —
+    // the k rows with smallest md5(salted id) per group ARE the sample
+    // in both engines. The flag cut stays integer-micro, so boundary
+    // rows cannot flip between engines.
+    sql("ev_mad_anomalies_approx",
+      """WITH s1 AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR || ':madm'), value) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |), med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM s1 WHERE rn <= 1024 GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    ABS(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL
+        |), s2 AS (
+        |  SELECT event_type, adev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR || ':madd'), adev) AS rn
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM s2 WHERE rn <= 1024 GROUP BY event_type
+        |)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  ROUND(d.med, 6) AS med, ROUND(mad.mad, 6) AS mad,
+        |  CAST(ROUND(d.adev * 1e6) AS BIGINT) AS dev_micro
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE CAST(ROUND(d.adev * 1e6) AS BIGINT)
+        |  > 3 * CAST(ROUND(mad.mad * 1e6) AS BIGINT)
+        |ORDER BY event_id""") { (s, dir) =>
+      import graft.functions.PctSampleAgg
+      val medSample = PctSampleAgg.pctSample(
+        concat(col("event_id").cast("string"), lit(":madm")),
+        col("value"), Seq(0.5), 1024)
+      val med = ev(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(element_at(medSample, 1).as("med"))
+      val dev = ev(s, dir)
+        .filter(col("value").isNotNull)
+        .join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val madSample = PctSampleAgg.pctSample(
+        concat(col("event_id").cast("string"), lit(":madd")),
+        col("adev"), Seq(0.5), 1024)
+      val mad = dev.groupBy("event_type")
+        .agg(element_at(madSample, 1).as("mad"))
       dev.join(broadcast(mad), "event_type")
         .withColumn("dev_micro", round(col("adev") * 1e6, 0).cast("bigint"))
         .withColumn("mad_micro", round(col("mad") * 1e6, 0).cast("bigint"))

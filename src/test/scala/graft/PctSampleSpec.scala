@@ -43,6 +43,21 @@ class PctSampleSpec extends SparkSpec {
       "sampled percentile must equal the explicit window-sample form")
   }
 
+  test("ev_mad_anomalies_approx == exact MAD when every group is under k") {
+    // sf0.001 holds ≤ 210 non-null values per event_type — far under the
+    // k=1024 sample bound, so BOTH sampled medians reduce to the exact
+    // percentile and the registered approx query must equal the exact
+    // one row-for-row (the A16 under-k contract, applied twice)
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.Registry.byName("ev_mad_anomalies")
+      .run(spark, dir)
+    val approx = graft.queries.Registry.byName("ev_mad_anomalies_approx")
+      .run(spark, dir)
+    assert(exact.exceptAll(approx).isEmpty && approx.exceptAll(exact).isEmpty,
+      "under-k groups must make the sampled MAD exact")
+    assert(exact.count() > 0, "fixture must flag at least one anomaly")
+  }
+
   test("partition invariance: 1, 4 and 64 partitions agree bit-for-bit") {
     def run(parts: Int) = events.repartition(parts)
       .groupBy("event_type")
