@@ -455,6 +455,50 @@ object DocAnalytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- streaming winnow/MOSS admission gate -----------------------------
+    // The continuous-ingest twin of doc_winnow_overlap: a document is
+    // ADMITTED iff fewer than 3 of its winnow fingerprints were already
+    // carried by a lower-id document — the plagiarism/decontamination
+    // gate applied at ingest time rather than as a corpus-wide pair
+    // report. Stage 1 is the runningDedup carrier keyed by FINGERPRINT
+    // (state = the 8-byte first-seen doc per fingerprint — the hotCap=1
+    // point of the seen-doc-set family, strictly bounded and TTL-able);
+    // stage 2 aggregates the per-fingerprint verdicts per document.
+    // matched_fps counts fingerprints shared with ANY prior document,
+    // which upper-bounds every pairwise shared count — so any pair
+    // winnowOverlap would flag (≥ minShared shared fps, earlier doc
+    // first) has its LATER member rejected here: the conservative
+    // direction for a contamination gate. The oracle replays first-seen
+    // as a per-hash MIN over the shared WinnowCte derivation.
+    sql("doc_streaming_winnow",
+      s"""$WinnowCte, fp AS (
+        |  SELECT DISTINCT doc_id, h FROM pick
+        |), fst AS (
+        |  SELECT h, MIN(doc_id) AS fd FROM fp GROUP BY h
+        |)
+        |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+        |  CAST(SUM(CASE WHEN f.doc_id > fst.fd THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS matched_fps,
+        |  SUM(CASE WHEN f.doc_id > fst.fd THEN 1 ELSE 0 END) < 3 AS admitted
+        |FROM fp f JOIN fst ON f.h = fst.h
+        |GROUP BY f.doc_id
+        |ORDER BY f.doc_id""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val pts = graft.ops.Dedup
+        .winnowFingerprints(docs(s, dir), k = 3, win = 4)
+        .select(col("doc_id"), col("h")).distinct()
+        .select(col("h").cast("string").as("key"), col("doc_id"),
+          lit(null).cast("timestamp").as("ts"))
+        .as[StreamingOps.DedupPoint]
+      StreamingOps.runningDedup(pts).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          sum(when(col("admitted"), 0L).otherwise(1L)).as("matched_fps"))
+        .withColumn("admitted", col("matched_fps") < 3)
+        .orderBy("doc_id")
+    },
+
     // ---- exact n-gram Jaccard near-dup pairs (verification path) ---------
     // |A∩B| via shingle self-join, sizes via per-doc distinct counts.
     // This all-pairs form is the ORACLE TWIN; the production path at

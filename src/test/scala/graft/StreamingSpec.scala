@@ -486,6 +486,57 @@ class StreamingSpec extends SparkSpec {
       "the duplicate fpB row rejected")
   }
 
+  test("winnow admission: multi-trigger carrier equals the batch first-seen gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // four docs; 2 and 3 lift long runs from earlier docs, 4 is fresh.
+    // The lifted run is 20 words: winnow selects ~2/(win+1) ≈ 0.4 fps per
+    // gram, so a full lift shares well over the minShared=3 bar.
+    val runA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val texts = Seq(
+      1L -> s"$runA completely different tail words here",
+      2L -> s"intro words then $runA and some more",      // lifts runA from 1
+      3L -> s"leading filler $runA trailing filler words", // lifts runA too
+      4L -> "nothing shared with anything else at all now honestly")
+    val df = spark.createDataFrame(texts).toDF("doc_id", "text")
+    val fps = graft.ops.Dedup.winnowFingerprints(df, k = 3, win = 4)
+      .select(col("doc_id"), col("h")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // batch first-seen rule
+    val firstSeen = fps.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val wantMatched = byDoc.map { case (d, hs) =>
+      d -> hs.count(h => firstSeen(h) < d).toLong
+    }
+    // stream the fingerprints doc-by-doc (id-ordered triggers — the
+    // carrier contract), one trigger per document
+    val input = MemoryStream[StreamingOps.DedupPoint]
+    val q = StreamingOps.runningDedup(input.toDS())
+      .writeStream.format("memory").queryName("winnow_adm_out")
+      .outputMode(OutputMode.Append).start()
+    texts.map(_._1).sorted.foreach { d =>
+      input.addData(byDoc(d).toSeq.sorted.map(h =>
+        StreamingOps.DedupPoint(h.toString, d, null)): _*)
+      q.processAllAvailable()
+    }
+    val rows = spark.table("winnow_adm_out")
+      .as[StreamingOps.DedupAdmit].collect()
+    q.stop()
+    val gotMatched = rows.groupBy(_.doc_id).view
+      .mapValues(_.count(!_.admitted).toLong).toMap
+    assert(gotMatched === wantMatched,
+      s"streaming matched counts must equal the batch first-seen rule")
+    val minShared = 3
+    val admitted = wantMatched.collect {
+      case (d, m) if m < minShared => d
+    }.toSet
+    assert(admitted.contains(1L) && admitted.contains(4L),
+      "originals and fresh docs must admit")
+    assert(!admitted.contains(2L),
+      "a doc lifting a full run from an earlier doc must reject")
+  }
+
   test("running dedup: state TTL evicts idle fingerprints; re-arrival re-admits") {
     implicit val sqlCtx = spark.sqlContext
     def dp(key: String, id: Long, at: String) =
