@@ -488,6 +488,54 @@ object Multimodal {
     ds.mapPartitions(_.flatMap(imageAHashMeta(_, grid)))
   }
 
+  /** Image near-duplicate PAIRS over [[imageAHash]] fingerprints — the
+    * multimodal analogue of MinHash-LSH banding: the 64-bit hash splits
+    * into `bands` equal slices; candidate pairs share ≥1 identical band
+    * (one EQUI-JOIN on (band, key) — work is Σ per-bucket pairs, never
+    * corpus²), then verified by an exact popcount of the XOR.
+    *
+    * With `maxDist < bands` the output is EXACTLY all pairs at Hamming
+    * distance ≤ maxDist — not an approximation: a pair differing in ≤
+    * maxDist bits cannot differ in every one of `bands` > maxDist bands
+    * (pigeonhole), so some band matches and the candidate join has
+    * recall 1.0; the popcount filter then gives precision 1.0. The
+    * default (4 × 16-bit bands, maxDist 3) is the re-encoded/
+    * slightly-cropped duplicate regime aHash exists for.
+    *
+    * Input: a frame carrying (idCol, hashCol) — typically
+    * `imageAHash(...).toDF()`. Returns (media_a, media_b, hamming),
+    * media_a < media_b. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String = "media_id",
+      hashCol: String = "ahash", maxDist: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"exact recall needs maxDist < bands (pigeonhole), got $maxDist/$bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = hashes
+      .select(col(idCol), col(hashCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(hashCol), b * width)
+              .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col(hashCol),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col(idCol).as("media_a"), col(hashCol).as("__ha"),
+      col("band"), col("key"))
+    val b = banded.select(col(idCol).as("media_b"), col(hashCol).as("__hb"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "__ha", "__hb").distinct()
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("media_a"), col("media_b"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
   case class GifMeta(
       media_id: Long,
       format: String,

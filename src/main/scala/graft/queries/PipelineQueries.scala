@@ -1074,6 +1074,68 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- image near-dup pairs: banded aHash join + exact popcount --------
+    // The consumer the perceptual hash exists for — the multimodal
+    // analogue of doc_minhash_lsh: 4 × 16-bit bands over the 64-bit
+    // aHash, candidates share ≥1 band (equi-join, never corpus²), exact
+    // XOR-popcount verification at Hamming ≤ 3. Pigeonhole makes the
+    // banding EXACT (3 differing bits cannot hit all 4 bands), so the
+    // oracle is the clean declarative form — all pairs with popcount ≤ 3
+    // over the closed-form hashes — which verifies the banded plan lost
+    // nothing. Fixture: 60 synthetic gradients in 3 groups of 20; group
+    // 1 shifts group 0's seed by +1 (near-identical pixels → tiny
+    // Hamming distance), group 2 by +1000 (far); popcounts run per
+    // 32-bit half in the oracle because DuckDB's SUM promotion would
+    // otherwise need a sign-unsafe 2^63 reassembly.
+    sql("mm_neardup_images",
+      """WITH imgs AS (
+        |  SELECT i,
+        |    16 + ((i % 20) * 7) % 97 AS w, 12 + ((i % 20) * 5) % 71 AS h,
+        |    i % 20 + CASE i // 20 WHEN 1 THEN 1 WHEN 2 THEN 1000
+        |      ELSE 0 END AS seed
+        |  FROM (SELECT unnest(range(60)) AS i)
+        |), gr AS (
+        |  SELECT i, y * 8 + x AS idx,
+        |    ((v // 65536) % 256 + (v // 256) % 256 + v % 256) // 3 AS gray
+        |  FROM (
+        |    SELECT i, x, y,
+        |      (((x * w) // 8) * 31 + ((y * h) // 8) * 17 + seed) % 16777215 AS v
+        |    FROM imgs,
+        |      (SELECT unnest(range(8)) AS y) ys,
+        |      (SELECT unnest(range(8)) AS x) xs)
+        |), m AS (
+        |  SELECT i, CAST(SUM(gray) // 64 AS BIGINT) AS mean FROM gr GROUP BY i
+        |), hsh AS (
+        |  SELECT gr.i,
+        |    CAST(SUM(CASE WHEN gray > mean AND idx < 32
+        |      THEN CAST(1 AS BIGINT) << CAST(idx AS INTEGER) ELSE 0 END)
+        |      AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN gray > mean AND idx >= 32
+        |      THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INTEGER) ELSE 0 END)
+        |      AS BIGINT) AS hi
+        |  FROM gr JOIN m ON m.i = gr.i
+        |  GROUP BY gr.i
+        |)
+        |SELECT a.i AS media_a, b.i AS media_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |    AS INTEGER) AS hamming
+        |FROM hsh a JOIN hsh b ON a.i < b.i
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY media_a, media_b""") { (s, _) =>
+      import s.implicits._
+      val recs = (0 until 60).map { i =>
+        val base = i % 20
+        val seed = base + (i / 20 match {
+          case 1 => 1; case 2 => 1000; case _ => 0 })
+        Multimodal.MediaRecord(i.toLong, "image",
+          Multimodal.syntheticPng(16 + (base * 7) % 97, 12 + (base * 5) % 71,
+            seed.toLong), "synthetic")
+      }
+      Multimodal.imageNearDupPairs(
+        Multimodal.imageAHash(s.createDataset(recs).repartition(4), 8).toDF())
+        .orderBy("media_a", "media_b")
+    },
+
     // ---- multimodal REAL audio decode (javax.sound.sampled), full oracle -
     // Same move as mm_png_decode for the other JDK-shipped codec: WAV/PCM
     // fixtures whose sample rate / channels / frame count follow known

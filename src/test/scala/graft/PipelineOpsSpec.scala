@@ -656,6 +656,54 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("image near-dup pairs == brute-force Hamming filter; banding is exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val base = rng.nextLong()
+    // planted: (1,2) identical; (1,3) 3 bits apart ACROSS 3 bands (the
+    // pigeonhole case — found via the untouched 4th band); (1,4) 4 bits,
+    // one per band — no shared band, and over maxDist anyway
+    val planted = Seq(
+      1L -> base,
+      2L -> base,
+      3L -> (base ^ 0x0000800080000001L),
+      4L -> (base ^ 0x8000200000400001L))
+    val rand = (10L until 80L).map(i => i -> rng.nextLong())
+    val all = planted ++ rand
+    val got = Multimodal.imageNearDupPairs(all.toDF("media_id", "ahash"))
+    // candidates must gather by equi-join on (band, key), never a product
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    assert(!nodes(got.queryExecution.executedPlan).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "banded near-dup must never build a product")
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(gotSet === want,
+      "banded pairs must equal the brute-force Hamming ≤ 3 filter")
+    assert(gotSet.contains((1L, 2L, 0)), "identical pair at distance 0")
+    assert(gotSet.contains((1L, 3L, 3)), "3-band spread still found (pigeonhole)")
+    assert(!gotSet.exists(p => p._1 == 1L && p._2 == 4L),
+      "distance-4 pair must not pass the ≤3 contract")
+    // decode path: a +1-seed synthetic twin lands within the threshold
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.syntheticPng(40, 30, 3L), "t"),
+      Multimodal.MediaRecord(2L, "image", Multimodal.syntheticPng(40, 30, 4L), "t"),
+      Multimodal.MediaRecord(3L, "image", Multimodal.syntheticPng(40, 30, 5000L), "t"))
+    val pairs = Multimodal.imageNearDupPairs(
+      Multimodal.imageAHash(spark.createDataset(recs), 8).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "seed+1 twin must be a near-dup")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "a far seed must not pair")
+  }
+
   test("multimodal: real WAV decode reads true rate/channels/frames; non-audio falls back") {
     // round-trip through the JDK audio system: write known-parameter PCM
     // WAVs, decode them distributed (every frame pulled through the
