@@ -807,10 +807,10 @@ object VectorSearch {
     * norm long): the layout a 100 TB embedding store keeps hot, with the
     * probe bounding scan work to Σ|probed cells| per query.
     *
-    * Vectors encode RAW (not as coarse-cell residuals): one sub-codebook
-    * set serves all cells and both trainings re-derive in plain SQL; the
-    * residual refinement's extra precision-per-byte is the documented
-    * trade. Ranking is (adc_cosine desc, neighbor_id). */
+    * Vectors encode RAW (not as coarse-cell residuals): the simplest
+    * IVFADC shape, with the residual refinement's extra
+    * precision-per-byte available in [[ivfPqResTopK]]. Ranking is
+    * (adc_cosine desc, neighbor_id). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, nCells: Int = 16, nprobe: Int = 4,
       m: Int = 4, k: Int = 16, iters: Int = 2, topK: Int = 10,
@@ -857,6 +857,121 @@ object VectorSearch {
     enc.join(probed, Seq("cid"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("adc_fp", pqAdcFp(m))
+      .withColumn("adc_cosine", adcCosineGuarded)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("adc_fp"), col("adc_cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** IVF + PQ with RESIDUAL encoding — IVFADC complete (Jégou et al.,
+    * TPAMI 2011 §V): each vector encodes its residual r = x − c(cell)
+    * from its coarse centroid, so the sub-codebooks spend their k
+    * codewords on the residual distribution around the centroids instead
+    * of the whole space — the precision-per-byte refinement the raw
+    * [[ivfPqTopK]] documents as its trade. The reconstruction is
+    * x̂ = c + r̂, and because the ranking rule here is cosine-to-
+    * reconstruction, the score decomposes exactly:
+    *
+    *   dot(q, x̂)  = dot(q, c) + Σ_sub dot(q_sub, cw_sub)     (raw-q LUTs!)
+    *   |x̂|²       = |c|² + Σ_sub (2·dot(c_sub, cw_sub) + |cw_sub|²)
+    *
+    * — so the query still builds ONE LUT set on its raw vector (not one
+    * per probed cell; the per-(query, cell) extra is a single
+    * micro-rounded dot(q, c)), and the corpus row's reconstruction norm
+    * is a per-(cell, sub, code) integer constant table (nCells·m·k
+    * driver-held micro longs, broadcast as literals). Every term is
+    * micro-rounded BEFORE the order-free BIGINT sums, so both engines
+    * rank bit-identically. Candidates gather by cid equi-join as in
+    * [[ivfPqTopK]]; the resident index row is (cid, m code bytes, one
+    * norm long) — unchanged.
+    *
+    * The literal centroid matrix bounds nCells ≲ a few hundred at dim 64
+    * (cells×dim literal nodes on the residual subtract and the qc dot);
+    * past that the matrix belongs in a native expression the way
+    * NearestCells does assignment. Returns (query_id, neighbor_id,
+    * adc_fp, adc_cosine, rank). */
+  def ivfPqResTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nCells: Int = 16, nprobe: Int = 4,
+      m: Int = 4, k: Int = 16, iters: Int = 2, topK: Int = 10,
+      trainCap: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCells, iters,
+      trainCap)
+    val dsub = dim / m
+    val maxCid = centroids.map(_._1).max
+    val centByCid = centroids.toMap
+    // literal centroid matrix slotted by cid (Lloyd gaps hold a
+    // never-assigned zero vector)
+    def centArr: Column = array((0 to maxCid).map { cid =>
+      array(centByCid.getOrElse(cid, Array.fill(dim)(0.0)).map(lit(_)): _*)
+    }: _*)
+    val assigned = assign(corpus, vecCol, centroids)
+      .withColumnRenamed("cid", "__cell")
+      .withColumn("__rv", zip_with(col(vecCol),
+        element_at(centArr, col("__cell") + 1), (x, c) => x - c))
+    // sub-codebooks trained on the RESIDUALS (one set across all cells —
+    // the standard IVFADC memory/generality trade, §V)
+    val books = pqCodebooks(assigned, idCol, "__rv", dim, m, k, iters,
+      trainCap)
+    // |x̂|² in exact micro units: per-cell |c|² base + per-(cell, sub,
+    // code) cross terms, each a single micro rounding (the oracle
+    // replays the identical 2·dot + |cw|² composition)
+    val baseArr = array((0 to maxCid).map { cid =>
+      lit(centByCid.get(cid).map(c => microFp(dotLR(c, c))).getOrElse(0L))
+    }: _*)
+    val crossN2 = (0 until m).map { sub =>
+      val maxCode = books(sub).map(_._1).max
+      val bySubCid = books(sub).toMap
+      val lit2d = array((0 to maxCid).map { cell =>
+        val cSub = centByCid.getOrElse(cell, Array.fill(dim)(0.0))
+          .slice(sub * dsub, (sub + 1) * dsub)
+        array((0 to maxCode).map { code =>
+          lit(bySubCid.get(code).map(cw =>
+            microFp(2.0 * dotLR(cSub, cw) + dotLR(cw, cw))).getOrElse(0L))
+        }: _*)
+      }: _*)
+      element_at(element_at(lit2d, col("__cell") + 1),
+        col(s"code_$sub") + 1)
+    }.reduce(_ + _)
+    val enc = pqEncode(assigned, "__rv", dim, books)
+      .withColumn("recon_n2_fp",
+        element_at(baseArr, col("__cell") + 1) + crossN2)
+      .withColumnRenamed("__cell", "cid")
+      .select(col(idCol) +: col("cid") +:
+        (0 until m).map(s => col(s"code_$s")) :+ col("recon_n2_fp"): _*)
+    val probeCol =
+      if (centroids.length > 32) {
+        val cidOf = array(centroids.map(c => lit(c._1)): _*)
+        transform(GraftFunctions.nearestCells(col(vecCol),
+          centroids.map(_._2), nprobe), i => element_at(cidOf, i + 1))
+      } else {
+        val probeScores = centroids.map { case (cid, c) =>
+          struct(nanvl(GraftFunctions.dotProduct(col(vecCol),
+            array(c.map(lit(_)): _*)) * -1,
+            lit(Double.PositiveInfinity)).as("negd"), lit(cid).as("cid"))
+        }
+        transform(slice(array_sort(array(probeScores: _*)), 1, nprobe),
+          s => s.getField("cid"))
+      }
+    // LUTs build on the RAW query vector, once per query; the residual
+    // decomposition only adds the per-probe micro dot(q, c)
+    val probed = withPqLuts(
+      queries
+        .withColumn("qnrm",
+          sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+          col("qnrm"), probeCol.as("probes")),
+      "qvec", dsub, books)
+      .withColumn("cid", explode(col("probes")))
+      .withColumn("qc_fp",
+        round(GraftFunctions.dotProduct(col("qvec"),
+          element_at(centArr, col("cid") + 1)) * 1e6, 0).cast("bigint"))
+      .drop("qvec", "probes")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    enc.join(probed, Seq("cid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc_fp", col("qc_fp") + pqAdcFp(m))
       .withColumn("adc_cosine", adcCosineGuarded)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("adc_fp"), col("adc_cosine"))

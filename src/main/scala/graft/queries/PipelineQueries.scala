@@ -560,6 +560,154 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVFADC complete: residual encoding (Jégou et al. 2011 §V) --------
+    // emb_ann_ivfpq with the residual step: codes quantize r = x − c(cell)
+    // so the sub-codebooks resolve the residual distribution instead of
+    // the whole space. The cosine-to-reconstruction score decomposes
+    // exactly — dot(q, c + r̂) = dot(q, c) + Σ lut[code] (LUTs still on
+    // the RAW query, one set per query; the per-probe extra is a single
+    // micro dot(q, c)) and |c + r̂|² = |c|² + Σ (2·dot(c_sub, cw) + |cw|²)
+    // (a per-(cell, sub, code) integer constant table). Every term is
+    // micro-rounded before order-free BIGINT sums, so the oracle — which
+    // re-derives the coarse k-means, the residuals, AND the
+    // residual-trained sub-codebooks from the same md5 seeds — ranks
+    // bit-identically.
+    sql("emb_ann_ivfpq_res", {
+      val (nCells, nprobe, m, k, topK, dsub, dim) = (16, 4, 4, 16, 10, 16, 64)
+      def assignVecSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, $cf.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |      ORDER BY list_dot_product(s.e, $cf.c) DESC, $cf.cid) AS rk
+           |  FROM $src s CROSS JOIN $cf) WHERE rk = 1""".stripMargin
+      def lloydVecSql(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+           |  SELECT cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT cid, unnest(e) AS x,
+           |          unnest(range(1, len(e) + 1)) AS pos FROM $assigned)
+           |  GROUP BY cid, pos) GROUP BY cid""".stripMargin
+      def assignSubSql(src: String, cf: String): String =
+        s"""SELECT * EXCLUDE (rk) FROM (
+           |  SELECT s.*, f.cid AS cid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+           |      ORDER BY list_dot_product(s.se, f.c) DESC, f.cid) AS rk
+           |  FROM $src s JOIN $cf f ON s.sub = f.sub) WHERE rk = 1""".stripMargin
+      def lloydSubSql(assigned: String): String =
+        s"""SELECT sub, cid, list(mm ORDER BY pos) AS c FROM (
+           |  SELECT sub, cid, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mm
+           |  FROM (SELECT sub, cid, unnest(se) AS x,
+           |          unnest(range(1, len(se) + 1)) AS pos FROM $assigned)
+           |  GROUP BY sub, cid, pos) GROUP BY sub, cid""".stripMargin
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), k0 AS (
+        |  SELECT cid, e AS c FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+        |    FROM v) WHERE cid < $nCells
+        |), ka0 AS (${assignVecSql("v", "k0")}),
+        |k1 AS (${lloydVecSql("ka0")}),
+        |ka1 AS (${assignVecSql("v", "k1")}),
+        |k2 AS (${lloydVecSql("ka1")}),
+        |kaf AS (SELECT vec_id, cid FROM (${assignVecSql("v", "k2")})),
+        |rv AS (
+        |  SELECT v.vec_id,
+        |    list_transform(range(1, ${dim + 1}), j -> v.e[j] - k2.c[j]) AS e
+        |  FROM v JOIN kaf USING (vec_id) JOIN k2 USING (cid)
+        |), sv AS (
+        |  SELECT vec_id, sub,
+        |    list_slice(e, sub * $dsub + 1, sub * $dsub + $dsub) AS se
+        |  FROM rv CROSS JOIN (SELECT unnest(range($m)) AS sub)
+        |), c0 AS (
+        |  SELECT sub, cid, se AS c FROM (
+        |    SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, se
+        |    FROM sv) WHERE cid < $k
+        |), a0 AS (${assignSubSql("sv", "c0")}),
+        |c1 AS (${lloydSubSql("a0")}),
+        |a1 AS (${assignSubSql("sv", "c1")}),
+        |c2 AS (${lloydSubSql("a1")}),
+        |af AS (${assignSubSql("sv", "c2")}),
+        |cb AS (
+        |  SELECT cid, CAST(ROUND(1e6 * list_dot_product(c, c)) AS BIGINT) AS b
+        |  FROM k2
+        |), ct AS (
+        |  SELECT k2.cid AS cell, c2.sub AS sub, c2.cid AS code,
+        |    CAST(ROUND(1e6 * (2 * list_dot_product(
+        |      list_slice(k2.c, c2.sub * $dsub + 1, c2.sub * $dsub + $dsub),
+        |      c2.c) + list_dot_product(c2.c, c2.c))) AS BIGINT) AS t
+        |  FROM k2 CROSS JOIN c2
+        |), rn AS (
+        |  SELECT a.vec_id, CAST(cb.b + SUM(ct.t) AS BIGINT) AS recon_n2_fp
+        |  FROM af a
+        |  JOIN kaf ON kaf.vec_id = a.vec_id
+        |  JOIN cb ON cb.cid = kaf.cid
+        |  JOIN ct ON ct.cell = kaf.cid AND ct.sub = a.sub AND ct.code = a.cid
+        |  GROUP BY a.vec_id, cb.b
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe,
+        |    sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.query_id, k2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qe, k2.c) DESC, k2.cid) AS rk
+        |    FROM q CROSS JOIN k2) WHERE rk <= $nprobe
+        |), lut AS (
+        |  SELECT q.query_id, f.sub, f.cid,
+        |    CAST(ROUND(1e6 * list_dot_product(
+        |      list_slice(q.qe, f.sub * $dsub + 1, f.sub * $dsub + $dsub),
+        |      f.c)) AS BIGINT) AS d
+        |  FROM q CROSS JOIN c2 f
+        |), qc AS (
+        |  SELECT p.query_id, p.cid,
+        |    CAST(ROUND(1e6 * list_dot_product(q.qe, k2.c)) AS BIGINT) AS qc
+        |  FROM probe p JOIN q USING (query_id) JOIN k2 USING (cid)
+        |), cand AS (
+        |  SELECT p.query_id, p.cid, i.vec_id
+        |  FROM probe p JOIN kaf i USING (cid)
+        |  WHERE i.vec_id <> p.query_id
+        |), scored AS (
+        |  SELECT c.query_id, c.vec_id AS neighbor_id,
+        |    CAST(qc.qc + SUM(l.d) AS BIGINT) AS adc_fp
+        |  FROM cand c
+        |  JOIN af a ON a.vec_id = c.vec_id
+        |  JOIN lut l ON l.query_id = c.query_id
+        |    AND l.sub = a.sub AND l.cid = a.cid
+        |  JOIN qc ON qc.query_id = c.query_id AND qc.cid = c.cid
+        |  GROUP BY c.query_id, c.vec_id, qc.qc
+        |), ranked AS (
+        |  SELECT s.query_id, s.neighbor_id, s.adc_fp,
+        |    CAST(s.adc_fp AS DOUBLE) / 1e6
+        |      / (q.qnrm * sqrt(CAST(r.recon_n2_fp AS DOUBLE) / 1e6)) AS ac,
+        |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+        |      ORDER BY CAST(s.adc_fp AS DOUBLE) / 1e6
+        |        / (q.qnrm * sqrt(CAST(r.recon_n2_fp AS DOUBLE) / 1e6)) DESC,
+        |        s.neighbor_id) AS rank
+        |  FROM scored s
+        |  JOIN rn r ON s.neighbor_id = r.vec_id
+        |  JOIN q ON s.query_id = q.query_id
+        |)
+        |SELECT query_id, neighbor_id, rank, adc_fp,
+        |  ROUND(ac, 6) AS adc_cosine
+        |FROM ranked WHERE rank <= $topK
+        |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      VectorSearch.ivfPqResTopK(v, v.filter(col("vec_id") < 5), "vec_id",
+        "e", dim = 64, nCells = 16, nprobe = 4, m = 4, k = 16, iters = 2,
+        topK = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc_fp"), round(col("adc_cosine"), 6).as("adc_cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- k-means cluster composition report ------------------------------
     // The IVF coarse quantizer exposed as a clustering operator: every
     // vector assigned to its deterministic-k-means cell (md5-seeded init,

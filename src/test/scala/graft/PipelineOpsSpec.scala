@@ -188,6 +188,58 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC residual encoding: recall >= raw on tight clusters; deterministic") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(17)
+    // 80 tight clusters of 6 across 16 coarse cells: each query's top-10
+    // spans SEVERAL clusters inside its probed cells, and k=4 codewords
+    // per subspace cannot represent 80 cluster positions — raw PQ
+    // confuses vectors across co-celled clusters, while the residual
+    // score's exact dot(q, c) term separates cells and r̂ refines inside
+    // them: the regime §V's refinement exists for
+    val centers = Array.fill(80)(Array.fill(16)(rng.nextGaussian() * 8))
+    val vecs = (0 until 480).map { i =>
+      val c = centers(i % 80)
+      (i.toLong, c.map(x => x + rng.nextGaussian() * 0.25).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "e").cache()
+    val queries = df.filter(col("vec_id") < 8)
+    val truth = VectorSearch.bruteForceCosine(df, queries, "vec_id", "e",
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val by = rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        (by.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val raw = VectorSearch.ivfPqTopK(df, queries, "vec_id", "e", dim = 16,
+      nCells = 16, nprobe = 8, m = 4, k = 4, topK = 10).collect()
+    val res = VectorSearch.ivfPqResTopK(df, queries, "vec_id", "e",
+      dim = 16, nCells = 16, nprobe = 8, m = 4, k = 4, topK = 10).collect()
+    val (rRaw, rRes) = (recall(raw), recall(res))
+    info(f"recall@10: raw PQ $rRaw%.3f vs residual PQ $rRes%.3f")
+    assert(rRes > rRaw,
+      f"residual encoding must beat raw here ($rRes%.3f vs $rRaw%.3f)")
+    assert(rRes >= 0.6, f"residual recall implausibly low: $rRes%.3f")
+    // candidate gather stays an equi-join (no product), and a second full
+    // run — both trainings included — is bit-identical
+    val plan = VectorSearch.ivfPqResTopK(df, queries, "vec_id", "e",
+      dim = 16, nCells = 16, nprobe = 8, m = 4, k = 4, topK = 10)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    assert(!nodes(plan.queryExecution.executedPlan).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "residual IVF+PQ must gather candidates by equi-join on cid")
+    assert(res.map(_.toString).sorted.sameElements(
+      plan.collect().map(_.toString).sorted),
+      "residual IVFADC run-to-run instability")
+  }
+
   test("clusterStats == manual aggregation over clusterAssign; pure clusters resolve") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(7)
