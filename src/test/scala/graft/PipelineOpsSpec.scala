@@ -345,6 +345,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.count(_._3 == 1) >= 3, "at least one rep per cluster kept")
   }
 
+  test("semDedup tier-2 skip engages on the bench corpus (no quantized collapse)") {
+    // The r10 adaptive bound, pinned against the ACTUAL bench corpus:
+    // sf0.1 holds 2,000 vectors in ~45 auto cells with maxCellReps ≈ 57 —
+    // far under the 4096 bound — so the registered query must take the
+    // EXACT plan (no tier-2 xxhash64 code-grouping anywhere). Forcing the
+    // bound low must flip the switch. Component timings (COVERAGE r11):
+    // at this N the whole tier-2 stage was ~noise next to the 0.85 s
+    // k-means training + 0.45 s rep materialization, which is why the
+    // close bench shows the skip as ~flat, not the mid-r10 1.55 s claim.
+    GraftFunctions.register(spark)
+    val v = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val skipped = VectorSearch.semDedup(v, "vec_id", "e", 0.45)
+    assert(!skipped.queryExecution.optimizedPlan.toString.contains("xxhash64"),
+      "sf0.1 bench corpus must take the exact (tier-2-skipped) plan")
+    val forced = VectorSearch.semDedup(v, "vec_id", "e", 0.45,
+      tier2CellBound = 1)
+    assert(forced.queryExecution.optimizedPlan.toString.contains("xxhash64"),
+      "forcing the bound low must engage the quantized collapse")
+    spark.catalog.clearCache()
+  }
+
   test("semDedup survives 90% exact duplication (pre-collapse skew guard)") {
     GraftFunctions.register(spark)
     // 45k copies of ONE vector + 5k noisy members of 8 spread clusters:
