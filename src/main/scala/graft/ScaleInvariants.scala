@@ -89,7 +89,8 @@ object ScaleInvariants {
         q("emb_neardup_lsh_auto"), vectors)),
       "ivf_auto" -> (s => ivfAuto(s, q("emb_ann_ivf_auto"), vectors)),
       "semdedup" -> (s => semDedup(s, q("emb_semdedup"), vectors)),
-      "pq_adc" -> (s => pqAdc(s, q("emb_ann_pq"), vectors))
+      "pq_adc" -> (s => pqAdc(s, q("emb_ann_pq"), vectors)),
+      "ivfpq_res" -> (s => ivfPqRes(s, q("emb_ann_ivfpq_res"), vectors))
     )
     var failed = 0
     val ran = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -688,6 +689,131 @@ object ScaleInvariants {
         s"$n vectors: $nSample sampled sub-codes argmax-optimal, " +
           "reported adc_fp/cosine/rank all recompute exactly"
       } finally { enc.unpersist(); out.unpersist(); () }
+    } finally { v.unpersist(); () }
+  }
+
+  /** Residual-IVFADC audit (emb_ann_ivfpq_res at volumes where the
+    * two-stage DuckDB replay is infeasible): the coarse quantizer,
+    * residuals and residual codebooks re-derive with the deterministic
+    * trainers (replay, not trust), then independent plans assert
+    * (a) PROBE MEMBERSHIP — every reported neighbor's coarse cell is in
+    * its query's nprobe nearest cells, re-derived by explode/argmax;
+    * (b) every reported adc_fp equals micro dot(q, c_cell) + the
+    * melt/join LUT recomputation over the residual codes — the score
+    * decomposition dot(q, c + r̂) checked end to end; (c) adc_cosine and
+    * rank re-derive from adc_fp and reconstruction norms recomputed
+    * IN-ENGINE from |c|² + Σ (2·dot(c_sub, cw) + |cw|²) — which also
+    * cross-checks the driver-side microFp literals against the engine's
+    * round(). Lossiness caveats as pqAdc. */
+  private def ivfPqRes(s: SparkSession, out0: DataFrame, v0: DataFrame): String = {
+    import s.implicits._
+    val (dim, nCells, nprobe, m, k) = (64, 16, 4, 4, 16)
+    val dsub = dim / m
+    val v = v0.select(col("vec_id"), col("e")).cache()
+    try {
+      val out = out0.cache() // query_id, neighbor_id, rank, adc_fp, adc_cosine
+      val n = v.count()
+      val cents = graft.ops.VectorSearch.kmeansCentroids(v, "vec_id", "e",
+        nCells, 2, 0)
+      val centDf = cents.map { case (cid, c) => (cid, c.toSeq) }
+        .toSeq.toDF("cell", "cc")
+      val cellDf = graft.ops.VectorSearch.clusterAssign(v, "vec_id", "e",
+          nCells, 2, 0)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val rv = v.join(cellDf, "vec_id").join(broadcast(centDf), "cell")
+        .withColumn("rv", zip_with(col("e"), col("cc"), (x, c) => x - c))
+        .select(col("vec_id"), col("cell"), col("rv"))
+        .cache()
+      val books = graft.ops.VectorSearch.pqCodebooks(rv, "vec_id", "rv",
+        dim, m, k)
+      val enc = graft.ops.VectorSearch.pqEncode(rv, "rv", dim, books)
+        .select(col("vec_id") +: col("cell") +:
+          (0 until m).map(i => col(s"code_$i")): _*)
+        .cache()
+      try {
+        val codes = enc.select(col("vec_id"), col("cell"),
+          posexplode(array((0 until m).map(i => col(s"code_$i")): _*))
+            .as(Seq("sub", "code")))
+        val subCent = books.zipWithIndex.flatMap { case (b, sub) =>
+          b.map { case (cid, c) => (sub, cid, c.toSeq) }
+        }.toSeq.toDF("sub", "cid2", "c")
+        val qe = out.select("query_id").distinct()
+          .join(v.withColumnRenamed("vec_id", "query_id"), "query_id")
+          .withColumnRenamed("e", "qe").cache()
+        // (a) probe membership: nprobe nearest cells by explode/argmax
+        val probes = qe.crossJoin(broadcast(centDf))
+          .withColumn("d", graft.functions.GraftFunctions.dotProduct(
+            col("qe"), col("cc")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("d").desc, col("cell"))))
+          .filter(col("rk") <= nprobe)
+          .select(col("query_id"), col("cell"))
+        val outCells = out.select(col("query_id"), col("neighbor_id"))
+          .join(enc.select(col("vec_id").as("neighbor_id"), col("cell")),
+            "neighbor_id")
+        val badProbe = outCells.join(probes, Seq("query_id", "cell"),
+          "left_anti").count()
+        require(badProbe == 0,
+          s"$badProbe reported neighbors outside their query's probed cells")
+        // (b) adc_fp == micro dot(q, c_cell) + melt/join LUT recompute
+        val qc = qe.crossJoin(broadcast(centDf))
+          .withColumn("qc_fp", round(graft.functions.GraftFunctions
+            .dotProduct(col("qe"), col("cc")) * 1e6, 0).cast("bigint"))
+          .select(col("query_id"), col("cell"), col("qc_fp"))
+        val lut = qe.crossJoin(broadcast(subCent))
+          .withColumn("d_fp", round(graft.functions.GraftFunctions.dotProduct(
+            slice(col("qe"), col("sub") * dsub + 1, lit(dsub)), col("c"))
+            * 1e6, 0).cast("bigint"))
+          .select(col("query_id"), col("sub"), col("cid2"), col("d_fp"))
+        val expect = out.select(col("query_id"), col("neighbor_id"),
+            col("adc_fp"))
+          .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"))
+          .join(lut.withColumnRenamed("cid2", "code"),
+            Seq("query_id", "sub", "code"))
+          .groupBy("query_id", "neighbor_id", "adc_fp", "cell")
+          .agg(sum(col("d_fp")).as("lut_sum"))
+          .join(qc, Seq("query_id", "cell"))
+          .withColumn("recomputed", col("qc_fp") + col("lut_sum"))
+        val badFp = expect.filter(col("adc_fp") =!= col("recomputed")).count()
+        require(badFp == 0, s"$badFp reported adc_fp differ from the recompute")
+        // (c) cosine + rank from in-engine reconstruction norms:
+        // |c + r̂|² = |c|² + Σ_sub (2·dot(c_sub, cw) + |cw|²), each term
+        // micro-rounded in-engine (cross-checks the operator's microFp)
+        val base = centDf.withColumn("b", round(
+            graft.functions.GraftFunctions.dotProduct(col("cc"), col("cc"))
+              * 1e6, 0).cast("bigint"))
+          .select(col("cell"), col("b"))
+        val cross = centDf.crossJoin(broadcast(subCent))
+          .withColumn("t", round((graft.functions.GraftFunctions.dotProduct(
+              slice(col("cc"), col("sub") * dsub + 1, lit(dsub)), col("c"))
+              * 2.0 + graft.functions.GraftFunctions.dotProduct(
+              col("c"), col("c"))) * 1e6, 0).cast("bigint"))
+          .select(col("cell"), col("sub"), col("cid2").as("code"), col("t"))
+        val rn = codes.join(broadcast(cross), Seq("cell", "sub", "code"))
+          .groupBy("vec_id", "cell").agg(sum(col("t")).as("tsum"))
+          .join(broadcast(base), "cell")
+          .select(col("vec_id"), (col("b") + col("tsum")).as("rn2"))
+        val qn = qe.withColumn("qnrm", sqrt(
+          graft.functions.GraftFunctions.dotProduct(col("qe"), col("qe"))))
+          .select(col("query_id"), col("qnrm"))
+        val scored = out
+          .join(rn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+          .join(qn, "query_id")
+          .withColumn("truecos", col("adc_fp").cast("double") / 1e6 /
+            (col("qnrm") * sqrt(col("rn2").cast("double") / 1e6)))
+        val badCos = scored
+          .filter(round(col("truecos"), 6) =!= col("adc_cosine")).count()
+        require(badCos == 0, s"$badCos reported adc_cosine differ")
+        val badRank = scored.withColumn("rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("truecos").desc, col("neighbor_id"))))
+          .filter(col("rk") =!= col("rank")).count()
+        require(badRank == 0, s"$badRank ranks out of order")
+        val nOut = out.count()
+        s"$n vectors, $nOut reported pairs: probe membership, residual " +
+          "adc_fp decomposition, cosine and rank all recompute exactly"
+      } finally { enc.unpersist(); rv.unpersist(); out.unpersist(); () }
     } finally { v.unpersist(); () }
   }
 }
