@@ -160,6 +160,73 @@ object VectorSearch {
       .select(col("vec_a"), col("vec_b"), col("cos_raw"))
   }
 
+  /** Density-based clustering (DBSCAN — Ester, Kriegel, Sander & Xu,
+    * KDD 1996) over an embedding column, with "within ε" = cosine ≥
+    * `threshold` and ε-neighborhoods materialized by the SAME
+    * LSH-bucketed candidate join as [[nearDupPairs]] (equi-join on
+    * (tbl, bucket), never corpus²; `bits = 0` selects the auto-width
+    * 100 TB mode; the recall trade is nearDupPairs', applied to edges).
+    * This is the data-side density-clustering report a training
+    * pipeline wants where k-means' fixed k misfits: dense semantic
+    * regions surface as clusters, sparse strays as noise.
+    *
+    * Roles, all deterministic (classic DBSCAN leaves border assignment
+    * scan-order dependent — every rule here is a pure function of the
+    * edge set):
+    *  - CORE: ≥ minPts − 1 neighbors at cosine ≥ threshold (the paper's
+    *    |N_ε(p)| ≥ minPts counts p itself);
+    *  - clusters = connected components over CORE-CORE edges
+    *    (large-star/small-star at scale), labeled min member id;
+    *    a core with no core neighbor is its own singleton cluster;
+    *  - BORDER: non-core with ≥ 1 core neighbor, assigned the MINIMUM
+    *    cluster label among its core neighbors;
+    *  - NOISE: everything else (cluster NULL).
+    * Returns (vec_id, n_neighbors, role, cluster).
+    *
+    * The pair frame is cached for its three consumers (degrees, core
+    * edges, border labels); caller clears the cache when done (the
+    * CleanPipeline convention). */
+  def dbscanCosine(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, minPts: Int, bits: Int = 0,
+      tables: Int = 6, seed: Long = DefaultSeed): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val pairs = nearDupPairs(corpus, idCol, vecCol, dim, threshold, bits,
+        tables, seed)
+      .select(col("vec_a").cast("long").as("vec_a"),
+        col("vec_b").cast("long").as("vec_b"))
+      .cache()
+    val sym = pairs.union(
+      pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .toDF("id", "nb")
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("n_neighbors"))
+    val core = deg.filter(col("n_neighbors") >= minPts - 1).select("id")
+    val coreEdges = sym
+      .join(core, "id")
+      .join(core.withColumnRenamed("id", "nb"), "nb")
+      .select(col("id"), col("nb"))
+    val comp = Dedup.connectedComponents(coreEdges, "id", "nb")
+    val coreLabeled = core
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+    val borderMin = sym
+      .join(coreLabeled.select(col("id").as("nb"), col("cluster").as("nbc")),
+        "nb")
+      .groupBy("id").agg(min(col("nbc")).as("border_cluster"))
+    corpus.select(col(idCol).cast("long").as("vec_id"))
+      .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .join(coreLabeled.withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("cluster", "core_cluster"), Seq("vec_id"), "left")
+      .join(borderMin.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        when(col("core_cluster").isNotNull, lit("core"))
+          .when(col("border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("core_cluster").isNotNull, col("core_cluster"))
+          .otherwise(col("border_cluster")).as("cluster"))
+  }
+
   // ---- IVF (inverted-file) variant ---------------------------------------
 
   /** Scale-correct cell count: candidates re-ranked per query are

@@ -150,6 +150,86 @@ object EmbeddingOps {
         .orderBy("vec_a", "vec_b")
     },
 
+    // ---- density-based clustering: DBSCAN over LSH ε-neighborhoods -------
+    // Ester et al., KDD 1996, with cosine ≥ 0.3 as "within ε" and minPts
+    // 4: CORE = ≥ 3 neighbors (the paper counts the point itself),
+    // clusters = connected components over core-core edges labeled min
+    // member id, BORDER = non-core adopting its MINIMUM core neighbor's
+    // label (scan-order-free, unlike the textbook), NOISE = the rest.
+    // Neighborhoods come from the same bucketed candidate join as
+    // emb_neardup_lsh (coarse 2-bit × 12 tables at this low threshold);
+    // the oracle replays the buckets against the exact hyperplane
+    // literals, then the closure as a recursive CTE — so cross-engine
+    // equality covers candidates, degrees, roles AND labels.
+    sql("emb_dbscan", {
+      val (tables, bits, dim, seed) = (12, 2, 64, 42L)
+      val (threshold, minPts) = (0.3, 4)
+      def bucketExpr(t: Int): String =
+        graft.ops.VectorSearch.hyperplanes(dim, bits, seed + t).zipWithIndex
+          .map { case (p, i) =>
+            val arr = p.map(_.toString).mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(e, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+      val bucketCase = "CASE t.tbl " + (0 until tables)
+        .map(t => s"WHEN $t THEN ${bucketExpr(t)}").mkString(" ") + " END"
+      s"""WITH RECURSIVE v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), vn AS (
+        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        |), b AS (
+        |  SELECT vec_id, CAST($bucketCase AS BIGINT) AS bucket, t.tbl
+        |  FROM vn, (SELECT unnest(range($tables)) AS tbl) t
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id
+        |), pairs AS (
+        |  SELECT cand.vec_a, cand.vec_b
+        |  FROM cand JOIN vn av ON av.vec_id = cand.vec_a
+        |            JOIN vn bv ON bv.vec_id = cand.vec_b
+        |  WHERE list_dot_product(av.e, bv.e) / (av.nrm * bv.nrm) >= $threshold
+        |), sym AS (
+        |  SELECT vec_a AS id, vec_b AS nb FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs
+        |), deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+        |  FROM sym GROUP BY id
+        |), core AS (
+        |  SELECT id FROM deg WHERE n_neighbors >= ${minPts - 1}
+        |), ce AS (
+        |  SELECT s.id AS u, s.nb AS v FROM sym s
+        |  JOIN core ca ON ca.id = s.id
+        |  JOIN core cb ON cb.id = s.nb
+        |), reach AS (
+        |  SELECT id, id AS r FROM core
+        |  UNION
+        |  SELECT reach.id, e.v AS r FROM reach JOIN ce e ON e.u = reach.r
+        |), comp AS (
+        |  SELECT id, MIN(r) AS cluster FROM reach GROUP BY id
+        |), bord AS (
+        |  SELECT s.id, MIN(c.cluster) AS border_cluster
+        |  FROM sym s JOIN comp c ON c.id = s.nb
+        |  GROUP BY s.id
+        |)
+        |SELECT emb.vec_id,
+        |  COALESCE(d.n_neighbors, CAST(0 AS BIGINT)) AS n_neighbors,
+        |  CASE WHEN cm.cluster IS NOT NULL THEN 'core'
+        |       WHEN bo.border_cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cm.cluster, bo.border_cluster) AS cluster
+        |FROM (SELECT vec_id FROM embeddings) emb
+        |LEFT JOIN deg d ON d.id = emb.vec_id
+        |LEFT JOIN comp cm ON cm.id = emb.vec_id
+        |LEFT JOIN bord bo ON bo.id = emb.vec_id
+        |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val v = vectors(s, dir).drop("nrm")
+      graft.ops.VectorSearch.dbscanCosine(v, "vec_id", "e", dim = 64,
+        threshold = 0.3, minPts = 4, bits = 2, tables = 12)
+        .orderBy("vec_id")
+    },
+
     // ---- embedding near-dup pairs, 100 TB regime: AUTO signature width ---
     // The plan a real job runs (and the one the 100× invariant audit
     // exercises): bits = 0 sizes the signature from the corpus count

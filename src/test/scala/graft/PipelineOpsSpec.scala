@@ -345,6 +345,72 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.count(_._3 == 1) >= 3, "at least one rep per cluster kept")
   }
 
+  test("DBSCAN == naive density model: cores, true border, structured noise") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def at(deg: Double, plane: Int): Seq[Double] = {
+      val r = math.toRadians(deg)
+      val v = Array.fill(8)(0.0)
+      v(plane * 2) = math.cos(r); v(plane * 2 + 1) = math.sin(r)
+      v.toSeq
+    }
+    // threshold 0.8 (≈ 36.9°), minPts 4 (core ⇔ deg ≥ 3):
+    //  - ids 1-6 at 0° and 7-8 at 30° (cos 0.866): one core cluster;
+    //  - id 20 at 60°: within ε of ONLY 7-8 (cos 30° = 0.866; cos to the
+    //    0° group is 0.5) → deg 2 → a genuine BORDER adopting cluster 1;
+    //  - ids 30-34 identical in an orthogonal plane: second core cluster;
+    //  - id 40 isolated (deg 0) and ids 50-51 a mutually-close pair with
+    //    no core neighbor (deg 1 each) → ALL noise (the deg>0 noise case)
+    val vecs: Seq[(Long, Seq[Double])] =
+      (1L to 6L).map(i => i -> at(0, 0)) ++
+        Seq(7L -> at(30, 0), 8L -> at(30, 0), 20L -> at(60, 0)) ++
+        (30L to 34L).map(i => i -> at(0, 1)) ++
+        Seq(40L -> at(0, 2), 50L -> at(0, 3), 51L -> at(10, 3))
+    val df = vecs.toDF("vec_id", "e")
+    val (threshold, minPts) = (0.8, 4)
+    val got = VectorSearch.dbscanCosine(df, "vec_id", "e", dim = 8,
+        threshold = threshold, minPts = minPts, bits = 2, tables = 12)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    spark.catalog.clearCache()
+    // naive model from exact cosines
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.toMap
+    val nbrs = vecs.map { case (i, _) =>
+      i -> vecs.collect { case (j, v) if j != i &&
+        cos(byId(i), v) >= threshold => j }.toSet
+    }.toMap
+    val cores = nbrs.collect { case (i, ns) if ns.size >= minPts - 1 => i }.toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(cores.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- cores; j <- nbrs(i) if cores(j)) {
+      val (a, b) = (find(i), find(j)); if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val label = cores.map(i => i -> cores.filter(j => find(j) == find(i)).min).toMap
+    vecs.foreach { case (i, _) =>
+      val (deg, role, cluster) = got(i)
+      assert(deg == nbrs(i).size.toLong, s"deg of $i")
+      if (cores(i)) {
+        assert(role == "core" && cluster == label(i), s"core $i: $role/$cluster")
+      } else if (nbrs(i).exists(cores)) {
+        val want = nbrs(i).filter(cores).map(label).min
+        assert(role == "border" && cluster == want, s"border $i: $role/$cluster")
+      } else {
+        assert(role == "noise" && cluster == -1L, s"noise $i: $role/$cluster")
+      }
+    }
+    // the fixture exercised all three roles and the deg>0 noise case
+    assert(got(20L)._2 == "border" && got(20L)._3 == 1L)
+    assert(got(50L)._2 == "noise" && got(50L)._1 == 1L)
+    assert(got(1L)._3 == 1L && got(30L)._3 == 30L, "two separate clusters")
+  }
+
   test("semDedup tier-2 skip engages on the bench corpus (no quantized collapse)") {
     // The r10 adaptive bound, pinned against the ACTUAL bench corpus:
     // sf0.1 holds 2,000 vectors in ~45 auto cells with maxCellReps ≈ 57 —
