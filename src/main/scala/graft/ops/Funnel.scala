@@ -112,4 +112,44 @@ object Funnel {
       .select(col("r.step"), col("r.event_type"), col("r.n_users"),
         col("r.conversion"))
   }
+
+  /** Conversion-LAG statistics per adjacent funnel transition — the
+    * other dashboard column: for each step i → i+1, over the keys that
+    * completed step i+1, the count, sampled median/p95 and exact mean
+    * of tᵢ₊₁ − tᵢ (epoch micros). Percentiles go through
+    * `graft_pct_sample` (k=1024 — 24 KB per transition forever; the
+    * exact form would buffer every converting user's lag, unbounded at
+    * 100 TB), mean is an exact integral SUM / COUNT. Lags are integral
+    * micros, so every statistic replays bit-for-bit cross-engine.
+    * Returns (step, from_type, to_type, n_users, p50_lag_us,
+    * p95_lag_us, mean_lag_us), one row per transition. */
+  def stepLatency(events: DataFrame, stepTypes: Seq[String],
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: Column = col("ts"), sampleK: Int = 1024): DataFrame = {
+    val s = steps(events, stepTypes, keyCol, typeCol, tsCol)
+    val lags = (1 until stepTypes.size).map { i =>
+      s.filter(col(s"t${i + 1}_us").isNotNull)
+        .select(lit(i).as("step"),
+          lit(stepTypes(i - 1)).as("from_type"),
+          lit(stepTypes(i)).as("to_type"),
+          col(keyCol).as("__k"),
+          (col(s"t${i + 1}_us") - col(s"t${i}_us")).as("lag_us"))
+    }.reduce(_ unionByName _)
+    val ps = graft.functions.PctSampleAgg.pctSample(
+      concat(col("__k").cast("string"), lit(":fl")),
+      col("lag_us").cast("double"), Seq(0.5, 0.95), sampleK)
+    lags.groupBy("step", "from_type", "to_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("lag_us")).as("__sum"),
+        ps.as("__ps"))
+      .select(col("step"), col("from_type"), col("to_type"),
+        col("n_users"),
+        // integral micros: at ~1e11 us the engines' percentile
+        // interpolation differs in the last ulp — whole-microsecond
+        // rounding absorbs it (sub-us lag precision is meaningless)
+        round(element_at(col("__ps"), 1), 0).cast("bigint").as("p50_lag_us"),
+        round(element_at(col("__ps"), 2), 0).cast("bigint").as("p95_lag_us"),
+        round(col("__sum").cast("double") / col("n_users"), 6)
+          .as("mean_lag_us"))
+  }
 }

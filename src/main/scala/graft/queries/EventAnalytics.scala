@@ -677,6 +677,68 @@ object EventAnalytics {
         .orderBy("step")
     },
 
+    // ---- funnel conversion-LAG stats per transition -----------------------
+    // The dashboard's "how long does each step take" column: per
+    // adjacent transition, over users who completed the later step, the
+    // count, sampled median/p95 (graft_pct_sample, k=1024 — the exact
+    // form would buffer every converting user's lag) and exact mean of
+    // tᵢ₊₁ − tᵢ in micros. Lags are integral, the sample rule replays
+    // as the bottom-k-by-md5 window, the mean is an exact SUM/COUNT —
+    // all bit-stable cross-engine.
+    sql("ev_funnel_latency",
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS t, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE user_id IS NOT NULL
+        |), s1 AS (
+        |  SELECT k, MIN(us) AS t1_us FROM e WHERE t = 'signup' GROUP BY k
+        |), s2 AS (
+        |  SELECT s1.k, t1_us, MIN(CASE WHEN e2.us > t1_us THEN e2.us END) AS t2_us
+        |  FROM s1 LEFT JOIN e e2 ON e2.k = s1.k AND e2.t = 'view'
+        |  GROUP BY s1.k, t1_us
+        |), s3 AS (
+        |  SELECT s2.k, t1_us, t2_us, MIN(CASE WHEN e3.us > t2_us THEN e3.us END) AS t3_us
+        |  FROM s2 LEFT JOIN e e3 ON e3.k = s2.k AND e3.t = 'click'
+        |  GROUP BY s2.k, t1_us, t2_us
+        |), s4 AS (
+        |  SELECT s3.k, t1_us, t2_us, t3_us, MIN(CASE WHEN e4.us > t3_us THEN e4.us END) AS t4_us
+        |  FROM s3 LEFT JOIN e e4 ON e4.k = s3.k AND e4.t = 'purchase'
+        |  GROUP BY s3.k, t1_us, t2_us, t3_us
+        |), lags AS (
+        |  SELECT 1 AS step, 'signup' AS from_type, 'view' AS to_type,
+        |    k, t2_us - t1_us AS lag_us FROM s4 WHERE t2_us IS NOT NULL
+        |  UNION ALL SELECT 2, 'view', 'click', k, t3_us - t2_us
+        |    FROM s4 WHERE t3_us IS NOT NULL
+        |  UNION ALL SELECT 3, 'click', 'purchase', k, t4_us - t3_us
+        |    FROM s4 WHERE t4_us IS NOT NULL
+        |), smp AS (
+        |  SELECT step, lag_us,
+        |    ROW_NUMBER() OVER (PARTITION BY step
+        |      ORDER BY md5(k::VARCHAR || ':fl'), CAST(lag_us AS DOUBLE)) AS rn
+        |  FROM lags
+        |), q AS (
+        |  -- integral micros: lags sit near 1e11 us where the engines'
+        |  -- interpolation differs in the last ulp (~1e-5) — rounding to
+        |  -- the whole microsecond absorbs it; sub-us precision of a
+        |  -- conversion lag is meaningless anyway
+        |  SELECT step,
+        |    CAST(ROUND(quantile_cont(CAST(lag_us AS DOUBLE), 0.5), 0) AS BIGINT) AS p50_lag_us,
+        |    CAST(ROUND(quantile_cont(CAST(lag_us AS DOUBLE), 0.95), 0) AS BIGINT) AS p95_lag_us
+        |  FROM smp WHERE rn <= 1024 GROUP BY step
+        |), agg AS (
+        |  SELECT step, from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(lag_us) AS BIGINT) AS sum_lag
+        |  FROM lags GROUP BY 1, 2, 3
+        |)
+        |SELECT a.step, a.from_type, a.to_type, a.n_users,
+        |  q.p50_lag_us, q.p95_lag_us,
+        |  ROUND(CAST(a.sum_lag AS DOUBLE) / a.n_users, 6) AS mean_lag_us
+        |FROM agg a JOIN q USING (step)
+        |ORDER BY step""") { (s, dir) =>
+      graft.ops.Funnel.stepLatency(ev(s, dir),
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy("step")
+    },
+
     // ---- weekly cohort retention matrix ----------------------------------
     // Users cohorted by the epoch-week (us div week — no calendar
     // week-start convention) of their first signup; each (cohort,

@@ -247,6 +247,51 @@ class ScanOpsSpec extends SparkSpec {
     assert(rep(3) === want.values.count(_._3.isDefined).toLong)
   }
 
+  test("Funnel.stepLatency == naive lag percentiles (under-k exact) + exact mean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(13)
+    val types = Seq("a", "b", "c")
+    val evs = (1 to 3000).map { i =>
+      val user = if (rng.nextDouble() < 0.05) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rng.nextInt(80).toLong)
+      (i.toLong, user, types(rng.nextInt(3)),
+        new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L))
+    }
+    val df = evs.toDF("event_id", "user_id", "event_type", "ts")
+      .repartition(8)
+    // ≤80 users < k=1024 → the sampled percentiles ARE the exact ones
+    val got = graft.ops.Funnel.stepLatency(df, Seq("a", "b", "c"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))).toMap
+    // naive lags from the (already naive-verified) steps semantics
+    val steps = graft.ops.Funnel.steps(df, Seq("a", "b", "c")).collect()
+    def lagsOf(iFrom: Int): Seq[Long] = steps.toSeq.flatMap { r =>
+      (Option(r.get(iFrom)), Option(r.get(iFrom + 1))) match {
+        case (Some(a: Long), Some(b: Long)) => Some(b - a)
+        case _ => None
+      }
+    }
+    def pct(v: Seq[Long], q: Double): Long = {
+      val s = v.sorted.map(_.toDouble)
+      val pos = (s.size - 1) * q
+      val lo = pos.toInt
+      val x = if (lo + 1 < s.size) s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+        else s(lo)
+      math.floor(x + 0.5).toLong // HALF_UP on positive lags
+    }
+    (1 to 2).foreach { st =>
+      val lags = lagsOf(st) // t{st}_us is column index st
+      val (n, p50, p95, mean) = got(st)
+      assert(n == lags.size.toLong, s"step $st count")
+      assert(p50 == pct(lags, 0.5), s"step $st p50")
+      assert(p95 == pct(lags, 0.95), s"step $st p95")
+      val wantMean = BigDecimal(lags.map(BigDecimal(_)).sum.toDouble / lags.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - wantMean) < 1e-6, s"step $st mean")
+    }
+  }
+
   test("Funnel.retention == naive cohort/activity model") {
     import spark.implicits._
     import java.sql.Timestamp
