@@ -1293,17 +1293,66 @@ object EventAnalytics {
         |    AS p_micro
         |FROM t
         |ORDER BY prev_type, next_type""") { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy("event_id")
-      ev(s, dir)
-        .filter(col("user_id").isNotNull)
-        .select(col("user_id"), col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type").as("next_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p_micro", expr(
-          "CAST((n * 1000000) div (SUM(n) OVER (PARTITION BY prev_type)) AS BIGINT)"))
+      graft.ops.Markov.transitions(ev(s, dir))
         .orderBy("prev_type", "next_type")
+    },
+
+    // ---- Markov stationary distribution (steady-state behavior mix) ------
+    // Fixed-point power iteration over the transition matrix, entirely
+    // in micro integers: xₖ₊₁(s') = (Σ xₖ(s)·p_micro(s,s')) div 10⁶
+    // (floor AFTER the exact integer sum), deficit renormalized onto the
+    // smallest state so Σx stays exactly 10⁶; no-outgoing states get a
+    // mass-conserving self-loop. Spark iterates on the DRIVER over the
+    // collected |types|² matrix (bounded, the k-means-centroids move);
+    // the oracle unrolls the SAME 16 iterations as CTE pairs — every
+    // intermediate is integral, so the engines agree bit-for-bit.
+    sql("ev_markov_stationary", {
+      val iters = 16
+      val head =
+        """WITH s AS MATERIALIZED (
+          |  SELECT user_id, event_type,
+          |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+          |  FROM events WHERE user_id IS NOT NULL
+          |), t AS MATERIALIZED (
+          |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          |  FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+          |), tp AS MATERIALIZED (
+          |  SELECT prev_type, next_type,
+          |    CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+          |  FROM t
+          |), st AS MATERIALIZED (
+          |  SELECT prev_type AS state FROM tp UNION SELECT next_type FROM tp
+          |), pm AS MATERIALIZED (
+          |  SELECT prev_type, next_type, p_micro FROM tp
+          |  UNION ALL
+          |  SELECT state, state, CAST(1000000 AS BIGINT) FROM st
+          |  WHERE state NOT IN (SELECT prev_type FROM tp)
+          |), x0 AS MATERIALIZED (
+          |  SELECT state,
+          |    CAST(1000000 // (SELECT COUNT(*) FROM st) AS BIGINT)
+          |    + CASE WHEN state = (SELECT MIN(state) FROM st)
+          |        THEN 1000000 % (SELECT COUNT(*) FROM st) ELSE 0 END AS x
+          |  FROM st
+          |)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""y$i AS MATERIALIZED (
+           |  SELECT st.state,
+           |    CAST(COALESCE(SUM(x.x * pm.p_micro), 0) // 1000000 AS BIGINT) AS x
+           |  FROM st
+           |  LEFT JOIN pm ON pm.next_type = st.state
+           |  LEFT JOIN x${i - 1} x ON x.state = pm.prev_type
+           |  GROUP BY st.state
+           |), x$i AS MATERIALIZED (
+           |  SELECT state, CAST(x + CASE WHEN state = (SELECT MIN(state) FROM st)
+           |    THEN 1000000 - (SELECT SUM(x) FROM y$i) ELSE 0 END AS BIGINT) AS x
+           |  FROM y$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT state, x AS pi_micro FROM x$iters ORDER BY state""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.Markov.stationary(s, ev(s, dir)).orderBy("state")
     },
 
     // ---- F5: context window around an anchor timestamp -------------------

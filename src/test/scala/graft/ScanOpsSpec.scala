@@ -292,6 +292,33 @@ class ScanOpsSpec extends SparkSpec {
     }
   }
 
+  test("Markov.stationary: exact fixed-point mass; absorbing chain drains to sink") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def evd(seq: Seq[(Long, Long, String)]) = seq.map { case (eid, u, t) =>
+      (eid, java.lang.Long.valueOf(u), t,
+        new Timestamp(1700000000000L + eid * 1000))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    // period-2 chain (a↔b): uniform IS stationary — the integer
+    // iteration must hold it exactly instead of oscillating drift
+    val ab = evd((1L to 20L).map(i => (i, 1L, if (i % 2 == 1) "a" else "b")))
+    val got1 = graft.ops.Markov.stationary(spark, ab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got1 === Map("a" -> 500000L, "b" -> 500000L))
+    // absorbing chain a → b → c⟲ (c has only a self-loop via the
+    // mass-conserving patch-free path): all mass drains to the sink
+    val abc = evd(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"),
+      (4L, 1L, "c"), (5L, 1L, "c")))
+    val got2 = graft.ops.Markov.stationary(spark, abc).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 === Map("a" -> 0L, "b" -> 0L, "c" -> 1000000L))
+    // mass conservation on the real fixture: Σ pi_micro is EXACTLY 10⁶
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tot = graft.ops.Markov.stationary(spark, ev)
+      .agg(sum("pi_micro")).first().getLong(0)
+    assert(tot == 1000000L, s"mass must be exactly 1e6, got $tot")
+  }
+
   test("Funnel.retention == naive cohort/activity model") {
     import spark.implicits._
     import java.sql.Timestamp
