@@ -54,6 +54,9 @@ object Markov {
       .select("prev_type", "next_type", "p_micro").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val states = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    require(states.nonEmpty,
+      "stationary distribution needs at least one transition " +
+        "(no key has two ordered events)")
     val outgoing = rows.map(_._1).toSet
     val p: Map[(String, String), Long] =
       rows.map(t => (t._1, t._2) -> t._3).toMap ++
