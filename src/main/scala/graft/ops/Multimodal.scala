@@ -508,20 +508,9 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, idCol: String = "media_id",
       hashCol: String = "ahash", maxDist: Int = 3,
       bands: Int = 4): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0,
-      s"bands must divide 64, got $bands")
     require(maxDist >= 0 && maxDist < bands,
       s"exact recall needs maxDist < bands (pigeonhole), got $maxDist/$bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val banded = hashes
-      .select(col(idCol), col(hashCol),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col(hashCol), b * width)
-              .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
-      .select(col(idCol), col(hashCol),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedHashes(hashes, idCol, hashCol, bands)
     val a = banded.select(col(idCol).as("media_a"), col(hashCol).as("__ha"),
       col("band"), col("key"))
     val b = banded.select(col(idCol).as("media_b"), col(hashCol).as("__hb"),
@@ -534,6 +523,26 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
       .select(col("media_a"), col("media_b"),
         col("hamming").cast("int").as("hamming"))
+  }
+
+  /** (idCol, hashCol, band, key): the 64-bit hash split into `bands`
+    * equal slices — the banding shared by [[imageNearDupPairs]] and the
+    * streaming alert's static corpus index
+    * ([[graft.streaming.StreamingOps.imageNearDupAlerts]]). */
+  def bandedHashes(hashes: DataFrame, idCol: String = "media_id",
+      hashCol: String = "ahash", bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    hashes
+      .select(col(idCol), col(hashCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(hashCol), b * width)
+              .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col(hashCol),
+        col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   case class GifMeta(
