@@ -46,25 +46,37 @@ object Bench {
     calibrate() // warm-up
     // The BPE training memo is evicted per PASS, not per query: the two
     // full-dict BPE queries share one identical 64-merge training (the
-    // clean-pipeline sharing pattern), so each pass bills exactly one
-    // training — on its alphabetically-first consumer — instead of one
-    // per consumer. Everything else still pays its full standalone cost
-    // via reset() between queries.
+    // clean-pipeline sharing pattern). The shared training is billed to
+    // its OWN explicit line item (`bpe_train`, timed right after the
+    // eviction) rather than to whichever consumer happens to sort first
+    // — order-independent accounting, visible in bench_results.json, and
+    // adding a BPE query can never silently shift the billing. Everything
+    // else still pays its full standalone cost via reset() between
+    // queries.
     def timedPass(): (Map[String, Double], Double) = {
       graft.queries.BpeQueries.evictTrainMemo()
+      val bt0 = System.nanoTime()
+      graft.queries.BpeQueries.trainedFor(spark, sfDir,
+        graft.queries.BpeQueries.NumMerges, graft.ops.Bpe.DefaultDictCap)
+        ._2.queryExecution.toRdd.count()
+      val bpeDt = (System.nanoTime() - bt0) / 1e9
+      reset() // the memoized dict is localCheckpoint'd; it survives this
       (names.map { name =>
       val t0 = System.nanoTime()
       exec(name)
       val dt = (System.nanoTime() - t0) / 1e9
       reset()
       name -> dt
-    }.toMap, calibrate())
+    }.toMap + ("bpe_train" -> bpeDt), calibrate())
     }
     // several timed passes, report the per-query minimum — local-mode wall
     // times on shared hardware are noisy and min is the robust statistic
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val all = (1 to math.max(passes, 1)).map(_ => timedPass())
-    val results = names.map(n => n -> all.map(_._1(n)).min)
+    // `bpe_train` is the explicit shared-training line item from
+    // timedPass — reported like any query so vs_prev gates cover it
+    val reportNames = names :+ "bpe_train"
+    val results = reportNames.map(n => n -> all.map(_._1(n)).min)
     val calib = all.map(_._2).min
     val loadavg = {
       val la = java.lang.management.ManagementFactory

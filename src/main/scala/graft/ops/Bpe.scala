@@ -181,7 +181,14 @@ object Bpe {
     * merge table itself is the only driver-held input (numMerges rows,
     * applied as literal column layers, never joined). The same
     * `checkpointEvery` plan-truncation stride as [[train]] keeps the
-    * 64-layer fold tree out of the analyzer's way.
+    * 64-layer fold tree out of the analyzer's way — but LAZILY
+    * (`localCheckpoint(eager = false)`): the plan is truncated at
+    * transform time, while nothing materializes until a downstream
+    * action actually needs the segmentations. When the input word frame
+    * is empty (every corpus word inside the trained dict — the
+    * never-binding-cap encode path), the replay therefore costs ZERO
+    * jobs instead of one anti-join materialization plus a no-op job per
+    * checkpoint stride.
     *
     * Input: a frame with a `word` column (distinct words — callers
     * dedupe first so replay cost is per distinct word, not per
@@ -193,7 +200,8 @@ object Bpe {
       .withColumn("seg", initSeg(col("word")))
     merges.foreach { m =>
       seg = seg.withColumn("seg", applyMerge(col("seg"), m.left, m.right))
-      if (m.rank % checkpointEvery == 0) seg = seg.localCheckpoint()
+      if (m.rank % checkpointEvery == 0)
+        seg = seg.localCheckpoint(eager = false)
     }
     seg
   }
@@ -208,26 +216,15 @@ object Bpe {
     * over the corpus' DISTINCT out-of-dict words — bounded per-word
     * work, then the same hash-join probe. A real tokenizer is total;
     * the dict cap bounds TRAINING state, never coverage.
-    * Returns (idCol, n_words, n_tokens). */
+    * Returns (idCol, n_words, n_tokens) — exactly [[encodeWithOov]]
+    * minus its observability column (one definition of the word
+    * stream / dict-OOV union / probe join, not two; Catalyst prunes
+    * the unused `n_oov` aggregate from this projection). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       trainedDict: DataFrame, merges: Seq[Merge],
-      checkpointEvery: Int = 8): DataFrame = {
-    val wordStream = docs
-      .select(col(idCol), explode(
-        regexp_extract_all(lower(col(textCol)), lit(WordPattern), lit(0)))
-        .as("word"))
-    val dictTokens = trainedDict
-      .select(col("word"), size(symbols(col("seg"))).as("n_toks"))
-    val oovWords = wordStream.select("word").distinct()
-      .join(trainedDict.select("word"), Seq("word"), "left_anti")
-    val oovTokens = segmentWords(oovWords, merges, checkpointEvery)
-      .select(col("word"), size(symbols(col("seg"))).as("n_toks"))
-    wordStream
-      .join(dictTokens.unionByName(oovTokens), "word")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_toks")).as("n_tokens"))
-  }
+      checkpointEvery: Int = 8): DataFrame =
+    encodeWithOov(docs, idCol, textCol, trainedDict, merges,
+      checkpointEvery).drop("n_oov")
 
   /** [[encode]] plus an `n_oov` column (words priced via merge-table
     * replay rather than the trained dict) — the observability column for

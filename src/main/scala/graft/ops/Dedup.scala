@@ -48,6 +48,12 @@ object Dedup {
     * unrelated grams past ~77k distinct grams (birthday bound),
     * inflating winnowOverlap's shared_fps with false pairs the hot cap
     * cannot catch; 60 bits pushes the bound past 10⁹ distinct grams.
+    * HASH-VERSION BREAK (round 11): the width change 32 → 60 bits means
+    * fingerprints persisted by earlier library versions (e.g. stores
+    * feeding `StreamingOps.runningDedup` admission state keyed on the
+    * old 32-bit `h`) are known-stale, not quietly disjoint — downstream
+    * state keyed on old hashes must be rebuilt from text, and any
+    * future width change carries the same contract.
     * Short docs (< win grams) winnow their single clipped window.
     * Returns (doc_id, pos, h) — 1-based gram position + selected hash. */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",

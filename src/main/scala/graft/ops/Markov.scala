@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   * `n·10⁶ div row_total` of the matrix query, and each power-iteration
   * step computes xₖ₊₁(s') = (Σ_s xₖ(s)·p(s,s') ) div 10⁶ in exact
   * integers (floor AFTER the sum), then restores Σx = 10⁶ exactly by
-  * assigning the rounding deficit to the lexicographically-smallest
-  * state — a deterministic renormalization. A state with no outgoing
-  * transitions gets a self-loop (p = 10⁶), the standard absorbing patch
-  * that conserves mass.
+  * LARGEST-REMAINDER apportionment (Hamilton's method): every state
+  * gets `deficit div |S|`, and the `deficit mod |S|` states whose sums
+  * lost the most to the floor (remainder DESC, state ASC on ties) get
+  * one extra micro — an unbiased deterministic renormalization, unlike
+  * dumping the whole deficit (up to ~2|S| micro per iteration from
+  * sub-stochastic p_micro rows plus the div floor) on one fixed state.
+  * The uniform start apportions its `10⁶ mod |S|` remainder the same
+  * way (all remainders tie, so the first `rem` states in state order
+  * each take one micro). A state with no outgoing transitions gets a
+  * self-loop (p = 10⁶), the standard absorbing patch that conserves
+  * mass.
   *
   * Scale shape: the only corpus-scale work is the per-key LAG window +
   * the map-side-combinable pair count (the matrix query's plan); the
@@ -43,8 +50,9 @@ object Markov {
   }
 
   /** Stationary distribution after `iters` fixed-point power-iteration
-    * steps from the uniform start (10⁶ div |S|, remainder to the
-    * smallest state). Returns (state, pi_micro), Σ pi_micro = 10⁶. */
+    * steps from the uniform start (10⁶ div |S|, remainder apportioned
+    * one micro each to the first `10⁶ mod |S|` states in state order).
+    * Returns (state, pi_micro), Σ pi_micro = 10⁶. */
   def stationary(spark: SparkSession, events: DataFrame,
       keyCol: String = "user_id", typeCol: String = "event_type",
       orderCol: String = "event_id", iters: Int = 16): DataFrame = {
@@ -61,18 +69,27 @@ object Markov {
     val p: Map[(String, String), Long] =
       rows.map(t => (t._1, t._2) -> t._3).toMap ++
         states.filterNot(outgoing).map(s => (s, s) -> 1000000L)
-    val minState = states.head
+    val nS = states.size
     var x: Map[String, Long] = {
-      val base = 1000000L / states.size
-      val rem = 1000000L % states.size
-      states.map(s => s -> (base + (if (s == minState) rem else 0L))).toMap
+      val base = 1000000L / nS
+      val rem = (1000000L % nS).toInt
+      states.zipWithIndex
+        .map { case (s, i) => s -> (base + (if (i < rem) 1L else 0L)) }
+        .toMap
     }
     (1 to iters).foreach { _ =>
-      val y = states.map { s2 =>
-        s2 -> states.map(s => x(s) * p.getOrElse((s, s2), 0L)).sum / 1000000L
+      // exact integer sums; floor AFTER the sum, then largest-remainder
+      val num = states.map { s2 =>
+        s2 -> states.map(s => x(s) * p.getOrElse((s, s2), 0L)).sum
       }.toMap
-      val deficit = 1000000L - y.values.sum
-      x = y + (minState -> (y(minState) + deficit))
+      val yf = num.map { case (s, v) => s -> v / 1000000L }
+      val deficit = 1000000L - yf.values.sum // >= 0: floors only lose mass
+      val base = deficit / nS
+      val extra = (deficit % nS).toInt
+      val bumped = states.sortBy(s => (-(num(s) % 1000000L), s))
+        .take(extra).toSet
+      x = states
+        .map(s => s -> (yf(s) + base + (if (bumped(s)) 1L else 0L))).toMap
     }
     import spark.implicits._
     states.map(s => (s, x(s))).toSeq.toDF("state", "pi_micro")

@@ -183,9 +183,14 @@ object VectorSearch {
     *  - NOISE: everything else (cluster NULL).
     * Returns (vec_id, n_neighbors, role, cluster).
     *
-    * The pair frame is cached for its three consumers (degrees, core
-    * edges, border labels); caller clears the cache when done (the
-    * CleanPipeline convention). */
+    * The pair frame is materialized ONCE via an eager localCheckpoint
+    * for its three consumers (degrees, core edges, border labels) —
+    * checkpoint blocks, unlike `cache()` entries, are released by the
+    * ContextCleaner as soon as the returned frame is unreferenced, so a
+    * long-lived session embedding this op never accumulates storage it
+    * must remember to `clearCache()` away. The materialization is not
+    * extra work: connectedComponents runs convergence actions over the
+    * core edges anyway. */
   def dbscanCosine(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, minPts: Int, bits: Int = 0,
       tables: Int = 6, seed: Long = DefaultSeed): DataFrame = {
@@ -194,7 +199,7 @@ object VectorSearch {
         tables, seed)
       .select(col("vec_a").cast("long").as("vec_a"),
         col("vec_b").cast("long").as("vec_b"))
-      .cache()
+      .localCheckpoint()
     val sym = pairs.union(
       pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .toDF("id", "nb")

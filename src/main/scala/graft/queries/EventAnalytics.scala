@@ -1300,12 +1300,16 @@ object EventAnalytics {
     // ---- Markov stationary distribution (steady-state behavior mix) ------
     // Fixed-point power iteration over the transition matrix, entirely
     // in micro integers: xₖ₊₁(s') = (Σ xₖ(s)·p_micro(s,s')) div 10⁶
-    // (floor AFTER the exact integer sum), deficit renormalized onto the
-    // smallest state so Σx stays exactly 10⁶; no-outgoing states get a
-    // mass-conserving self-loop. Spark iterates on the DRIVER over the
-    // collected |types|² matrix (bounded, the k-means-centroids move);
-    // the oracle unrolls the SAME 16 iterations as CTE pairs — every
-    // intermediate is integral, so the engines agree bit-for-bit.
+    // (floor AFTER the exact integer sum), with the per-step rounding
+    // deficit restored by LARGEST-REMAINDER apportionment (deficit div
+    // |S| to every state, +1 micro to the `deficit mod |S|` states with
+    // the largest floored-away remainders, remainder DESC / state ASC)
+    // so Σx stays exactly 10⁶ without biasing any fixed state;
+    // no-outgoing states get a mass-conserving self-loop. Spark iterates
+    // on the DRIVER over the collected |types|² matrix (bounded, the
+    // k-means-centroids move); the oracle unrolls the SAME 16 iterations
+    // as CTE triples — every intermediate is integral, so the engines
+    // agree bit-for-bit.
     sql("ev_markov_stationary", {
       val iters = 16
       val head =
@@ -1330,22 +1334,31 @@ object EventAnalytics {
           |), x0 AS MATERIALIZED (
           |  SELECT state,
           |    CAST(1000000 // (SELECT COUNT(*) FROM st) AS BIGINT)
-          |    + CASE WHEN state = (SELECT MIN(state) FROM st)
-          |        THEN 1000000 % (SELECT COUNT(*) FROM st) ELSE 0 END AS x
+          |    + CASE WHEN ROW_NUMBER() OVER (ORDER BY state)
+          |             <= 1000000 % (SELECT COUNT(*) FROM st)
+          |        THEN 1 ELSE 0 END AS x
           |  FROM st
           |)""".stripMargin
       val steps = (1 to iters).map { i =>
         s"""y$i AS MATERIALIZED (
            |  SELECT st.state,
-           |    CAST(COALESCE(SUM(x.x * pm.p_micro), 0) // 1000000 AS BIGINT) AS x
+           |    CAST(COALESCE(SUM(x.x * pm.p_micro), 0) AS BIGINT) AS num
            |  FROM st
            |  LEFT JOIN pm ON pm.next_type = st.state
            |  LEFT JOIN x${i - 1} x ON x.state = pm.prev_type
            |  GROUP BY st.state
-           |), x$i AS MATERIALIZED (
-           |  SELECT state, CAST(x + CASE WHEN state = (SELECT MIN(state) FROM st)
-           |    THEN 1000000 - (SELECT SUM(x) FROM y$i) ELSE 0 END AS BIGINT) AS x
+           |), r$i AS MATERIALIZED (
+           |  SELECT state, num // 1000000 AS xf,
+           |    ROW_NUMBER() OVER (ORDER BY num % 1000000 DESC, state) AS rk
            |  FROM y$i
+           |), x$i AS MATERIALIZED (
+           |  SELECT state, CAST(xf
+           |    + (1000000 - (SELECT SUM(xf) FROM r$i))
+           |        // (SELECT COUNT(*) FROM st)
+           |    + CASE WHEN rk <= (1000000 - (SELECT SUM(xf) FROM r$i))
+           |                       % (SELECT COUNT(*) FROM st)
+           |        THEN 1 ELSE 0 END AS BIGINT) AS x
+           |  FROM r$i
            |)""".stripMargin
       }.mkString(",\n")
       s"""$head,
