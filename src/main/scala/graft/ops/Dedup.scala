@@ -655,4 +655,102 @@ object Dedup {
     docs.join(verified.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
   }
+
+  // ---- exact duplicated-span detection (substring dedup) ------------------
+
+  /** Word-position k-gram stream: (doc_id, pos, h) — one row per k-gram
+    * with its 1-based word position and the same 60-bit md5 hash recipe
+    * as [[winnowFingerprints]] (always-positive BIGINT, collision bound
+    * past 10⁹ distinct grams, re-derivable by any engine). Docs shorter
+    * than k words yield no grams. */
+  private def gramStream(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"
+        )).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("bigint")
+          .as("h"))
+
+  /** Maximal duplicated word spans — the exact-substring complement of
+    * document-level dedup (Lee, Ippolito et al., ACL 2022: duplicated
+    * passages, not duplicated documents, are what web corpora actually
+    * repeat; boilerplate paragraphs recur inside otherwise-unique pages
+    * and survive every whole-doc fingerprint).
+    *
+    * Rule: a word k-gram is DUPLICATED when its hash occurs at ≥ 2
+    * (doc, pos) locations corpus-wide — cross-document repeats and a
+    * document repeating its own phrase both count, exactly the cases a
+    * span remover must price. Per document, runs of CONSECUTIVE
+    * duplicated gram positions merge into one maximal span (adjacent
+    * repeats chain conservatively, the standard approximation) covering
+    * words [span_start, span_end] = [first pos, last pos + k − 1]; only
+    * spans of ≥ `minWords` words are reported.
+    *
+    * Scale shape: the gram explode is linear in corpus words; the
+    * duplicated-hash set is a map-side-combinable count over h followed
+    * by a hash equi-join (LEFT SEMI — never corpus²); the islands
+    * window partitions per document (bounded by doc length). No
+    * driver-side state.
+    *
+    * Returns (doc_id, span_start, span_end, n_words). */
+  def dupSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, minWords: Int = 6): DataFrame = {
+    require(k >= 1 && minWords >= k,
+      s"need k >= 1 and minWords >= k, got k=$k minWords=$minWords")
+    val g = gramStream(docs, idCol, textCol, k)
+    val dupH = g.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    val dup = g.join(dupH, Seq("h"), "left_semi")
+    // gaps-and-islands: consecutive positions share pos - row_number
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .withColumn("n_words", col("span_end") - col("span_start") + 1)
+      .filter(col("n_words") >= minWords)
+      .select("doc_id", "span_start", "span_end", "n_words")
+  }
+
+  /** Span-level trim: remove every [[dupSpans]] span's words from each
+    * document and reassemble the survivors — the corpus-repair action
+    * the span report exists for. Covered word positions come from
+    * exploding each qualifying span's position range (linear in covered
+    * words — never a range join), then an ANTI join against the word
+    * stream; per-doc reassembly is an ordered array fold (single-space
+    * joined, the library's word convention). Documents with no
+    * qualifying span pass through whole.
+    *
+    * Returns (doc_id, n_kept, n_removed, trimmed_text). */
+  def dupSpanTrim(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, minWords: Int = 6): DataFrame = {
+    val covered = dupSpans(docs, idCol, textCol, k, minWords)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    val words = docs
+      .withColumn("w", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"),
+        posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
+        col("word"))
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val nWords = words.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(pos, word))), x -> x.word)"), " ").as("trimmed_text"))
+      .join(nWords, Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+  }
 }

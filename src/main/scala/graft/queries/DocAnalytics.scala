@@ -47,6 +47,33 @@ object DocAnalytics {
       |    FROM wnd) WHERE rk = 1
       |)""".stripMargin
 
+  /** DuckDB twin of graft.ops.Dedup.dupSpans' derivation (k=3,
+    * minWords=6) as a WITH prefix ending in the `spans` CTE — shared by
+    * the span report and the trim so the derivations cannot drift.
+    * Unlike WinnowCte there is NO short-doc clip: documents under k
+    * words yield no grams and no spans. */
+  private val DupSpanCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), g AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM d, unnest(range(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 3
+      |), dup AS (
+      |  SELECT doc_id, pos FROM g
+      |  WHERE h IN (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2)
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM dup
+      |), spans AS (
+      |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end
+      |  FROM isl GROUP BY doc_id, grp
+      |  HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 6
+      |)""".stripMargin
+
   /** DuckDB twin of graft.ops.Dedup.shingles as a CTE body. */
   private def shingleSqlOver(src: String) =
     s"""SELECT doc_id, unnest(list_distinct(
@@ -496,6 +523,61 @@ object DocAnalytics {
         .agg(count(lit(1)).as("n_fps"),
           sum(when(col("admitted"), 0L).otherwise(1L)).as("matched_fps"))
         .withColumn("admitted", col("matched_fps") < 3)
+        .orderBy("doc_id")
+    },
+
+    // ---- duplicated-span detection (exact substring dedup) ---------------
+    // The Lee, Ippolito et al. (ACL 2022) complement of whole-document
+    // dedup: maximal word spans whose 3-grams repeat ANYWHERE in the
+    // corpus (cross-doc or within-doc), ≥ 6 words long — the boilerplate
+    // passages that recur inside otherwise-unique pages and survive every
+    // doc-level fingerprint. Dup grams come from a map-side-combinable
+    // count over the 60-bit gram hash + a LEFT SEMI equi-join (never
+    // corpus²); spans are per-doc gaps-and-islands over positions.
+    sql("doc_dup_spans",
+      s"""$DupSpanCte
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |  CAST(span_end AS BIGINT) AS span_end,
+        |  CAST(span_end - span_start + 1 AS BIGINT) AS n_words
+        |FROM spans
+        |ORDER BY doc_id, span_start""") { (s, dir) =>
+      graft.ops.Dedup.dupSpans(docs(s, dir), k = 3, minWords = 6)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // ---- duplicated-span trim (the repair action) -------------------------
+    // Remove every qualifying span's words and reassemble each document
+    // from the survivors: covered positions by exploding span ranges
+    // (linear in covered words, never a range join), kept words by ANTI
+    // join, reassembly by ordered fold. Whole-doc duplicates trim to
+    // empty; unique docs pass through byte-identical (modulo the
+    // single-space word convention).
+    sql("doc_dup_span_trim",
+      s"""$DupSpanCte, cov AS (
+        |  SELECT DISTINCT doc_id, p AS pos
+        |  FROM spans, unnest(range(span_start, span_end + 1)) AS t(p)
+        |), words AS (
+        |  SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+        |), kept AS (
+        |  SELECT wo.doc_id, wo.pos, wo.word
+        |  FROM words wo LEFT JOIN cov
+        |    ON wo.doc_id = cov.doc_id AND wo.pos = cov.pos
+        |  WHERE cov.pos IS NULL
+        |), keptagg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(word, ' ' ORDER BY pos) AS t
+        |  FROM kept GROUP BY doc_id
+        |), totals AS (
+        |  SELECT doc_id, COUNT(*) AS n_total FROM words GROUP BY doc_id
+        |)
+        |SELECT totals.doc_id,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(n_total - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(t, '') AS trimmed_text
+        |FROM totals LEFT JOIN keptagg ON totals.doc_id = keptagg.doc_id
+        |ORDER BY totals.doc_id""") { (s, dir) =>
+      graft.ops.Dedup.dupSpanTrim(docs(s, dir), k = 3, minWords = 6)
         .orderBy("doc_id")
     },
 

@@ -373,4 +373,59 @@ class DedupSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("dupSpans finds exact maximal duplicated spans; trim repairs them") {
+    import spark.implicits._
+    // planted geometry (k=3, minWords=6):
+    //  - docs 1 and 2 share an 8-word passage mid-text (cross-doc dup:
+    //    6 consecutive dup grams -> one 8-word span in each);
+    //  - doc 3 repeats its own 7-word phrase (within-doc dup: two spans
+    //    in the same doc);
+    //  - docs 4 and 5 share only a 5-word run — BELOW minWords, no span;
+    //  - doc 6 is 2 words (< k): no grams, no span, passes trim whole;
+    //  - doc 7 is an exact whole-doc duplicate of doc 8 (7 words):
+    //    every gram dup -> both trim to empty.
+    val shared8 = "alpha beta gamma delta epsilon zeta eta theta"
+    val self7 = "one two three four five six seven"
+    val run5 = "red orange yellow green blue"
+    val whole7 = "wa wb wc wd we wf wg"
+    val docsDf = Seq(
+      (1L, s"u11 u12 $shared8 u13 u14"),
+      (2L, s"u21 $shared8 u22 u23 u24"),
+      (3L, s"$self7 mid1 mid2 $self7"),
+      (4L, s"p41 p42 $run5 p43"),
+      (5L, s"$run5 p51 p52 p53"),
+      (6L, "tiny doc"),
+      (7L, whole7),
+      (8L, whole7)
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docsDf, k = 3, minWords = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(spans === Set(
+      (1L, 3L, 10L, 8L),  // shared8 at words 3-10
+      (2L, 2L, 9L, 8L),   // shared8 at words 2-9
+      (3L, 1L, 7L, 7L),   // self7, first occurrence
+      (3L, 10L, 16L, 7L), // self7, second occurrence
+      (7L, 1L, 7L, 7L),
+      (8L, 1L, 7L, 7L)),
+      s"got $spans")
+    val trim = Dedup.dupSpanTrim(docsDf, k = 3, minWords = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(trim(1L) === ((4L, 8L, "u11 u12 u13 u14")))
+    assert(trim(2L) === ((4L, 8L, "u21 u22 u23 u24")))
+    assert(trim(3L) === ((2L, 14L, "mid1 mid2")))
+    assert(trim(4L) === ((8L, 0L, s"p41 p42 $run5 p43")))
+    assert(trim(6L) === ((2L, 0L, "tiny doc")))
+    assert(trim(7L) === ((0L, 7L, "")))
+    assert(trim(8L) === ((0L, 7L, "")))
+    // conservation: n_kept + n_removed == word count, every doc present
+    assert(trim.size === 8)
+    trim.foreach { case (id, (k2, r2, _)) =>
+      val n = docsDf.filter(col("doc_id") === id)
+        .select(size(split(col("text"), " "))).first().getInt(0)
+      assert(k2 + r2 === n.toLong, s"doc $id conservation")
+    }
+  }
 }
