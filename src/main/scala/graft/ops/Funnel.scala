@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel completion — the standard "how far does each user get
@@ -151,5 +152,58 @@ object Funnel {
         round(element_at(col("__ps"), 2), 0).cast("bigint").as("p95_lag_us"),
         round(col("__sum").cast("double") / col("n_users"), 6)
           .as("mean_lag_us"))
+  }
+
+  /** Top session paths: gap-sessionize each key's event stream (the
+    * ev_sessionize rule — a new session when consecutive events are
+    * > `gapSec` apart), take each session's FIRST `maxSteps` event
+    * types in event order joined with '>', and count sessions per
+    * path — the "what do users actually do" product-analytics report
+    * (the empirical complement of the Markov transition matrix: full
+    * observed trajectories, not first-order factorizations).
+    *
+    * The `maxSteps` cap is the bounded-state contract: per session the
+    * aggregation holds at most `maxSteps` (order, type) entries no
+    * matter how long a bot session runs (its tail still counts via
+    * `n_events`, surfacing as `truncated` in the per-path rollup).
+    * Scale shape: one per-key window cascade (lag → running sum →
+    * row_number, all bounded by a key's history), one per-session
+    * aggregation, one map-side-combinable path count, and a top-k
+    * (TakeOrderedAndProject — never a global sort).
+    *
+    * Returns the `topN` (path, n_sessions, n_truncated) rows by
+    * n_sessions DESC, path ASC (a total order — deterministic at the
+    * cut). */
+  def sessionPaths(events: DataFrame, keyCol: String = "user_id",
+      typeCol: String = "event_type", orderCol: String = "event_id",
+      tsCol: String = "ts", gapSec: Long = 1800L, maxSteps: Int = 8,
+      topN: Int = 50): DataFrame = {
+    require(maxSteps >= 1 && topN >= 1,
+      s"maxSteps and topN must be >= 1, got $maxSteps/$topN")
+    val w = Window.partitionBy(keyCol).orderBy("eid")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(orderCol).as("eid"),
+        col(typeCol).as("etype"), unix_timestamp(col(tsCol)).as("sec"))
+      .withColumn("is_new",
+        when(col("sec") - lag(col("sec"), 1).over(w) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("session_id")).orderBy("eid")))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // collect_list drops the NULLs the CASE emits past maxSteps, so
+        // per-session state is bounded at maxSteps structs
+        array_join(expr(s"transform(array_sort(collect_list(" +
+          s"CASE WHEN rn <= $maxSteps THEN struct(eid, etype) END)), " +
+          "x -> x.etype)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") > maxSteps, 1L).otherwise(0L))
+          .as("n_truncated"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
   }
 }

@@ -807,6 +807,69 @@ object EventAnalytics {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- table profile (per-column audit: nulls + cardinality) -----------
+    // The exact one-pass profiler over every events column. Spark plans
+    // the multi-distinct aggregate with ONE Expand scan (rows ×
+    // |columns|+1 before partial agg — a schema-scale constant, never a
+    // per-column scan); the 100 TB twin is Profile.profileApprox (HLL++
+    // sketch state per column, no Expand), spec-bounded against this
+    // exact form but not registrable (sketch estimates aren't
+    // cross-engine replayable).
+    sql("ev_profile", {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_name")
+    }) { (s, dir) =>
+      graft.ops.Profile.profile(ev(s, dir)).orderBy("col_name")
+    },
+
+    // ---- top session paths (behavioral trajectory report) ----------------
+    // The ev_sessionize gap rule, then each session's first 8 event
+    // types joined with '>' and counted per path — full observed
+    // trajectories, the empirical complement of ev_markov_transitions'
+    // first-order factorization. Per-session state is bounded at 8
+    // (order, type) entries regardless of session length (longer
+    // sessions count via n_truncated); the final cut is a top-50
+    // TakeOrderedAndProject on a total order (n DESC, path ASC).
+    sql("ev_session_paths",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+        |           - LAG(CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sessions AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked
+        |), rn AS (
+        |  SELECT user_id, session_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY event_id) AS rn
+        |  FROM sessions
+        |), paths AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    string_agg(CASE WHEN rn <= 8 THEN event_type END, '>'
+        |      ORDER BY event_id) AS path
+        |  FROM rn GROUP BY user_id, session_id
+        |)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events > 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 50""") { (s, dir) =>
+      graft.ops.Funnel.sessionPaths(ev(s, dir))
+    },
+
     // ---- W6: burst detection — 3 errors within 60s (recovery loop) -------
     sql("ev_error_bursts",
       """SELECT COUNT(*) AS n_bursts FROM (

@@ -319,6 +319,67 @@ class ScanOpsSpec extends SparkSpec {
     assert(tot == 1000000L, s"mass must be exactly 1e6, got $tot")
   }
 
+  test("Funnel.sessionPaths: gap split, step cap, deterministic cut") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    // user 1: two sessions split by a 2000s gap (paths a>b and c);
+    // user 2: a 10-event session of alternating a/b — capped at 8 steps,
+    //   counted truncated; user 3: a lone a>b session (ties with user
+    //   1's first session path); null user dropped.
+    val rows =
+      Seq((1L, java.lang.Long.valueOf(1L), "a", t(0)),
+        (2L, java.lang.Long.valueOf(1L), "b", t(10)),
+        (3L, java.lang.Long.valueOf(1L), "c", t(2100)),
+        (10L, java.lang.Long.valueOf(3L), "a", t(0)),
+        (11L, java.lang.Long.valueOf(3L), "b", t(5))) ++
+        (0 until 10).map(i => (20L + i, java.lang.Long.valueOf(2L),
+          if (i % 2 == 0) "a" else "b", t(i.toLong))) :+
+        ((99L, null.asInstanceOf[java.lang.Long], "z", t(0)))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.sessionPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set(
+      ("a>b", 2L, 0L),
+      ("a>b>a>b>a>b>a>b", 1L, 1L),
+      ("c", 1L, 0L)), s"got ${got.mkString(", ")}")
+    // deterministic order: n DESC then path ASC
+    assert(got.head === (("a>b", 2L, 0L)))
+    assert(got.map(_._1).toSeq ===
+      got.sortBy(x => (-x._2, x._1)).map(_._1).toSeq)
+    // topN cut honors the total order
+    val top1 = graft.ops.Funnel.sessionPaths(ev, topN = 1).collect()
+    assert(top1.length === 1 && top1(0).getString(0) === "a>b")
+  }
+
+  test("Profile: exact == hand counts; approx within rsd of exact") {
+    import spark.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "x"), (java.lang.Long.valueOf(1L), "y"),
+      (java.lang.Long.valueOf(2L), null), (null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("k", "s")
+    val got = graft.ops.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("k") === ((4L, 1L, 2L)))
+    assert(got("s") === ((4L, 1L, 2L)))
+    // the 100 TB twin tracks the exact form within HLL++ tolerance on a
+    // real table (and null/row counts are exact by construction)
+    val evf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = graft.ops.Profile.profile(evf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val approx = graft.ops.Profile.profileApprox(evf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    exact.foreach { case (c, (nr, nn, nd)) =>
+      val (ar, an, ad) = approx(c)
+      assert(ar === nr && an === nn, s"col $c row/null counts must be exact")
+      assert(math.abs(ad - nd).toDouble <= math.max(1.0, 0.15 * nd),
+        s"col $c distinct est $ad vs exact $nd")
+    }
+  }
+
   test("Funnel.retention == naive cohort/activity model") {
     import spark.implicits._
     import java.sql.Timestamp
