@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hll_regs"), graft.functions.HllAgg.regsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_pct_sample"),
       info("graft_pct_sample"), graft.functions.PctSampleAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_kmv"),
+      info("graft_kmv"), graft.functions.KmvAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_any_gram_in_set"),
       info("graft_any_gram_in_set"), graft.functions.AnyGramInSet.builder))
     graft.functions.PyNum.Names.foreach { case (mode, name) =>

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * column. [[profileApprox]] is the 100 TB form: HLL++
   * (`approx_count_distinct`) per column needs no Expand and carries
   * kilobytes of sketch state per column instead of per-distinct-value
-  * hash state; its estimates are NOT cross-engine replayable, so only
-  * the exact form is oracle-registered (the A16 exact/approx pairing).
+  * hash state; its estimates are NOT cross-engine replayable (the
+  * spec bounds it against the exact form instead). The replayable
+  * bounded-state alternative is `graft_kmv`
+  * ([[graft.functions.KmvAgg]]) — registered as `ev_profile_kmv` with
+  * a full DuckDB oracle, estimates and all.
   */
 object Profile {
 

@@ -811,10 +811,10 @@ object EventAnalytics {
     // The exact one-pass profiler over every events column. Spark plans
     // the multi-distinct aggregate with ONE Expand scan (rows ×
     // |columns|+1 before partial agg — a schema-scale constant, never a
-    // per-column scan); the 100 TB twin is Profile.profileApprox (HLL++
-    // sketch state per column, no Expand), spec-bounded against this
-    // exact form but not registrable (sketch estimates aren't
-    // cross-engine replayable).
+    // per-column scan); the 100 TB twins are ev_profile_kmv below (the
+    // replayable KMV sketch, oracle-registered) and
+    // Profile.profileApprox (HLL++, spec-bounded against this exact
+    // form — HLL register layouts aren't cross-engine replayable).
     sql("ev_profile", {
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
         "props")
@@ -826,6 +826,48 @@ object EventAnalytics {
           "\n) ORDER BY col_name")
     }) { (s, dir) =>
       graft.ops.Profile.profile(ev(s, dir)).orderBy("col_name")
+    },
+
+    // ---- bounded-state distinct profile (KMV sketch, replayable) ---------
+    // The 100 TB cardinality audit: per column, graft_kmv holds the 256
+    // smallest distinct md5 digests (4 KB/column forever) and estimates
+    // the distinct count from the 256th ((k−1)·2⁶⁰/h₆₀ — EXACT below
+    // capacity). Unlike HLL the sketch rule replays in ANY engine
+    // (DISTINCT md5 → ORDER BY → OFFSET k−1 → same two IEEE ops), so
+    // even the ESTIMATES hash-match DuckDB bit-for-bit. Columns are the
+    // string-cast-stable subset (ints/strings — double/timestamp string
+    // forms differ across engines and stay on the exact ev_profile).
+    sql("ev_profile_kmv", {
+      val cols = Seq("event_id", "user_id", "event_type", "props")
+      cols.map { c =>
+        val dh = s"SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS d " +
+          s"FROM events WHERE $c IS NOT NULL"
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  CASE WHEN (SELECT COUNT(*) FROM ($dh)) < 256
+           |    THEN CAST((SELECT COUNT(*) FROM ($dh)) AS DOUBLE)
+           |    ELSE CAST(255 AS DOUBLE) * POW(CAST(2 AS DOUBLE), 60)
+           |      / CAST(CAST('0x' || substr((SELECT d FROM ($dh)
+           |          ORDER BY d LIMIT 1 OFFSET 255), 1, 15) AS BIGINT)
+           |        AS DOUBLE) END AS n_distinct_est
+           |FROM events""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+    }) { (s, dir) =>
+      import graft.functions.KmvAgg
+      val cols = Seq("event_id", "user_id", "event_type", "props")
+      val e = ev(s, dir)
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        KmvAgg.kmv(col(c).cast("string"), 256).as(s"__kd_$c")))
+      val wide = e.agg(count(lit(1)).as("__n"), aggs: _*)
+      val entries = cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__kd_$c").as("n_distinct_est")))
+      wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+        .orderBy("col_name")
     },
 
     // ---- top session paths (behavioral trajectory report) ----------------

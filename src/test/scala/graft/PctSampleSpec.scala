@@ -152,4 +152,42 @@ class PctSampleSpec extends SparkSpec {
         s"${r.getAs[String]("metric_name")}: approx p95 $ap at rank $rank (exact $ex)")
     }
   }
+
+  test("graft_kmv: exact under capacity, bounded estimate over it, " +
+      "order/duplicate independent, flat state") {
+    import spark.implicits._
+    import graft.functions.KmvAgg
+    def est(df: org.apache.spark.sql.DataFrame, k: Int = 256): Double =
+      df.agg(KmvAgg.kmv(col("v"), k)).first().getDouble(0)
+    // below capacity: EXACT distinct count, duplicates free
+    val small = (1 to 100).map(i => s"val$i")
+    assert(est(small.toDF("v")) === 100.0)
+    assert(est((small ++ small ++ small).toDF("v")) === 100.0)
+    // nulls don't count
+    assert(est((small :+ null.asInstanceOf[String]).toDF("v")) === 100.0)
+    // over capacity: estimate within 4 sigma (rse ~ 1/sqrt(k-2) = 6.3%)
+    val big = (1 to 20000).map(i => s"item-$i").toDF("v")
+    val e = est(big)
+    assert(math.abs(e - 20000.0) <= 0.25 * 20000.0, s"est $e for 20000")
+    // partitioning and duplication cannot move the sketch
+    assert(est(big.repartition(13)) === e)
+    assert(est(big.union(big).union(big)) === e)
+    // flat state: serialized buffer never exceeds 4 + 16k bytes
+    val agg = graft.functions.KmvAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 256)
+    val buf = agg.createAggregationBuffer()
+    (1 to 100000).foreach { i =>
+      KmvAgg.ord // touch
+      val md = java.security.MessageDigest.getInstance("MD5")
+      buf.insert(md.digest(s"row$i".getBytes("UTF-8")))
+    }
+    assert(agg.serialize(buf).length <= 4 + 16 * 256)
+    // the replay contract in-process: estimate == the SQL-shaped
+    // derivation (distinct md5, sorted, k-th smallest, same arithmetic)
+    val hx = big.select(md5(col("v")).as("d")).distinct()
+      .orderBy("d").limit(256).collect().map(_.getString(0))
+    val h60 = java.lang.Long.parseLong(hx.last.substring(0, 15), 16)
+    val replay = 255.0 * math.pow(2.0, 60) / h60.toDouble
+    assert(est(big) === replay)
+  }
 }
