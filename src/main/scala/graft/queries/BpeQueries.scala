@@ -203,6 +203,57 @@ object BpeQueries {
     // replay-priced ones. The oracle unrolls the SAME replay: one fold
     // CTE per merge over the out-of-dict word set, so both engines carry
     // bit-identical segmentations for every word, in or out of dict.
+    // ---- tokenizer fertility by language ----------------------------------
+    // The tokenizer-efficiency audit: per language, tokens-per-word
+    // (fertility) and chars-per-token (compression) under the learned
+    // merges — the report that tells you which languages the trained
+    // vocabulary serves poorly (high fertility = more sequence length
+    // per unit text = higher training cost for that slice). All sums
+    // are exact BIGINTs off the shared encode derivation (training
+    // memoized — one per session/bench pass); the two ratios divide
+    // identical exact integers in both engines.
+    sql("doc_bpe_fertility",
+      s"""WITH ${trainCtes(NumMerges, Bpe.DefaultDictCap)},
+         |$dwCte,
+         |et AS (
+         |  SELECT word, len(list_filter(string_split(seg,' '),
+         |    x -> x <> '')) AS n_toks
+         |  FROM s$NumMerges
+         |),
+         |enc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN et USING (word)
+         |  GROUP BY doc_id
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)
+         |    / CAST(SUM(n_words) AS BIGINT), 6) AS tokens_per_word,
+         |  ROUND(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+         |    / CAST(SUM(n_tokens) AS BIGINT), 6) AS chars_per_token
+         |FROM documents JOIN enc USING (doc_id)
+         |GROUP BY lang
+         |ORDER BY lang""") { (s, dir) =>
+      import org.apache.spark.sql.functions.{round => sqlRound}
+      val (merges, dict) = trainedFor(s, dir, NumMerges, Bpe.DefaultDictCap)
+      val enc = Bpe.encode(docs(s, dir), "doc_id", "text", dict, merges)
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("__chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          sqlRound(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("tokens_per_word"),
+          sqlRound(col("__chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     sql("doc_bpe_encode_oov",
       s"""WITH ${trainCtes(OovNumMerges, OovDictCap)},
          |$dwCte,

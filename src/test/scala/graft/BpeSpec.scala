@@ -184,4 +184,35 @@ class BpeSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("fertility report == manual rollup of encode over languages") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.Registry.all
+      .find(_.name == "doc_bpe_fertility").get
+    val got = q.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // independent rollup straight off the op outputs
+    val docs = Tables(spark, dir, "documents")
+    val (merges, dict) = graft.queries.BpeQueries.trainedFor(spark, dir,
+      graft.queries.BpeQueries.NumMerges, graft.ops.Bpe.DefaultDictCap)
+    val enc = graft.ops.Bpe.encode(docs, "doc_id", "text", dict, merges)
+    val manual = docs.select("doc_id", "lang", "n_chars").join(enc, "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("d"), sum("n_words").as("w"),
+        sum("n_tokens").as("t"), sum("n_chars").as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(manual.nonEmpty && manual.length === got.size)
+    manual.foreach { case (lang, d, w, t, c) =>
+      val (gd, gw, gt, tpw, cpt) = got(lang)
+      assert((gd, gw, gt) === ((d, w, t)), s"lang $lang counts")
+      // the registered query rounds to 6 decimals
+      assert(math.abs(tpw - t.toDouble / w) <= 5e-7, s"lang $lang fertility")
+      assert(math.abs(cpt - c.toDouble / t) <= 5e-7, s"lang $lang compression")
+      // fertility is a per-word average: must be >= 1 (a word is never
+      // fewer than one token)
+      assert(tpw >= 1.0)
+    }
+  }
 }
