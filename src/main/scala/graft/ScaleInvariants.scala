@@ -90,7 +90,9 @@ object ScaleInvariants {
       "ivf_auto" -> (s => ivfAuto(s, q("emb_ann_ivf_auto"), vectors)),
       "semdedup" -> (s => semDedup(s, q("emb_semdedup"), vectors)),
       "pq_adc" -> (s => pqAdc(s, q("emb_ann_pq"), vectors)),
-      "ivfpq_res" -> (s => ivfPqRes(s, q("emb_ann_ivfpq_res"), vectors))
+      "ivfpq_res" -> (s => ivfPqRes(s, q("emb_ann_ivfpq_res"), vectors)),
+      "kmv_profile" -> (s => kmvProfile(s, q("ev_profile_kmv"),
+        Tables(s, sfDir, "events")))
     )
     var failed = 0
     val ran = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -815,5 +817,59 @@ object ScaleInvariants {
           "adc_fp decomposition, cosine and rank all recompute exactly"
       } finally { enc.unpersist(); rv.unpersist(); out.unpersist(); () }
     } finally { v.unpersist(); () }
+  }
+
+  /** KMV profile: every registered column's sketch output re-derived
+    * IN-ENGINE from the declarative replay (distinct md5 → sort →
+    * k smallest → the same two IEEE ops on the k-th digest's leading
+    * 60 bits), plus exactness checks — under-capacity estimates must
+    * EQUAL count(distinct), over-capacity estimates must sit within
+    * 5.5 rse (≈35 % at k=256) of the true cardinality, and n_rows /
+    * n_nulls must equal their exact counts. At 10×/100× the estimator
+    * branch is live for the high-cardinality columns (event_id crosses
+    * k=256 at every sf), so this check exercises the regime the sketch
+    * exists for, not just the exact fallback. */
+  private def kmvProfile(s: SparkSession, out0: DataFrame,
+      ev: DataFrame): String = {
+    val k = 256
+    val cols = Seq("event_id", "user_id", "event_type", "props")
+    val out = out0.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    require(out.keySet == cols.toSet,
+      s"registered columns drifted: ${out.keySet}")
+    val nRows = ev.count()
+    var estimatorCols = 0
+    val details = cols.map { c =>
+      val nonNull = ev.filter(col(c).isNotNull)
+      val hs = nonNull.select(md5(col(c).cast("string")).as("d"))
+        .distinct().orderBy("d").limit(k).collect().map(_.getString(0))
+      val replay =
+        if (hs.length < k) hs.length.toDouble
+        else {
+          val h60 = java.lang.Long.parseLong(hs.last.substring(0, 15), 16)
+          (k - 1).toDouble * math.pow(2.0, 60) / h60.toDouble
+        }
+      val (nr, nn, est) = out(c)
+      require(est == replay, s"$c: registered est $est != replay $replay")
+      require(nr == nRows, s"$c: n_rows $nr != $nRows")
+      val exactNulls = ev.filter(col(c).isNull).count()
+      require(nn == exactNulls, s"$c: n_nulls $nn != $exactNulls")
+      if (hs.length < k) {
+        val exact = nonNull.select(countDistinct(col(c))).first().getLong(0)
+        require(est == exact.toDouble,
+          s"$c: under-capacity est $est != exact $exact")
+        f"$c exact=$est%.0f"
+      } else {
+        estimatorCols += 1
+        val exact = nonNull.select(countDistinct(col(c))).first().getLong(0)
+        require(math.abs(est - exact) <= 0.35 * exact,
+          f"$c: est $est%.0f outside 5.5 rse of exact $exact")
+        f"$c est=$est%.0f/exact=$exact (${est / exact}%.3f)"
+      }
+    }
+    require(estimatorCols >= 1,
+      "no column crossed the sketch capacity — the estimator branch is " +
+        "untested at this corpus; raise the scale factor")
+    details.mkString("; ")
   }
 }
