@@ -82,28 +82,11 @@ case class KmvAgg(
 
   override def eval(buf: KmvAgg.Buffer): Any = KmvAgg.estimate(buf)
 
-  override def serialize(buf: KmvAgg.Buffer): Array[Byte] = {
-    val n = buf.set.size()
-    val out = java.nio.ByteBuffer.allocate(4 + n * 16)
-    out.putInt(n)
-    val it = buf.set.iterator()
-    while (it.hasNext) out.put(it.next())
-    out.array()
-  }
+  override def serialize(buf: KmvAgg.Buffer): Array[Byte] =
+    KmvAgg.serializeBuffer(buf)
 
-  override def deserialize(bytes: Array[Byte]): KmvAgg.Buffer = {
-    val in = java.nio.ByteBuffer.wrap(bytes)
-    val n = in.getInt
-    val buf = new KmvAgg.Buffer(k)
-    var i = 0
-    while (i < n) {
-      val d = new Array[Byte](16)
-      in.get(d)
-      buf.insert(d)
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KmvAgg.Buffer =
+    KmvAgg.deserializeBuffer(bytes, k)
 
   override def withNewMutableAggBufferOffset(o: Int): KmvAgg =
     copy(mutableAggBufferOffset = o)
@@ -138,6 +121,42 @@ object KmvAgg {
 
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Insert a string value — md5s it and applies the k-smallest-distinct
+    * rule. Shared with the streaming carrier
+    * (StreamingOps.runningKmv), which feeds the SAME sketch
+    * incrementally across triggers. */
+  def insertString(buf: Buffer, v: String): Unit = {
+    val md = digest.get()
+    md.reset()
+    md.update(v.getBytes("UTF-8"))
+    buf.insert(md.digest())
+  }
+
+  /** Fixed layout: entry count + n × 16-byte digests — at most
+    * 4 + 16·k bytes, the flat-state guarantee. */
+  def serializeBuffer(buf: Buffer): Array[Byte] = {
+    val n = buf.set.size()
+    val out = java.nio.ByteBuffer.allocate(4 + n * 16)
+    out.putInt(n)
+    val it = buf.set.iterator()
+    while (it.hasNext) out.put(it.next())
+    out.array()
+  }
+
+  def deserializeBuffer(bytes: Array[Byte], k: Int): Buffer = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new Buffer(k)
+    var i = 0
+    while (i < n) {
+      val d = new Array[Byte](16)
+      in.get(d)
+      buf.insert(d)
+      i += 1
+    }
+    buf
+  }
 
   /** 2⁶⁰ as a double (exactly representable). */
   private val Two60 = math.pow(2.0, 60)

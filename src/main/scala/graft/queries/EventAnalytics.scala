@@ -1377,6 +1377,51 @@ object EventAnalytics {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- streaming distinct-cardinality monitor (KMV carrier) ------------
+    // runningKmv executed as one batch: per event type, the running
+    // "distinct users so far" gauge off a 4+16k-byte sketch per key.
+    // KMV insertion is commutative and duplicate-insensitive, so batch
+    // equality holds under ANY delivery order (no ordered-delivery
+    // clause, unlike the funnel/session/dedup carriers); k = 64 makes
+    // the ESTIMATOR branch live at fixture scale (event types see up to
+    // 150 distinct users > k), so the oracle replays the real sketch
+    // arithmetic, not just the exact fallback. StreamingSpec separately
+    // pins multi-trigger == batch under a shuffled permutation + TTL.
+    sql("ev_streaming_kmv",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS d
+        |  FROM events WHERE user_id IS NOT NULL
+        |), rk AS (
+        |  SELECT event_type, d,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rk
+        |  FROM h
+        |), agg AS (
+        |  SELECT event_type, COUNT(*) AS nd,
+        |    MAX(CASE WHEN rk = 64 THEN d END) AS dk
+        |  FROM rk WHERE rk <= 64 GROUP BY event_type
+        |), nr AS (
+        |  SELECT event_type, COUNT(*) AS n_rows FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT nr.event_type AS key, n_rows,
+        |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE) * POW(CAST(2 AS DOUBLE), 60)
+        |      / CAST(CAST('0x' || substr(dk, 1, 15) AS BIGINT) AS DOUBLE)
+        |    END AS distinct_est
+        |FROM nr JOIN agg USING (event_type)
+        |ORDER BY key""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val pts = ev(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type").as("key"),
+          col("user_id").cast("string").as("v"),
+          lit(null).cast("timestamp").as("ts"))
+        .as[StreamingOps.KmvPoint]
+      StreamingOps.runningKmv(pts, k = 64).toDF()
+        .orderBy("key")
+    },
+
     // ---- behavioral transition matrix (first-order Markov counts) --------
     // What follows what: per user, consecutive event pairs in event_id
     // order → a |types|² transition-count matrix with exact integral

@@ -784,4 +784,58 @@ object StreamingOps {
           }
         })
   }
+
+  case class KmvPoint(key: String, v: String,
+      ts: java.sql.Timestamp = null)
+  case class KmvState(bytes: Array[Byte], n: Long)
+  case class RunningKmv(key: String, n_rows: Long, distinct_est: Double)
+
+  /** Keyed RUNNING distinct-cardinality monitor — the streaming carrier
+    * of [[graft.functions.KmvAgg]] (the per-key "how many distinct X so
+    * far" gauge: distinct users per event type, distinct fingerprints
+    * per source, ...). State per key is the serialized KMV sketch plus a
+    * row counter — at most 4 + 16·k + 8 bytes FOREVER, TTL-able.
+    *
+    * Because KMV insertion is commutative and duplicate-insensitive,
+    * this carrier's batch equality needs NO delivery-order contract at
+    * all (stronger than the funnel/session/dedup carriers'
+    * ordered-delivery clause): any partitioning of any permutation of
+    * the input through any trigger boundaries yields the same final
+    * sketch, so the LAST emission per key always equals the batch
+    * `graft_kmv` aggregate — which is what the registered
+    * `ev_streaming_kmv` oracle verifies on a single-batch execution.
+    * Each trigger emits the key's refined (n_rows, distinct_est);
+    * estimates are exact below sketch capacity. */
+  def runningKmv(points: Dataset[KmvPoint], k: Int = 256,
+      stateTtlMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[RunningKmv] = {
+    import points.sparkSession.implicits._
+    import graft.functions.KmvAgg
+    require(k >= 2, s"k must be >= 2, got $k")
+    val src = if (stateTtlMs > 0L)
+      points.withWatermark("ts", watermarkDelay) else points
+    val timeout = if (stateTtlMs > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (key: String, rows: Iterator[KmvPoint],
+            state: GroupState[KmvState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption
+            val buf = prior.map(p => KmvAgg.deserializeBuffer(p.bytes, k))
+              .getOrElse(new KmvAgg.Buffer(k))
+            var n = prior.map(_.n).getOrElse(0L)
+            rows.foreach { p =>
+              if (p.v != null) { KmvAgg.insertString(buf, p.v); n += 1 }
+            }
+            state.update(KmvState(KmvAgg.serializeBuffer(buf), n))
+            armTtl(state, stateTtlMs)
+            Iterator.single(RunningKmv(key, n, KmvAgg.estimate(buf)))
+          }
+        })
+  }
 }

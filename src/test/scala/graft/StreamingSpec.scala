@@ -1055,4 +1055,74 @@ class StreamingSpec extends SparkSpec {
     assert(batch(2L) === 0L && !streamCounts.contains(2L))
     assert(batch(3L) === 0L && !streamCounts.contains(3L))
   }
+
+  test("running KMV: multi-trigger == batch under a SHUFFLED permutation") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    // 2 keys: k0 crosses sketch capacity (100 distinct > 16), k1 stays
+    // under it (8 distinct -> exact). Deliver a deterministic SHUFFLE of
+    // the rows across 3 triggers — KMV's commutative/duplicate-free
+    // insertion means no ordering contract is needed at all.
+    val all0 = (1 to 600).map { i =>
+      if (i % 3 == 0) StreamingOps.KmvPoint("k1", s"u${i % 8}")
+      else StreamingOps.KmvPoint("k0", s"v${i % 100}")
+    }
+    val all = new scala.util.Random(7).shuffle(all0)
+    val input = MemoryStream[StreamingOps.KmvPoint]
+    val q = StreamingOps.runningKmv(input.toDS(), k = k)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(all.slice(0, 200)); q.processAllAvailable()
+    input.addData(all.slice(200, 400)); q.processAllAvailable()
+    input.addData(all.slice(400, 600)); q.processAllAvailable()
+    val rows = spark.table("kmv_out")
+      .as[StreamingOps.RunningKmv].collect()
+    q.stop()
+    assert(rows.count(_.key == "k0") === 3, "one emission per key per trigger")
+    val lastByKey = rows.groupBy(_.key).view
+      .mapValues(_.maxBy(_.n_rows)).toMap
+    // == the batch aggregate, bit-for-bit, on the UNSHUFFLED input
+    graft.functions.KmvAgg.register(spark)
+    val agg = all0.map(p => (p.key, p.v)).toDF("key", "v")
+      .groupBy("key").agg(graft.functions.KmvAgg.kmv(col("v"), k).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(lastByKey("k0").distinct_est === agg("k0"),
+      "estimator branch must equal the batch sketch bit-for-bit")
+    assert(lastByKey("k1").distinct_est === agg("k1"))
+    assert(lastByKey("k1").distinct_est === 8.0, "under-capacity is exact")
+    assert(lastByKey("k0").n_rows === all0.count(_.key == "k0").toLong)
+    assert(math.abs(lastByKey("k0").distinct_est - 100.0) <= 50.0,
+      s"k=16 estimate for 100 distinct: ${lastByKey("k0").distinct_est}")
+  }
+
+  test("running KMV: state TTL evicts idle keys; re-arrival starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.KmvPoint]
+    val q = StreamingOps.runningKmv(input.toDS(), k = 16,
+        stateTtlMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("kmv_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamingOps.KmvPoint("a", "u1", ts("2025-01-01 00:00:00")),
+      StreamingOps.KmvPoint("a", "u2", ts("2025-01-01 00:00:00")))
+    q.processAllAvailable()
+    input.addData(StreamingOps.KmvPoint("b", "x", ts("2025-01-01 01:00:00")))
+    q.processAllAvailable()
+    input.addData(StreamingOps.KmvPoint("b", "y", ts("2025-01-01 01:00:01")))
+    q.processAllAvailable()
+    // key "a" re-arrives past its TTL horizon: a fresh sketch
+    input.addData(
+      StreamingOps.KmvPoint("a", "u2", ts("2025-01-01 01:00:02")),
+      StreamingOps.KmvPoint("a", "u3", ts("2025-01-01 01:00:02")))
+    q.processAllAvailable()
+    val rows = spark.table("kmv_ttl_out")
+      .as[StreamingOps.RunningKmv].collect()
+    q.stop()
+    val a = rows.filter(_.key == "a")
+    // a resumed state would show n_rows (2, 4); eviction restarts at 0
+    assert(a.map(_.n_rows).sorted.toSeq === Seq(2L, 2L),
+      s"evicted key must restart, got ${a.toSeq}")
+    assert(a.forall(_.distinct_est === 2.0),
+      "both independent sketches hold 2 distinct values exactly")
+  }
 }
