@@ -710,4 +710,40 @@ object TextAnalysis {
       .withColumn("e", transform(col("v"), x => x / col("nrm")))
       .drop("nrm")
   }
+
+  /** Inverted-index build with bounded posting lists — the
+    * tail-term retrieval index the BM25/decontamination probes consume
+    * upstream. Per term: its document frequency and the first `topK`
+    * doc ids (ascending — deterministic, and the id order doubles as
+    * recency/priority order when ids are assigned monotonically).
+    *
+    * Terms with df > `maxDf` are DYNAMICALLY STOP-LISTED before any
+    * per-term work — the practical indexing rule (a term in half the
+    * corpus has no retrieval value and its posting list is the hot key
+    * that straggles index builds; the same reasoning as the winnowing
+    * hot cap). That bound makes the per-term window group ≤ maxDf rows
+    * regardless of corpus size — no stop-word key can straggle a task.
+    * Postings are emitted comma-joined (exact, engine-neutral).
+    *
+    * Returns (term, df, postings). */
+  def postings(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDf: Int = 50, topK: Int = 10): DataFrame = {
+    require(maxDf >= 1 && topK >= 1,
+      s"maxDf and topK must be >= 1, got $maxDf/$topK")
+    import org.apache.spark.sql.expressions.Window
+    val td = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .distinct()
+    val dfc = td.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    td.join(dfc, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .groupBy("term", "df")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"),
+        ",").as("postings"))
+      .select("term", "df", "postings")
+  }
 }

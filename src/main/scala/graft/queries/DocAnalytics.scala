@@ -250,6 +250,42 @@ object DocAnalytics {
         Seq("spark", "join", "window"), "doc_id", "text", 20)
     },
 
+    // ---- inverted-index build (bounded posting lists) ---------------------
+    // The tail-term retrieval index upstream of the BM25/decontam
+    // probes: per term, df + the first 10 doc ids, with terms past
+    // df = 400 DYNAMICALLY STOP-LISTED before any per-term work (the
+    // winnowing hot-cap reasoning: a term in half the corpus has no
+    // retrieval value and its posting list is the hot key that
+    // straggles index builds; at this fixture's 31-term vocabulary the
+    // cap drops exactly the one df=402 boilerplate term, so the
+    // stop-list branch is live). After the cap the per-term window
+    // group is ≤ 400 rows at ANY corpus size. Postings are
+    // comma-joined.
+    sql("doc_postings",
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |    FROM documents)
+        |), dfc AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM td GROUP BY term HAVING COUNT(*) <= 400
+        |), rk AS (
+        |  SELECT term, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        |  FROM td WHERE term IN (SELECT term FROM dfc)
+        |)
+        |SELECT term, df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS postings
+        |FROM rk JOIN dfc USING (term)
+        |WHERE rk <= 10
+        |GROUP BY term, df
+        |ORDER BY term""") { (s, dir) =>
+      graft.ops.TextAnalysis.postings(docs(s, dir), maxDf = 400, topK = 10)
+        .orderBy("term")
+    },
+
     // ---- topic clustering over hashed bag-of-words vectors ---------------
     // The no-embedding-model text-clustering path (data-mixing audits run
     // it when an encoder isn't in the loop): every word hashes into one

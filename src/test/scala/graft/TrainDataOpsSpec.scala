@@ -811,4 +811,32 @@ class TrainDataOpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("dot_q")) <= 16L * 127 * 127)
     }
   }
+
+  test("postings: df counts docs once, stop-list cap, topK cut, sorted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "stop" appears in all 6 docs (df 6 > maxDf 5 -> dropped);
+    // "rare" in docs 2,4 (repeated within doc 4 -> df still 2);
+    // "wide" in all but doc 1 (df 5 == maxDf, kept; topK 3 cuts to the
+    // three smallest ids); "solo" in doc 6 only. Mixed case + digits
+    // exercise the [a-z]+ tokenizer.
+    val docsDf = Seq(
+      (1L, "stop alpha one"),
+      (2L, "stop RARE wide"),
+      (3L, "stop wide beta"),
+      (4L, "stop rare rare wide"),
+      (5L, "stop wide gamma42"),
+      (6L, "stop wide solo")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.postings(docsDf, maxDf = 5, topK = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getString(2)))).toMap
+    assert(!got.contains("stop"), "df > maxDf must be stop-listed")
+    assert(got("rare") === ((2L, "2,4")), "within-doc repeat counts once")
+    assert(got("wide") === ((5L, "2,3,4")), "topK keeps the smallest ids")
+    assert(got("solo") === ((1L, "6")))
+    assert(got("gamma") === ((1L, "5")), "tokenizer strips digits")
+    assert(got.keySet === Set("rare", "wide", "solo", "alpha", "one",
+      "beta", "gamma"), s"got ${got.keySet}")
+  }
 }
