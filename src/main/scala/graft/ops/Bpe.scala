@@ -18,14 +18,14 @@ import org.apache.spark.sql.functions._
   *    bounded by `dictCap` (count-desc/word-asc top-k, the same
   *    bounded-training-state move as IVF's trainCap): at 100 TB the
   *    corpus is huge but the dict the trainer iterates on is not.
-  *  - Per merge iteration: adjacent-pair counts over the current dict
-  *    segmentation (explode + groupBy — partial aggregation makes it
-  *    map-side combinable), a ONE-ROW deterministic argmax pulled to the
-  *    driver (count desc, then pair lexicographic — the only driver
-  *    state is the merge table itself, numMerges rows), and the merge
-  *    applied as one more column layer over the cached dict frame. One
-  *    tiny Spark job per merge; the previous iteration's cache is
-  *    dropped as soon as its successor is materialized.
+  *  - The merge loop runs on the DRIVER over the collected capped dict
+  *    (≤ dictCap rows, a few MB at the 100k cap — the same
+  *    bounded-training-state collect as IVF's k-centroid pulls, and how
+  *    single-machine BPE trainers work): per iteration an in-memory
+  *    adjacent-pair count, the deterministic argmax (count desc, then
+  *    pair lexicographic), one fold pass over the segmentations. ONE
+  *    Spark job per training (the word count), not one shuffle +
+  *    TakeOrdered round-trip per merge as in rounds ≤ 12.
   *  - Encoding never touches per-document text twice: the trained dict
   *    frame already HOLDS the final segmentation of every dict word, so
   *    encode is pre-tokenize → join against the bounded dict → per-doc
@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   * runs; a segmentation is a single-space-joined symbol string with a
   * leading space (`" l o w </w>"`); one merge (a, b) applies as a
   * left-to-right fold over the symbol list — textbook BPE semantics
-  * including runs ("a a a a" + (a,a) → "aa aa"), expressed as
-  * `aggregate()` here and `list_reduce()` in DuckDB so both engines
+  * including runs ("a a a a" + (a,a) → "aa aa"), expressed as the
+  * driver/native fold here (see [[applyMerge]] for the Column form of
+  * the same semantics) and `list_reduce()` in DuckDB so both engines
   * replay the identical merge sequence bit-for-bit. Ties in the pair
   * argmax break (count DESC, left ASC, right ASC) — ASCII-binary string
   * order in both engines.
@@ -112,52 +113,71 @@ object Bpe {
     * frame (word, cnt, seg) with every word's FINAL segmentation, ready
     * for [[encode]].
     *
-    * The plan is truncated with `localCheckpoint()` every
-    * `checkpointEvery` merges, not `cache()` and not every iteration:
-    * caching materializes the DATA but leaves the LOGICAL plan growing
-    * one fold-lambda layer per merge, and re-analyzing a 64-deep
-    * higher-order-function tree every iteration turns the driver into
-    * the bottleneck long before any executor does (measured: the
-    * 64-merge loop stalls in analysis). Checkpointing EVERY iteration
-    * pays one extra materialization job per merge; a stride of 8 keeps
-    * the unanalyzed tail ≤ 8 fold layers (re-executed per argmax over
-    * the ≤ dictCap frame — trivial next to any shuffle) while cutting
-    * the per-training job count by ~64. */
+    * Shape (round 13): the ONLY corpus-scale work is [[wordDict]] — one
+    * map-side-combinable word count, capped at `dictCap`. The capped
+    * dict then COLLECTS to the driver (≤ dictCap rows, a few MB at the
+    * 100k cap — the same bounded-training-state collect as IVF's
+    * k-centroid pulls, and exactly what single-machine BPE trainers run
+    * on) and the merge loop runs in memory: per iteration an O(total
+    * dict symbols) pair count, the (count desc, pair asc) argmax, and
+    * one fold pass over the segmentations. The former distributed loop
+    * paid 64 Spark jobs (explode + shuffle + TakeOrdered collect each)
+    * plus 8 localCheckpoint materializations to train over a frame that
+    * is BOUNDED by construction — pure driver-round-trip latency
+    * (measured 6.1 s at sf0.1; the in-memory loop is milliseconds).
+    * All arithmetic and tie-breaks are byte-identical to the previous
+    * distributed form (ASCII symbols, exact long counts — BpeSpec pins
+    * the whole loop against the naive reference, and every registered
+    * BPE oracle hash-matches DuckDB's unrolled replay). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      dictCap: Int = DefaultDictCap,
-      checkpointEvery: Int = 8): (Seq[Merge], DataFrame) = {
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    var seg = wordDict(docs, textCol, dictCap)
-      .withColumn("seg", initSeg(col("word")))
-      .localCheckpoint()
+      dictCap: Int = DefaultDictCap): (Seq[Merge], DataFrame) = {
+    val dict = wordDict(docs, textCol, dictCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver-side segmentations: char symbols + </w> terminal, as symbol
+    // arrays (the string form " l o w </w>" is re-joined at the end)
+    var segs: Array[Array[String]] = dict.map { case (w, _) =>
+      (w.map(String.valueOf) :+ "</w>").toArray
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     (1 to numMerges).foreach { i =>
-      // adjacent pairs of the current segmentation, weighted by word
-      // count; fully-merged words (single symbol) drop out of pair
-      // generation (a sequence() over an empty index range is avoided
-      // by the size filter)
-      val top = seg
-        .select(col("cnt"), symbols(col("seg")).as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("cnt"), col("l"),
-          explode(sequence(lit(0), size(col("l")) - 2)).as("k"))
-        .select(col("cnt"),
-          element_at(col("l"), col("k") + 1).as("a"),
-          element_at(col("l"), col("k") + 2).as("b"))
-        .groupBy("a", "b").agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
-      require(top.nonEmpty,
+      // adjacent-pair counts weighted by word count; argmax breaks ties
+      // (count desc, left asc, right asc) — ASCII order, identical to
+      // the former distributed orderBy and the DuckDB oracle
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      var wi = 0
+      while (wi < segs.length) {
+        val s = segs(wi)
+        val cnt = dict(wi)._2
+        var k = 0
+        while (k < s.length - 1) {
+          val key = (s(k), s(k + 1))
+          pc(key) = pc.getOrElse(key, 0L) + cnt
+          k += 1
+        }
+        wi += 1
+      }
+      require(pc.nonEmpty,
         s"BPE merge capacity exhausted at iteration $i of $numMerges — " +
           "every dict word is fully merged; lower numMerges")
-      val m = Merge(i, top(0).getString(0), top(0).getString(1),
-        top(0).getLong(2))
-      merges += m
-      seg = seg.withColumn("seg", applyMerge(col("seg"), m.left, m.right))
-      if (i % checkpointEvery == 0 || i == numMerges)
-        seg = seg.localCheckpoint()
+      val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x, y) }
+      merges += Merge(i, a, b, c)
+      // left-to-right non-overlapping fold — applyMerge's semantics
+      segs = segs.map { s =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        s.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b)
+            out(out.size - 1) = a + b
+          else out += x
+        }
+        out.toArray
+      }
     }
-    (merges.toSeq, seg)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dictDf = dict.zip(segs).toSeq.map { case ((w, c), s) =>
+      (w, c, s.map(" " + _).mkString)
+    }.toDF("word", "cnt", "seg")
+    (merges.toSeq, dictDf)
   }
 
   /** The merge table as a DataFrame: (rank, lft, rgt, merged, cnt) —
@@ -175,36 +195,23 @@ object Bpe {
   /** Segment arbitrary words by replaying the trained merge table: each
     * word starts at its character segmentation and folds through ALL
     * `merges` in rank order — textbook BPE inference for words the
-    * bounded training dict never held. Per-word work is
-    * |merges| × |symbols| (both bounded: ≤ numMerges fold layers over a
-    * word-length list), fully distributed, no corpus-scale state — the
-    * merge table itself is the only driver-held input (numMerges rows,
-    * applied as literal column layers, never joined). The same
-    * `checkpointEvery` plan-truncation stride as [[train]] keeps the
-    * 64-layer fold tree out of the analyzer's way — but LAZILY
-    * (`localCheckpoint(eager = false)`): the plan is truncated at
-    * transform time, while nothing materializes until a downstream
-    * action actually needs the segmentations. When the input word frame
-    * is empty (every corpus word inside the trained dict — the
-    * never-binding-cap encode path), the replay therefore costs ZERO
-    * jobs instead of one anti-join materialization plus a no-op job per
-    * checkpoint stride.
+    * bounded training dict never held. Fully distributed, no
+    * corpus-scale state — the merge table is the only driver-held input
+    * (numMerges rows), riding into the plan as ONE native
+    * [[graft.functions.BpeReplayExpr]] reference object (the
+    * NearestCells move). The former shape stacked numMerges interpreted
+    * `aggregate()` fold layers with lazy localCheckpoint truncations
+    * every 8; the native replay is a single codegen-friendly O(|merges|
+    * · |word|) call per row, value-identical (BpeSpec pins it against
+    * the naive reference; the doc_bpe_encode_oov oracle hash-matches).
     *
     * Input: a frame with a `word` column (distinct words — callers
     * dedupe first so replay cost is per distinct word, not per
     * occurrence). Returns (word, seg). */
-  def segmentWords(words: DataFrame, merges: Seq[Merge],
-      checkpointEvery: Int = 8): DataFrame = {
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    var seg = words.select(col("word"))
-      .withColumn("seg", initSeg(col("word")))
-    merges.foreach { m =>
-      seg = seg.withColumn("seg", applyMerge(col("seg"), m.left, m.right))
-      if (m.rank % checkpointEvery == 0)
-        seg = seg.localCheckpoint(eager = false)
-    }
-    seg
-  }
+  def segmentWords(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    words.select(col("word"),
+      graft.functions.BpeReplayExpr.replay(col("word"),
+        merges.map(m => (m.left, m.right))).as("seg"))
 
   /** Encode `docs(idCol, textCol)` against a trained dict: per document,
     * the total pre-tokenized word count and the total BPE token count —
@@ -221,18 +228,15 @@ object Bpe {
     * stream / dict-OOV union / probe join, not two; Catalyst prunes
     * the unused `n_oov` aggregate from this projection). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      trainedDict: DataFrame, merges: Seq[Merge],
-      checkpointEvery: Int = 8): DataFrame =
-    encodeWithOov(docs, idCol, textCol, trainedDict, merges,
-      checkpointEvery).drop("n_oov")
+      trainedDict: DataFrame, merges: Seq[Merge]): DataFrame =
+    encodeWithOov(docs, idCol, textCol, trainedDict, merges).drop("n_oov")
 
   /** [[encode]] plus an `n_oov` column (words priced via merge-table
     * replay rather than the trained dict) — the observability column for
     * corpora where the dict cap binds. Returns (idCol, n_words,
     * n_tokens, n_oov). */
   def encodeWithOov(docs: DataFrame, idCol: String, textCol: String,
-      trainedDict: DataFrame, merges: Seq[Merge],
-      checkpointEvery: Int = 8): DataFrame = {
+      trainedDict: DataFrame, merges: Seq[Merge]): DataFrame = {
     val wordStream = docs
       .select(col(idCol), explode(
         regexp_extract_all(lower(col(textCol)), lit(WordPattern), lit(0)))
@@ -242,7 +246,7 @@ object Bpe {
         lit(false).as("is_oov"))
     val oovWords = wordStream.select("word").distinct()
       .join(trainedDict.select("word"), Seq("word"), "left_anti")
-    val oovTokens = segmentWords(oovWords, merges, checkpointEvery)
+    val oovTokens = segmentWords(oovWords, merges)
       .select(col("word"), size(symbols(col("seg"))).as("n_toks"),
         lit(true).as("is_oov"))
     wordStream

@@ -52,9 +52,9 @@ object BpeQueries {
   // genuinely shareable expensive artifact: doc_bpe_vocab and
   // doc_bpe_encode run the IDENTICAL 64-merge training (16+ s of a bench
   // pass when billed twice). The memo holds (merges, trained dict) keyed
-  // by (session, sfDir, params); the dict frame is localCheckpoint'd by
-  // Bpe.train, so it survives `spark.catalog.clearCache()` (checkpoint
-  // blocks are RDD-level, not CacheManager entries). Verify semantics are
+  // by (session, sfDir, params); the dict frame is a driver-local
+  // relation (Bpe.train's bounded-dict collect), so it survives
+  // `spark.catalog.clearCache()` trivially. Verify semantics are
   // unchanged — a memo hit returns the exact frame a fresh training
   // would — and Bench evicts the memo at the START of each timed pass, so
   // each pass bills exactly one training (on its alphabetically-first
