@@ -271,45 +271,98 @@ object VectorSearch {
     * smallest-md5 corpus vectors (the same reproducible sample as the
     * seeds): training cost becomes cap×k per step instead of N×k, the
     * standard IVF trade — the one full N×k pass left is the final
-    * assignment every vector needs anyway. */
+    * assignment every vector needs anyway. One-spec form of
+    * [[kmeansCentroidsSliced]]. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 2, trainCap: Int = 0): Array[(Int, Array[Double])] = {
-    import org.apache.spark.sql.Row
+      k: Int = 16, iters: Int = 2, trainCap: Int = 0): Array[(Int, Array[Double])] =
+    kmeansCentroidsSliced(corpus, idCol, vecCol, Seq((-1, 0, k)), iters,
+      trainCap).head
+
+  /** SEVERAL deterministic k-means trainings over slices of one vector
+    * column, sharing every Spark job — the PQ/IVF training batcher.
+    * Each spec (offset, len, k) trains its own codebook over
+    * slice(vec, offset+1, len) (offset −1 ⇒ the whole vector); all
+    * specs share the seed collect (the maxK smallest-md5 FULL vectors,
+    * sliced driver-side — identical rows to per-slice seed pulls) and
+    * each Lloyd step runs as ONE job: per row, every spec's slice is
+    * assigned to its current nearest centroid (the same literal-fold /
+    * NearestCells expression [[assign]] uses), exploded as (sub, cid,
+    * slice), and the exact decimal means group by (sub, cid, pos) —
+    * disjoint key spaces, so every per-spec mean is bit-identical to
+    * the mean its standalone training would compute, while the m
+    * independent trainings of rounds ≤ 12 paid m × (1 seed + iters)
+    * driver round-trip jobs for the same numbers (measured: 12 jobs →
+    * 3 for m=4 PQ books; 15 → 3 when the IVF coarse quantizer rides
+    * the same batch). Returns one cid-ascending codebook per spec, in
+    * spec order. */
+  def kmeansCentroidsSliced(corpus: DataFrame, idCol: String,
+      vecCol: String, specs: Seq[(Int, Int, Int)], iters: Int = 2,
+      trainCap: Int = 0): Array[Array[(Int, Array[Double])]] = {
+    require(specs.nonEmpty, "kmeansCentroidsSliced needs >= 1 spec")
+    val spark = corpus.sparkSession
+    val maxK = specs.map(_._3).max
+    val seedRows = corpus
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(maxK)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents: Array[Array[(Int, Array[Double])]] =
+      specs.toArray.map { case (off, len, k0) =>
+        seedRows.take(k0).zipWithIndex.map { case (v, i) =>
+          i -> (if (off < 0) v else v.slice(off, off + len))
+        }
+      }
     val train =
       if (trainCap > 0)
         corpus.orderBy(md5(col(idCol).cast("string"))).limit(trainCap)
       else corpus
-    var centroids: Array[(Int, Array[Double])] = corpus
-      .orderBy(md5(col(idCol).cast("string")))
-      .limit(k)
-      .select(col(vecCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        i -> r.getSeq[Double](0).toArray
-      }
     (1 to iters).foreach { _ =>
-      val assigned = assign(train, vecCol, centroids)
-      val next = assigned
-        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      GraftFunctions.register(spark) // graft_dot / graft_nearest_cells
+      val parts = specs.zipWithIndex.map { case ((off, len, _), s) =>
+        val sv = if (off < 0) col(vecCol) else slice(col(vecCol), off + 1, len)
+        // assignment via the NATIVE NearestCells expression at every
+        // size (value-identical to the ≤32 literal fold — same
+        // left-to-right dots, lowest-cid ties, NaN demotion; see
+        // cidExpr/NearestCells): the batched projection carries
+        // Σ_spec(k·dim) centroid values, which as literal trees blew
+        // past codegen limits and ran interpreted (measured slower than
+        // the unbatched form it replaced); as referenced double[][]s
+        // the plan stays a few nodes per spec
+        val cid =
+          if (cents(s).length == 1) lit(cents(s).head._1)
+          else element_at(array(cents(s).map(c => lit(c._1)): _*),
+            GraftFunctions.nearestCells(sv, cents(s).map(_._2), 1)
+              .getItem(0) + 1)
+        struct(lit(s).as("sub"), cid.as("cid"), sv.as("sv"))
+      }
+      val next = train
+        .select(explode(array(parts: _*)).as("x"))
+        .select(col("x.sub").as("sub"), col("x.cid").as("cid"),
+          posexplode(col("x.sv")).as(Seq("pos", "xv")))
         // exact decimal mean — shuffle-merge-order independent, so
         // centroids (and downstream IVF output) are run-to-run stable
-        .groupBy("cid", "pos")
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+        .groupBy("sub", "cid", "pos")
+        .agg((sum(col("xv").cast("decimal(38,18)")).cast("double") /
           count(lit(1))).as("m"))
-        .groupBy("cid")
+        .groupBy("sub", "cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
-        .select(col("cid"), expr("transform(pm, s -> s.m)").as("c"))
+        .select(col("sub"), col("cid"), expr("transform(pm, s -> s.m)").as("c"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        // collect() order is arbitrary, but assign()'s strict-> fold
-        // breaks exact dot-product ties by ARRAY POSITION — sort by cid
-        // so ties keep resolving to the lowest cid (the oracle's
-        // ORDER BY dot DESC, cid) on every run
-        .sortBy(_._1)
-      if (next.nonEmpty) centroids = next
+        .groupBy(_.getInt(0))
+      specs.indices.foreach { s =>
+        next.get(s).foreach { rows =>
+          // collect() order is arbitrary, but the assign fold breaks
+          // exact dot-product ties by ARRAY POSITION — sort by cid so
+          // ties keep resolving to the lowest cid (the oracle's
+          // ORDER BY dot DESC, cid) on every run
+          val ns = rows.map(r => r.getInt(1) -> r.getSeq[Double](2).toArray)
+            .sortBy(_._1)
+          if (ns.nonEmpty) cents(s) = ns
+        }
+      }
     }
-    centroids
+    cents
   }
 
   /** Nearest-centroid assignment via a broadcast literal centroid array —
@@ -320,16 +373,25 @@ object VectorSearch {
     * in both forms, and kmeansCentroids emits centroids cid-ascending. */
   private def assign(df: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
+    if (centroids.length > 32) GraftFunctions.register(df.sparkSession)
+    df.withColumn("cid", cidExpr(col(vecCol), centroids))
+  }
+
+  /** Nearest-centroid cell id of `vec` as a pure Column — the shared
+    * assignment expression behind [[assign]] and the per-spec
+    * assignments of [[kmeansCentroidsSliced]]. Callers must register
+    * GraftFunctions on the session when centroids.length > 32. */
+  private def cidExpr(vec: Column,
+      centroids: Array[(Int, Array[Double])]): Column = {
     if (centroids.length == 1) {
       // k=1 degenerate case: the literal fold below would build an
       // empty (VOID-typed) struct array for `scored.tail`
-      df.withColumn("cid", lit(centroids.head._1))
+      lit(centroids.head._1)
     } else if (centroids.length > 32) {
-      GraftFunctions.register(df.sparkSession)
       val cidOf = array(centroids.map(c => lit(c._1)): _*)
-      df.withColumn("cid", element_at(cidOf,
-        GraftFunctions.nearestCells(col(vecCol),
-          centroids.map(_._2), 1).getItem(0) + 1))
+      element_at(cidOf,
+        GraftFunctions.nearestCells(vec, centroids.map(_._2), 1)
+          .getItem(0) + 1)
     } else {
       // NaN dots demote to -Infinity (nanvl) — matching NearestCells'
       // NaN handling, so the literal fold and the native expression agree
@@ -339,17 +401,14 @@ object VectorSearch {
       // lands in cell 0 — the lowest-cid tie-break — never cid -1.
       val scored = centroids.map { case (cid, c) =>
         struct(lit(cid).as("cid"),
-          nanvl(GraftFunctions.dotProduct(col(vecCol),
+          nanvl(GraftFunctions.dotProduct(vec,
             array(c.map(lit(_)): _*)), lit(Double.NegativeInfinity)).as("d"))
       }
       // pick the centroid with max dot product (cosine order for
       // near-unit-norm centroids)
-      df.withColumn("best",
-          aggregate(array(scored.tail: _*), scored.head,
-            (acc, s) => when(s.getField("d") > acc.getField("d"), s)
-              .otherwise(acc)))
-        .withColumn("cid", col("best.cid"))
-        .drop("best")
+      aggregate(array(scored.tail: _*), scored.head,
+        (acc, s) => when(s.getField("d") > acc.getField("d"), s)
+          .otherwise(acc)).getField("cid")
     }
   }
 
@@ -746,11 +805,10 @@ object VectorSearch {
       trainCap: Int = 0): Array[Array[(Int, Array[Double])]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     val dsub = dim / m
-    (0 until m).toArray.map { sub =>
-      val sv = corpus.select(col(idCol),
-        slice(col(vecCol), sub * dsub + 1, dsub).as("sv"))
-      kmeansCentroids(sv, idCol, "sv", k, iters, trainCap)
-    }
+    // all m sub-trainings batch into one job per Lloyd step
+    // (kmeansCentroidsSliced) — same codebooks, m× fewer driver jobs
+    kmeansCentroidsSliced(corpus, idCol, vecCol,
+      (0 until m).map(sub => (sub * dsub, dsub, k)), iters, trainCap)
   }
 
   /** PQ encode: adds `code_0..code_{m-1}` (nearest sub-centroid per
@@ -887,11 +945,17 @@ object VectorSearch {
       vecCol: String, dim: Int, nCells: Int = 16, nprobe: Int = 4,
       m: Int = 4, k: Int = 16, iters: Int = 2, topK: Int = 10,
       trainCap: Int = 0): DataFrame = {
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCells, iters,
-      trainCap)
-    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, k, iters,
-      trainCap)
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     val dsub = dim / m
+    // the coarse quantizer and the m sub-codebooks are independent
+    // trainings over the SAME corpus — one batched Lloyd loop
+    // (kmeansCentroidsSliced) runs them all: 1 seed collect + iters
+    // jobs total, vs (m+1) × (1 + iters) separate driver round-trips
+    val all = kmeansCentroidsSliced(corpus, idCol, vecCol,
+      (-1, 0, nCells) +: (0 until m).map(sub => (sub * dsub, dsub, k)),
+      iters, trainCap)
+    val centroids = all.head
+    val books = all.tail
     // shield the coarse cell id: pqEncode's per-subspace assigns each
     // (re)write a `cid` column and would clobber it
     val enc = pqEncode(
