@@ -70,15 +70,18 @@ object Dedup {
       .withColumn("h",
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("bigint"))
     // each gram fans out to the ≤win window-ends it can win; the pick per
-    // (doc, end) is the min hash, rightmost on ties
+    // (doc, end) is the min hash, rightmost on ties — min_by over the
+    // (h, -pos) struct key, a map-side-combinable aggregate (the former
+    // row_number window paid a per-(doc, end) sort for the same single
+    // survivor)
     val wnd = g.withColumn("e", explode(sequence(
       greatest(col("pos"), least(lit(win), col("gcnt"))),
       least(col("pos") + (win - 1), col("gcnt")))))
-    val rk = Window.partitionBy("doc_id", "e")
-      .orderBy(col("h").asc, col("pos").desc)
-    wnd.withColumn("rk", row_number().over(rk))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("h"))
+    wnd.groupBy("doc_id", "e")
+      .agg(min_by(struct(col("pos"), col("h")),
+        struct(col("h"), (-col("pos")).as("np"))).as("pick"))
+      .select(col("doc_id"), col("pick.pos").cast("bigint").as("pos"),
+        col("pick.h").as("h"))
       .distinct()
   }
 

@@ -314,24 +314,30 @@ object TextAnalysis {
       bigramTop: Int = 5000): DataFrame = {
     val alpha = vocabSize + 1 // symbol alphabet: top-V + <unk>
     val toks = df.select(col(idCol),
-      posexplode(filter(split(col(textCol), " "), w => w =!= ""))
-        .as(Seq("__pos", "__w")))
+      explode(filter(split(col(textCol), " "), w => w =!= "")).as("__w"))
     val counts = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
     val vocab = counts.orderBy(col("__c").desc, col("__w"))
       .limit(vocabSize).select(col("__w"), lit(1).as("__v"))
-    val sym = toks.join(broadcast(vocab), Seq("__w"), "left")
-      .select(col(idCol), col("__pos"),
-        when(col("__v").isNull, lit("<unk>")).otherwise(col("__w")).as("__s"))
-    val a = sym.select(col(idCol), col("__pos"), col("__s").as("__p"))
-    val b = sym.select(col(idCol), (col("__pos") - 1).as("__pos"),
-      col("__s").as("__t"))
     // pairs feeds BOTH the model build (bc → ctx/top) and the scoring
-    // pass — cached (narrow: id, prev, next) so the self-join subtree
-    // (two corpus scans + vocab probe per side) runs once, not once per
-    // consumer. Cache ownership follows the CleanPipeline convention:
-    // the caller (Verify/Bench clear all caches) unpersists when done.
-    val pairs = a.join(b, Seq(idCol, "__pos"))
-      .select(col(idCol), col("__p"), col("__t"))
+    // pass — cached (narrow: id, prev, next) so its subtree runs once,
+    // not once per consumer. Adjacent pairs come straight off each
+    // row's word ARRAY (zip of the array with its shift — one Generate)
+    // and map to symbols via two broadcast vocab probes; the former
+    // shape posexploded the corpus and equi-self-joined it on
+    // (doc, pos) — a corpus-wide shuffle of every token, twice, to
+    // reconstruct adjacency the row already holds. Cache ownership
+    // follows the CleanPipeline convention: the caller (Verify/Bench
+    // clear all caches) unpersists when done.
+    val pairs = adjacentPairs(df, idCol, textCol)
+      .join(broadcast(vocab.select(col("__w").as("__pr"),
+        col("__v").as("__vp"))), Seq("__pr"), "left")
+      .join(broadcast(vocab.select(col("__w").as("__tr"),
+        col("__v").as("__vt"))), Seq("__tr"), "left")
+      .select(col(idCol),
+        when(col("__vp").isNull, lit("<unk>")).otherwise(col("__pr"))
+          .as("__p"),
+        when(col("__vt").isNull, lit("<unk>")).otherwise(col("__tr"))
+          .as("__t"))
       .cache()
     val bc = pairs.groupBy("__p", "__t").agg(count(lit(1)).as("__c"))
     val ctx = bc.groupBy("__p").agg(sum(col("__c")).cast("long").as("__cc"))
@@ -599,6 +605,25 @@ object TextAnalysis {
       .limit(limit)
   }
 
+  /** RAW adjacent word pairs per row — (idCol, __pr, __tr), one per
+    * consecutive token pair of the row's nonempty-word array. One
+    * Generate off a zip of the array with its own shift; no positional
+    * explode, no (doc, pos) self-join. Shared by [[bigramNll]] /
+    * [[interpNll]]. */
+  private def adjacentPairs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val wf = filter(split(col(textCol), " "), w => w =!= "")
+    // slice lengths clamp at 0 so zero/one-token docs yield no pairs
+    // (sequence() would count DOWN on an empty range)
+    val prs = zip_with(
+      slice(wf, lit(1), greatest(size(wf) - 1, lit(0))),
+      slice(wf, lit(2), greatest(size(wf) - 1, lit(0))),
+      (x, y) => struct(x.as("pr"), y.as("tr")))
+    df.select(col(idCol), explode(prs).as("__pt"))
+      .select(col(idCol), col("__pt.pr").as("__pr"),
+        col("__pt.tr").as("__tr"))
+  }
+
   /** Jelinek-Mercer interpolated LM scoring (λ = 1/2): every bigram is
     * scored −log₂(P_bi/2 + P_uni/2) in exact micro-bits, where P_bi is
     * the bounded bigram model of [[bigramNll]] (top-`bigramTop` pairs
@@ -619,27 +644,40 @@ object TextAnalysis {
       bigramTop: Int = 5000): DataFrame = {
     val alpha = vocabSize + 1
     val toks = df.select(col(idCol),
-      posexplode(filter(split(col(textCol), " "), w => w =!= ""))
-        .as(Seq("__pos", "__w")))
+      explode(filter(split(col(textCol), " "), w => w =!= "")).as("__w"))
     val counts = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
     val vocab = counts.orderBy(col("__c").desc, col("__w"))
       .limit(vocabSize).select(col("__w"), lit(1).as("__v"))
-    val sym = toks.join(broadcast(vocab), Seq("__w"), "left")
-      .select(col(idCol), col("__pos"),
-        when(col("__v").isNull, lit("<unk>")).otherwise(col("__w")).as("__s"))
-    val a = sym.select(col(idCol), col("__pos"), col("__s").as("__p"))
-    val b = sym.select(col(idCol), (col("__pos") - 1).as("__pos"),
-      col("__s").as("__t"))
-    val pairs = a.join(b, Seq(idCol, "__pos"))
-      .select(col(idCol), col("__p"), col("__t"))
+    // adjacent pairs off the word array + two broadcast vocab probes —
+    // see bigramNll; the (doc, pos) self-join this replaces shuffled
+    // every corpus token twice
+    val pairs = adjacentPairs(df, idCol, textCol)
+      .join(broadcast(vocab.select(col("__w").as("__pr"),
+        col("__v").as("__vp"))), Seq("__pr"), "left")
+      .join(broadcast(vocab.select(col("__w").as("__tr"),
+        col("__v").as("__vt"))), Seq("__tr"), "left")
+      .select(col(idCol),
+        when(col("__vp").isNull, lit("<unk>")).otherwise(col("__pr"))
+          .as("__p"),
+        when(col("__vt").isNull, lit("<unk>")).otherwise(col("__tr"))
+          .as("__t"))
       .cache()
     val bc = pairs.groupBy("__p", "__t").agg(count(lit(1)).as("__c"))
     val ctx = bc.groupBy("__p").agg(sum(col("__c")).cast("long").as("__cc"))
     val top = bc.orderBy(col("__c").desc, col("__p"), col("__t"))
       .limit(bigramTop).select(col("__p"), col("__t"), col("__c"))
-    val uni = sym.groupBy(col("__s").as("__t"))
-      .agg(count(lit(1)).as("__uc"))
-    val tot = sym.agg(count(lit(1)).cast("long").as("__n"))
+    // the symbol-level unigram table and total derive from the word
+    // COUNTS frame (vocab-bounded: in-vocab words keep their count, all
+    // out-of-vocab mass folds into <unk> via a union + re-aggregate) —
+    // the former shape re-exploded and re-shuffled the whole corpus to
+    // count the same symbols
+    val uni = counts
+      .join(broadcast(vocab), Seq("__w"), "left")
+      .select(when(col("__v").isNull, lit("<unk>")).otherwise(col("__w"))
+        .as("__t"), col("__c"))
+      .groupBy("__t")
+      .agg(sum(col("__c")).cast("long").as("__uc"))
+    val tot = counts.agg(sum(col("__c")).cast("long").as("__n"))
     val perDoc = pairs
       .join(broadcast(top), Seq("__p", "__t"), "left")
       .join(broadcast(ctx), Seq("__p"))
@@ -694,15 +732,18 @@ object TextAnalysis {
         conv(substring(md5(col("term")), 1, 8), 16, 10).cast("bigint")
           % dim.toLong)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-    val grid = toks.select(col(idCol)).distinct()
+    // dense layout: ONE groupBy collecting each doc's (bucket, count)
+    // entries into a map, then a fixed-`dim` sequence transform with a
+    // map lookup (absent bucket ⇒ 0.0) — same vectors as the former
+    // distinct-ids × explode(sequence(dim)) grid + equi-join + second
+    // groupBy, minus the grid Generate and its join/shuffle
+    val vecs = cnts.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("bc"))
       .select(col(idCol),
-        explode(sequence(lit(0L), lit(dim.toLong - 1L))).as("b"))
-      .join(cnts, Seq(idCol, "b"), "left")
-      .na.fill(0L, Seq("c"))
-    val vecs = grid.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("b"), col("c")))).as("bc"))
-      .select(col(idCol),
-        expr("transform(bc, s -> CAST(s.c AS DOUBLE))").as("v"))
+        transform(sequence(lit(0L), lit(dim.toLong - 1L)),
+          b => coalesce(element_at(col("bc"), b), lit(0L)).cast("double"))
+          .as("v"))
     vecs
       .withColumn("nrm",
         sqrt(graft.functions.GraftFunctions.dotProduct(col("v"), col("v"))))
@@ -730,19 +771,20 @@ object TextAnalysis {
       textCol: String = "text", maxDf: Int = 50, topK: Int = 10): DataFrame = {
     require(maxDf >= 1 && topK >= 1,
       s"maxDf and topK must be >= 1, got $maxDf/$topK")
-    import org.apache.spark.sql.expressions.Window
     val td = df.select(col(idCol).cast("long").as("doc_id"),
         explode(words(col(textCol))).as("term"))
       .distinct()
     val dfc = td.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val w = Window.partitionBy("term").orderBy("doc_id")
+    // after the dfc semi-bound every surviving term holds ≤ maxDf rows,
+    // so the topK cut is a plain sort+slice INSIDE one aggregate — the
+    // former row_number window paid a per-partition sort plus a second
+    // aggregation for the same comma-joined prefix
     td.join(dfc, "term")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
       .groupBy("term", "df")
       .agg(array_join(expr(
-        "transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"),
+        s"transform(slice(array_sort(collect_list(doc_id)), 1, $topK), " +
+          "x -> CAST(x AS STRING))"),
         ",").as("postings"))
       .select("term", "df", "postings")
   }
