@@ -329,10 +329,24 @@ object Dedup {
   def containmentEst(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", hashes: Int = 16,
       bandCount: Int = 4): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
-    val sig = minhashSignatures(sh, hashes)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val cand = candidatesFrom(sh, hashes, bandCount)
+    // ONE signature computation (shingle Generate + MinHashAgg shuffle),
+    // cached: it feeds the banded candidate join AND both per-pair
+    // signature attach sides. The former shape derived candidates via
+    // candidatesFrom(sh) — recomputing the signatures — and re-ran the
+    // shingle explode for the sizes; sizes now come map-side off the
+    // doc-level shingle arrays (the jaccardPairs move: shingles are
+    // distinct per doc, so size(array) == the exploded count). Cache
+    // ownership follows the CleanPipeline convention.
+    val sig = minhashSignatures(shingles(docs, idCol, textCol), hashes)
+      .cache()
+    val sizes = shingleArrays(docs, idCol, textCol)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("nsh"))
+    val banded = bands(sig, bandCount, hashes / bandCount)
+    val ba = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val bb = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val cand = ba.join(bb, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val a = sig.select(col("doc_id").as("doc_a") +:
       (0 until hashes).map(i => col(s"m$i").as(s"__a$i")): _*)
     val b = sig.select(col("doc_id").as("doc_b") +:
@@ -418,18 +432,25 @@ object Dedup {
       dstCol: String = "dst", maxIter: Int = 50,
       smallGraphEdges: Long = 100000L): DataFrame = {
     // canonical directed-from-larger edge set (u > v), self-loops dropped
-    val e0 = edges
+    val e0raw = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint()
 
-    if (e0.count() <= smallGraphEdges) {
+    // size probe and small-graph edge fetch in ONE job: take(bound + 1)
+    // either returns every edge (≤ bound ⇒ solve on the driver) or
+    // proves the graph is past the bound. The former shape paid three
+    // jobs before any union-find — an eager localCheckpoint
+    // materialization, a count, and the collect; the checkpoint only
+    // pays for itself on the star-loop path, where it now happens.
+    val probe = e0raw.take(
+      math.min(smallGraphEdges, Int.MaxValue.toLong - 1).toInt + 1)
+    if (probe.length <= smallGraphEdges) {
       val session = edges.sparkSession
       import session.implicits._
-      val es = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -444,6 +465,7 @@ object Dedup {
       return parent.keys.toSeq.map(k => (k, find(k)))
         .toDF("id", "component")
     }
+    val e0 = e0raw.localCheckpoint()
 
     val nodes = e0.select(col("u").as("id"))
       .union(e0.select(col("v").as("id"))).distinct()
@@ -744,7 +766,11 @@ object Dedup {
       .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
         col("word"))
     val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val nWords = words.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    // per-doc totals map-side off the word array (size == the posexplode
+    // row count) — no second corpus explode + groupBy
+    val nWords = docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_total"))
     kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
