@@ -1154,8 +1154,12 @@ object DocAnalytics {
         |   WHERE ROUND(top2_frac, 6) <= r.threshold) AS n_kept
         |FROM rates r
         |ORDER BY target_rate""") { (s, dir) =>
+      // rep feeds BOTH the threshold aggregate and the keep-count pass —
+      // cached so the two-explode repetition derivation runs once, not
+      // twice (the CleanPipeline cache convention)
       val rep = graft.ops.TextAnalysis.repetitionSignals(docs(s, dir))
         .select(col("doc_id"), col("top2_frac"))
+        .cache()
       val thr = rep.agg(
         round(percentile(col("top2_frac"), lit(0.80)), 6).as("t80"),
         round(percentile(col("top2_frac"), lit(0.90)), 6).as("t90"),
@@ -1219,8 +1223,12 @@ object DocAnalytics {
         |   WHERE ROUND(top2_frac, 6) <= r.threshold) AS n_kept
         |FROM rates r
         |ORDER BY target_rate""") { (s, dir) =>
+      // rep feeds BOTH the threshold aggregate and the keep-count pass —
+      // cached so the two-explode repetition derivation runs once, not
+      // twice (the CleanPipeline cache convention)
       val rep = graft.ops.TextAnalysis.repetitionSignals(docs(s, dir))
         .select(col("doc_id"), col("top2_frac"))
+        .cache()
       val ps = graft.functions.PctSampleAgg.pctSample(
         concat(col("doc_id").cast("string"), lit(":cal")),
         col("top2_frac"), Seq(0.80, 0.90, 0.95), 256)
