@@ -55,7 +55,32 @@ object CleanPipeline {
       .select(col("doc_id"),
         when(col("contaminated") === 0, 1).otherwise(0)
           .as("not_contaminated"))
-    qual.join(rep, "doc_id").join(comp, "doc_id").join(cont, "doc_id")
+    // one gate row per (doc, gate) unioned, pivoted by ONE groupBy —
+    // each gate emits exactly one row per doc, so max() recovers its
+    // column. The former shape joined the four frames pairwise on
+    // doc_id: three corpus-wide join exchanges (plus their sorts) where
+    // one aggregation exchange carries the same rows.
+    val ns = lit(null).cast("string")
+    val ni = lit(null).cast("int")
+    val unioned = qual
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("is_quality"), ni.as("not_repetitive"), ni.as("dedup_keep"),
+        ni.as("not_contaminated"))
+      .unionByName(rep.select(col("doc_id"), ns.as("source"),
+        ns.as("lang"), ni.as("is_quality"), col("not_repetitive"),
+        ni.as("dedup_keep"), ni.as("not_contaminated")))
+      .unionByName(comp.select(col("doc_id"), ns.as("source"),
+        ns.as("lang"), ni.as("is_quality"), ni.as("not_repetitive"),
+        col("dedup_keep"), ni.as("not_contaminated")))
+      .unionByName(cont.select(col("doc_id"), ns.as("source"),
+        ns.as("lang"), ni.as("is_quality"), ni.as("not_repetitive"),
+        ni.as("dedup_keep"), col("not_contaminated")))
+    unioned.groupBy("doc_id")
+      .agg(max(col("source")).as("source"), max(col("lang")).as("lang"),
+        max(col("is_quality")).as("is_quality"),
+        max(col("not_repetitive")).as("not_repetitive"),
+        max(col("dedup_keep")).as("dedup_keep"),
+        max(col("not_contaminated")).as("not_contaminated"))
       .withColumn("keep",
         when(col("is_quality") === 1 && col("not_repetitive") === 1 &&
           col("dedup_keep") === 1 && col("not_contaminated") === 1, 1)
