@@ -99,6 +99,10 @@ object Dedup {
       minShared: Int = 3, hotCap: Int = 50): DataFrame = {
     require(minShared >= 1 && hotCap >= 2,
       s"minShared >= 1 and hotCap >= 2 required, got $minShared/$hotCap")
+    // fp feeds the hot-hash count and both pair-join sides; NO cache —
+    // the identical distinct exchange is deduplicated by ReuseExchange,
+    // so a cache would only add a materialization pass (measured ~1.2×
+    // slower at sf0.1)
     val fp = winnowFingerprints(docs, idCol, textCol, k, win)
       .select(col("doc_id"), col("h")).distinct()
     val hot = fp.groupBy("h").agg(count(lit(1)).as("nd"))

@@ -218,11 +218,24 @@ object VectorSearch {
       .join(coreLabeled.select(col("id").as("nb"), col("cluster").as("nbc")),
         "nb")
       .groupBy("id").agg(min(col("nbc")).as("border_cluster"))
+    // the three per-id role frames pivot through ONE aggregation (each
+    // emits at most one row per id — the decisions() move), leaving a
+    // single left join against the corpus for isolated ids, instead of
+    // three corpus-wide join exchanges
+    val nl = lit(null).cast("long")
+    val roles = deg
+      .select(col("id"), col("n_neighbors"), nl.as("core_cluster"),
+        nl.as("border_cluster"))
+      .unionByName(coreLabeled.select(col("id"), nl.as("n_neighbors"),
+        col("cluster").as("core_cluster"), nl.as("border_cluster")))
+      .unionByName(borderMin.select(col("id"), nl.as("n_neighbors"),
+        nl.as("core_cluster"), col("border_cluster")))
+      .groupBy("id")
+      .agg(max(col("n_neighbors")).as("n_neighbors"),
+        max(col("core_cluster")).as("core_cluster"),
+        max(col("border_cluster")).as("border_cluster"))
     corpus.select(col(idCol).cast("long").as("vec_id"))
-      .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
-      .join(coreLabeled.withColumnRenamed("id", "vec_id")
-        .withColumnRenamed("cluster", "core_cluster"), Seq("vec_id"), "left")
-      .join(borderMin.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .join(roles.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         when(col("core_cluster").isNotNull, lit("core"))
