@@ -59,7 +59,11 @@ object Bench {
       try graft.queries.BpeQueries.trainedFor(spark, sfDir,
         graft.queries.BpeQueries.NumMerges, graft.ops.Bpe.DefaultDictCap)
         ._2.queryExecution.toRdd.count()
-      catch { case _: Throwable => () } // consumers then bill their own run
+      catch { // consumers then bill their own run — but say so: a silent
+        // swallow would record a bogus bpe_train time with no signal
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] bpe_train failed: ${e.getMessage}")
+      }
       val bpeDt = (System.nanoTime() - bt0) / 1e9
       reset() // the memoized dict is localCheckpoint'd; it survives this
       (names.map { name =>

@@ -174,7 +174,11 @@ object KmvAgg {
       var h = 0L
       var i = 0
       while (i < 8) { h = (h << 8) | (kth(i) & 0xffL); i += 1 }
-      val h60 = h >>> 4
+      // clamp 0 → 1: a kth digest whose leading 60 bits are all zero
+      // (adversarial input; ~2⁻⁶⁰ per element otherwise) would divide to
+      // Infinity and engines could disagree on it — the ev_profile_kmv /
+      // ev_streaming_kmv oracle SQL carries the same GREATEST(…, 1)
+      val h60 = math.max(h >>> 4, 1L)
       (buf.k - 1).toDouble * Two60 / h60.toDouble
     }
   }
@@ -184,9 +188,10 @@ object KmvAgg {
     require(exprs.length == 2,
       s"graft_kmv expects (value, k), got ${exprs.length} arguments")
     val k = exprs(1) match {
-      case Literal(v, _) => v.toString.toInt
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
       case other => throw new IllegalArgumentException(
-        s"graft_kmv k must be a literal, got $other")
+        s"graft_kmv k must be an integer literal, got $other")
     }
     KmvAgg(exprs.head, k).toAggregateExpression()
   }

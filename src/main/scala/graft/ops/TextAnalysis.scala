@@ -771,6 +771,17 @@ object TextAnalysis {
       textCol: String = "text", maxDf: Int = 50, topK: Int = 10): DataFrame = {
     require(maxDf >= 1 && topK >= 1,
       s"maxDf and topK must be >= 1, got $maxDf/$topK")
+    // the cast to long must be lossless: a non-numeric id column would
+    // cast to null and silently collapse every doc onto one null id
+    df.schema.find(_.name == idCol).map(_.dataType).foreach { t =>
+      import org.apache.spark.sql.types._
+      val integral = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"postings needs an integral id column, got $idCol: ${t.sql}")
+    }
     val td = df.select(col(idCol).cast("long").as("doc_id"),
         explode(words(col(textCol))).as("term"))
       .distinct()

@@ -847,8 +847,8 @@ object EventAnalytics {
            |  CASE WHEN (SELECT COUNT(*) FROM ($dh)) < 256
            |    THEN CAST((SELECT COUNT(*) FROM ($dh)) AS DOUBLE)
            |    ELSE CAST(255 AS DOUBLE) * POW(CAST(2 AS DOUBLE), 60)
-           |      / CAST(CAST('0x' || substr((SELECT d FROM ($dh)
-           |          ORDER BY d LIMIT 1 OFFSET 255), 1, 15) AS BIGINT)
+           |      / CAST(GREATEST(CAST('0x' || substr((SELECT d FROM ($dh)
+           |          ORDER BY d LIMIT 1 OFFSET 255), 1, 15) AS BIGINT), 1)
            |        AS DOUBLE) END AS n_distinct_est
            |FROM events""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
@@ -1406,14 +1406,19 @@ object EventAnalytics {
         |SELECT nr.event_type AS key, n_rows,
         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
         |    ELSE CAST(63 AS DOUBLE) * POW(CAST(2 AS DOUBLE), 60)
-        |      / CAST(CAST('0x' || substr(dk, 1, 15) AS BIGINT) AS DOUBLE)
+        |      / CAST(GREATEST(CAST('0x' || substr(dk, 1, 15) AS BIGINT), 1)
+        |        AS DOUBLE)
         |    END AS distinct_est
         |FROM nr JOIN agg USING (event_type)
         |ORDER BY key""") { (s, dir) =>
       import s.implicits._
       import graft.streaming.StreamingOps
+      // null keys filtered explicitly: the oracle's JOIN USING drops a
+      // null event_type while Spark's groupBy would keep it (and order
+      // it NULLS FIRST) — align the engines before the fixture can gain
+      // one
       val pts = ev(s, dir)
-        .filter(col("user_id").isNotNull)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
         .select(col("event_type").as("key"),
           col("user_id").cast("string").as("v"),
           lit(null).cast("timestamp").as("ts"))
