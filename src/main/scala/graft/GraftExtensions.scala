@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.TextFunctions.charEntropyBuilder))
     ext.injectFunction((FunctionIdentifier("graft_split_text"),
       info("graft_split_text"), graft.functions.TextFunctions.splitTextBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_repetition_stats"),
+      info("graft_repetition_stats"),
+      graft.functions.TextFunctions.repetitionStatsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash"), graft.functions.MinHashAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_hll"),

@@ -354,6 +354,115 @@ object CharEntropyExpr {
   }
 }
 
+/** Native per-row Gopher-repetition statistics (Rae et al. 2021 §A1.1):
+  * one compiled pass over the doc's single-space word stream returning
+  * struct(top2_gram, top2_count, dup3_chars) — the most frequent word
+  * 2-gram (ties: count DESC, gram ASC in binary/UTF8 order, exactly the
+  * batch aggregate's min_by key) and the character mass of word 3-grams
+  * occurring more than once. Value-identical to the former two
+  * explode + groupBy passes of TextAnalysis.repetitionSignals, which
+  * shuffled every corpus gram twice for what is a purely per-document
+  * statistic; this runs inside whole-stage codegen with zero exchanges.
+  *
+  * Tokenization replicates split(text, ' ') with Java limit -1 (empty
+  * tokens between consecutive spaces and at the ends are KEPT); n-grams
+  * replicate transform(sequence(1, greatest(len-n+1, 1)), slice + single-
+  * space concat_ws) including the short-doc clip (a doc under n words
+  * yields its whole text as the single gram). Because the joiner equals
+  * the splitter, every gram is a contiguous byte slice of the original
+  * UTF-8 buffer — counted zero-copy. Gram lengths count codepoints
+  * (Spark length() == UTF8String.numChars == DuckDB length). */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStatsExpr.OutType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_repetition_stats expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStatsExpr.stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RepetitionStatsExpr.stats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RepetitionStatsExpr {
+  val OutType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("top2_gram", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("top2_count", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("dup3_chars", LongType,
+        nullable = false)))
+
+  /** Shared by interpreted + generated code paths. */
+  def stats(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = u.getBytes
+    // token boundaries: split on the single space byte (0x20 never occurs
+    // inside a multi-byte UTF-8 sequence), limit -1 semantics (empty
+    // tokens kept, including trailing)
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) starts.add(i + 1)
+      i += 1
+    }
+    val nTok = starts.size()
+    def tokStart(t: Int): Int = starts.get(t)
+    def tokEnd(t: Int): Int =
+      if (t == nTok - 1) bytes.length else starts.get(t + 1) - 1
+    // count n-grams as byte slices [tokStart(i), tokEnd(i+n-1)) — the
+    // single-space joiner equals the splitter, so the gram IS the
+    // original substring; short docs yield one clipped whole-array gram
+    def gramCounts(n: Int): java.util.HashMap[UTF8String, Array[Long]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Long]]()
+      val nGrams = math.max(nTok - (n - 1), 1)
+      var g = 0
+      while (g < nGrams) {
+        val from = tokStart(g)
+        val until = tokEnd(math.min(g + n - 1, nTok - 1))
+        val gram = UTF8String.fromBytes(bytes, from, until - from)
+        val c = m.get(gram)
+        if (c == null) m.put(gram, Array(1L)) else c(0) += 1L
+        g += 1
+      }
+      m
+    }
+    val g2 = gramCounts(2)
+    var bestCnt = 0L
+    var bestGram: UTF8String = null
+    val it2 = g2.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      val c = e.getValue()(0)
+      if (c > bestCnt ||
+          (c == bestCnt && e.getKey.compareTo(bestGram) < 0)) {
+        bestCnt = c
+        bestGram = e.getKey
+      }
+    }
+    val g3 = gramCounts(3)
+    var dup3 = 0L
+    val it3 = g3.entrySet().iterator()
+    while (it3.hasNext) {
+      val e = it3.next()
+      val c = e.getValue()(0)
+      if (c > 1L) dup3 += c * e.getKey.numChars()
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestGram, bestCnt, dup3))
+  }
+}
+
 object TextFunctions {
   /** Shared builder (per-session registry AND GraftExtensions). */
   val md5SeedsBuilder: Seq[Expression] => Expression = exprs => {
@@ -386,6 +495,12 @@ object TextFunctions {
     LangIdExpr(exprs.head)
   }
 
+  val repetitionStatsBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"graft_repetition_stats expects (text), got ${exprs.length} arguments")
+    RepetitionStatsExpr(exprs.head)
+  }
+
   val splitTextBuilder: Seq[Expression] => Expression = exprs => {
     require(exprs.length == 3,
       s"graft_split_text expects (text, chunkSize, overlap), got ${exprs.length} arguments")
@@ -412,6 +527,8 @@ object TextFunctions {
       "graft_char_entropy", charEntropyBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_split_text", splitTextBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition_stats", repetitionStatsBuilder, "built-in")
   }
 
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
@@ -426,6 +543,9 @@ object TextFunctions {
   }
   def charEntropy(c: Column): Column = {
     register(SparkSession.active); call_function("graft_char_entropy", c)
+  }
+  def repetitionStats(c: Column): Column = {
+    register(SparkSession.active); call_function("graft_repetition_stats", c)
   }
   def splitText(c: Column, chunkSize: Int, overlap: Int): Column = {
     register(SparkSession.active)

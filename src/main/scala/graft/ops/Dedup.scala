@@ -69,18 +69,22 @@ object Dedup {
       .withColumn("pos", col("p0") + 1)
       .withColumn("h",
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("bigint"))
-    // each gram fans out to the ≤win window-ends it can win; the pick per
-    // (doc, end) is the min hash, rightmost on ties — min_by over the
-    // (h, -pos) struct key, a map-side-combinable aggregate (the former
-    // row_number window paid a per-(doc, end) sort for the same single
-    // survivor)
-    val wnd = g.withColumn("e", explode(sequence(
-      greatest(col("pos"), least(lit(win), col("gcnt"))),
-      least(col("pos") + (win - 1), col("gcnt")))))
-    wnd.groupBy("doc_id", "e")
-      .agg(min_by(struct(col("pos"), col("h")),
-        struct(col("h"), (-col("pos")).as("np"))).as("pick"))
-      .select(col("doc_id"), col("pick.pos").cast("bigint").as("pos"),
+    // sliding-window min over the per-doc gram stream: the row at
+    // pos = e IS window-end e (gram positions are contiguous 1..gcnt),
+    // and rowsBetween(-(win-1), 0) covers exactly that window's grams
+    // (clipped at the doc start — the short-doc window). The pick is the
+    // min (h, -pos) struct: smallest hash, RIGHTMOST position on ties
+    // (the paper's rule). One shuffle of 1× the gram stream + one
+    // per-doc sort — the former explode-to-window-ends shape shuffled
+    // win× the grams into a hash aggregate (bench-regressed ~15% at
+    // sf0.1) and the shape before it paid a per-(doc, end) row_number
+    // sort over the same fan-out.
+    val pickW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(win - 1), 0)
+    g.withColumn("pick",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(pickW))
+      .filter(col("pos") >= least(lit(win), col("gcnt")))
+      .select(col("doc_id"), (-col("pick.np")).cast("bigint").as("pos"),
         col("pick.h").as("h"))
       .distinct()
   }

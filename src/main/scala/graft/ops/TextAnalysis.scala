@@ -143,43 +143,25 @@ object TextAnalysis {
   }
 
   def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    def grams(n: Int): DataFrame = df
-      .withColumn("w", split(col(textCol), " "))
+      textCol: String = "text"): DataFrame =
+    // ONE per-row native pass (RepetitionStatsExpr — the CharEntropyExpr
+    // move): both signals are purely per-document statistics, so the
+    // former two corpus-wide gram explodes + four aggregations + join
+    // shuffled every gram twice for values a compiled per-row pass
+    // computes inside whole-stage codegen with ZERO exchanges. Same
+    // values, same tie-break (count DESC, gram ASC), same short-doc
+    // clip; rows with NULL text drop exactly as the explode did.
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol), length(col(textCol)).as("n_chars_r"),
-        explode(expr(
-          s"transform(sequence(1, greatest(size(w)-${n - 1}, 1)), i -> concat_ws(' ', slice(w, i, $n)))"
-        )).as("gram"))
-
-    val top2 = grams(2)
-      .groupBy(col(idCol), col("n_chars_r"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol), col("n_chars_r"))
-      // highest count wins, ties break to the lexicographically smallest
-      // gram: min_by over the struct key (-cnt, gram) — struct ordering
-      // is lexicographic field-by-field, and min_by is a map-side
-      // combinable aggregate (no window shuffle).
-      .agg(min_by(struct(col("cnt"), col("gram")),
-        struct((-col("cnt")).as("nc"), col("gram"))).as("top"))
+        graft.functions.TextFunctions.repetitionStats(col(textCol)).as("__r"))
       .select(col(idCol), col("n_chars_r"),
-        col("top.gram").as("top2_gram"), col("top.cnt").as("top2_count"))
-      .withColumn("top2_frac",
-        (col("top2_count") * length(col("top2_gram"))).cast("double") /
-          greatest(col("n_chars_r"), lit(1)))
-
-    val dup3 = grams(3)
-      .groupBy(col(idCol), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1)
-      .groupBy(col(idCol))
-      .agg(sum(col("cnt") * length(col("gram"))).as("dup3_chars"))
-
-    top2
-      .join(dup3, Seq(idCol), "left")
-      .withColumn("dup3_chars", coalesce(col("dup3_chars"), lit(0L)))
-      .withColumn("dup3_frac",
-        col("dup3_chars").cast("double") / greatest(col("n_chars_r"), lit(1)))
-  }
+        col("__r.top2_gram").as("top2_gram"),
+        col("__r.top2_count").as("top2_count"),
+        (col("__r.top2_count") * length(col("__r.top2_gram"))).cast("double")
+          ./(greatest(col("n_chars_r"), lit(1))).as("top2_frac"),
+        col("__r.dup3_chars").as("dup3_chars"),
+        col("__r.dup3_chars").cast("double")
+          ./(greatest(col("n_chars_r"), lit(1))).as("dup3_frac"))
 
   /** PII-style scrubbing patterns for training corpora, ordered — emails
     * must be rewritten before digit runs so the local part's digits don't

@@ -76,6 +76,57 @@ object VectorSearch {
       .withColumn("bucket", col("tb.bucket"))
       .drop("tb" +: (0 until tables).map(t => s"bucket_t$t"): _*)
 
+  /** [[explodedBuckets]] plus the row's FULL bucket signature carried
+    * through the explode as `sigv` — ONE long with each table's bucket
+    * packed at bit offset `bits·t` when the whole signature fits 63 bits
+    * (every registered regime), otherwise one long per table as an
+    * array. The signature is what lets a bucket self-join dedupe
+    * candidate pairs WITHOUT a pair-volume exchange: a pair colliding in
+    * several tables is emitted only where `tbl` is the first agreeing
+    * position of the two signatures ([[firstCollision]]) — the classic
+    * LSH first-collision rule — so no downstream `distinct` over the
+    * (quadratic-in-bucket-size) candidate stream is needed. Costs ≤
+    * `tables` longs of shuffle payload per bucket row, linear in N. */
+  def explodedBucketsSig(df: DataFrame, vecCol: String, dim: Int, bits: Int,
+      tables: Int, seed: Long): DataFrame = {
+    val wb = withBuckets(df, vecCol, dim, bits, tables, seed)
+    val sig =
+      if (bits * tables <= 63)
+        (0 until tables).map(t =>
+          shiftleft(col(s"bucket_t$t"), bits * t)).reduce(_.bitwiseOR(_))
+      else array((0 until tables).map(t => col(s"bucket_t$t")): _*)
+    wb.withColumn("sigv", sig)
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), col(s"bucket_t$t").as("bucket"))): _*)))
+      .withColumn("tbl", col("tb.tbl"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb" +: (0 until tables).map(t => s"bucket_t$t"): _*)
+  }
+
+  /** True iff `tbl` is the FIRST table index where the two signatures of
+    * [[explodedBucketsSig]] agree — the per-pair dedup predicate over a
+    * (tbl, bucket) bucket join of two exploded sides, evaluated map-side
+    * on the join output before anything is shuffled. Packed form: XOR
+    * the signatures once, then a when-chain over the `tables` bit
+    * fields (pure bit ops, no allocation — a zip_with/array_position
+    * form measured 2× SLOWER end-to-end from per-candidate array
+    * allocations). Array form: the same when-chain over element_at. */
+  def firstCollision(tbl: Column, sigA: Column, sigB: Column,
+      bits: Int, tables: Int): Column = {
+    val firstMatch =
+      if (bits * tables <= 63) {
+        val x = sigA.bitwiseXOR(sigB)
+        val mask = (1L << bits) - 1L
+        coalesce((0 until tables).map(t =>
+          when(shiftrightunsigned(x, bits * t).bitwiseAND(lit(mask)) === 0L,
+            lit(t))): _*)
+      } else
+        coalesce((0 until tables).map(t =>
+          when(element_at(sigA, t + 1) === element_at(sigB, t + 1),
+            lit(t))): _*)
+    tbl === firstMatch
+  }
+
   /** ANN top-k: candidates = same bucket in any table, re-ranked by exact
     * cosine. Recall grows with `tables`, cost shrinks with `bits`.
     * `bits = 0` sizes the signature from the corpus count (autoBits) so
@@ -86,23 +137,26 @@ object VectorSearch {
       tables: Int = 4, seed: Long = 42L, bucketTarget: Int = 256): DataFrame = {
     val b = if (bits > 0) bits
       else autoBits(corpus.select(idCol).count(), bucketTarget)
-    // norms BEFORE the bucket explode — once per vector, not once per table
-    val c = explodedBuckets(
+    // norms BEFORE the bucket explode — once per vector, not once per
+    // table; pair dedup across tables is the first-collision filter on
+    // the join output (map-side — no exchange over the candidate stream
+    // carrying both vectors, which is what dropDuplicates paid)
+    val c = explodedBucketsSig(
       corpus.withColumn("nrm",
         sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol)))),
       vecCol, dim, b, tables, seed)
-    val q = explodedBuckets(
+    val q = explodedBucketsSig(
       queries.withColumn("qnrm",
         sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol)))),
       vecCol, dim, b, tables, seed)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        col("qnrm"), col("tbl"), col("bucket"))
+        col("qnrm"), col("sigv").as("__qs"), col("tbl"), col("bucket"))
     val candidates = c
       .join(q, Seq("tbl", "bucket"))
-      .filter(col(idCol) =!= col("query_id"))
+      .filter(col(idCol) =!= col("query_id") &&
+        firstCollision(col("tbl"), col("sigv"), col("__qs"), b, tables))
       .select(col("query_id"), col("qvec"), col("qnrm"),
         col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("nrm"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates
@@ -136,18 +190,25 @@ object VectorSearch {
     val b = if (bits > 0) bits else autoBits(corpus.select(idCol).count())
     val withNorm = corpus.withColumn("nrm",
       sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol))))
-    // candidate generation and dedup run on bare (id, tbl, bucket) rows —
-    // shuffling two dim-sized arrays per candidate through the join +
-    // distinct costs more than the verification itself (measured 15×
-    // on the fixture); vectors re-attach afterwards, once per SURVIVING
-    // pair side, via two slim joins
-    val bk = explodedBuckets(withNorm, vecCol, dim, b, tables, seed)
-      .select(col(idCol), col("tbl"), col("bucket"))
-    val cand = bk.select(col(idCol).as("vec_a"), col("tbl"), col("bucket"))
-      .join(bk.select(col(idCol).as("vec_b"), col("tbl"), col("bucket")),
+    // candidate generation and dedup run on slim (id, sigv, tbl, bucket)
+    // rows — shuffling two dim-sized arrays per candidate through the
+    // join costs more than the verification itself (measured 15× on the
+    // fixture); vectors re-attach afterwards, once per SURVIVING pair
+    // side, via two slim joins. Pair dedup is the first-collision filter
+    // (emit a pair only in the first table where its signatures agree) —
+    // map-side on the join output, replacing a distinct() exchange whose
+    // row count is the full pre-dedup candidate volume (quadratic in
+    // bucket size; the dominant shuffle of the low-threshold regimes).
+    val bk = explodedBucketsSig(withNorm, vecCol, dim, b, tables, seed)
+      .select(col(idCol), col("sigv"), col("tbl"), col("bucket"))
+    val cand = bk.select(col(idCol).as("vec_a"), col("sigv").as("__sa"),
+        col("tbl"), col("bucket"))
+      .join(bk.select(col(idCol).as("vec_b"), col("sigv").as("__sb"),
+        col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+      .filter(col("vec_a") < col("vec_b") &&
+        firstCollision(col("tbl"), col("__sa"), col("__sb"), b, tables))
+      .select("vec_a", "vec_b")
     cand
       .join(withNorm.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
         col("nrm").as("na")), "vec_a")

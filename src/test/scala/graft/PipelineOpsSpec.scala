@@ -633,6 +633,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("nearDupPairs first-collision dedup: each colliding pair exactly " +
+      "once, in both the packed and the array signature forms") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian()).toSeq))
+    val df = vecs.toDF("vec_id", "e").cache()
+    // (3, 12) = 36 bits -> packed-long signature; (11, 6) = 66 bits ->
+    // array fallback. threshold = -1 keeps every candidate so the test
+    // isolates dedup, not verification.
+    for ((bits, tables) <- Seq((3, 12), (11, 6))) {
+      val got = VectorSearch.nearDupPairs(df, "vec_id", "e", dim = 16,
+        threshold = -1.0, bits = bits, tables = tables)
+        .groupBy("vec_a", "vec_b").count().collect()
+      assert(got.forall(_.getLong(2) == 1L),
+        s"duplicate candidate pairs at bits=$bits tables=$tables")
+      val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      // driver-side reference: same hyperplanes, same sign rule, dedup
+      // by definition (any shared bucket in any table)
+      def bucket(e: Seq[Double], planes: Array[Array[Double]]): Long =
+        planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+          if (p.zip(e).map { case (a, b) => a * b }.sum >= 0)
+            acc | (1L << i) else acc
+        }
+      val sigs = vecs.map { case (id, e) => id -> (0 until tables).map(t =>
+        bucket(e, VectorSearch.hyperplanes(16, bits, 42L + t))).toArray }
+      val expected = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && (0 until tables).exists(t => sa(t) == sb(t))
+      } yield (a, b)).toSet
+      assert(gotSet == expected,
+        s"pair set mismatch at bits=$bits tables=$tables: " +
+          s"missing=${(expected -- gotSet).take(3)} extra=${(gotSet -- expected).take(3)}")
+    }
+  }
+
   test("SimHash: near-identical texts land within small Hamming distance") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and once"
