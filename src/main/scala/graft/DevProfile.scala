@@ -43,6 +43,15 @@ object DevProfile {
     val battery = time("battery")(
       { val b = Detectors.battery(ev, baselines).cache(); b.collect(); b })
     time("battery recollect")(battery.collect())
+    time("battery:storage_pressure")(
+      Detectors.storagePressureAnomalies(ev, baselines).count())
+    time("battery:recovery_loops")(Detectors.recoveryLoops(ev).count())
+    time("battery:metric_anomalies")(Detectors.metricAnomalies(ev).count())
+    time("battery:predicate_fused")(Detectors.predicateSummaries(ev, Seq(
+      "ratekeeper_throttling" -> Detectors.ratekeeperThrottlingPred,
+      "missing_tlogs" -> Detectors.missingTlogsPred,
+      "coordination_loss" -> Detectors.coordinationLossPred)).collect())
+    time("metrics rowcount")(println("metrics rows = " + metrics.count()))
     time("topEvents")(GlobalScanner.topEvents(ev, 30, 500).limit(100).collect())
     time("severityCounts")(GlobalScanner.severityCounts(ev).collect())
     time("histogram")(GlobalScanner.eventHistogram(ev, 10).collect())

@@ -26,11 +26,20 @@ object AnomalyGate {
   /** event_id → reasons for all anomalous events.
     * zThreshold=1.5 flags ~13% of a normal distribution. */
   def anomalies(events: DataFrame, zThreshold: Double = 1.5): DataFrame = {
-    val interesting0 = events
-      .filter(col("event").isin(InterestingEvents.map(lit): _*))
     // fallback: if no interesting events exist, gate over all events
-    // (anomaly_detector.py:90 — a cheap driver-side cardinality probe)
-    val interesting = if (interesting0.isEmpty) events else interesting0
+    // (anomaly_detector.py:90). The reference probes cardinality driver-
+    // side; here the flag rides IN-PLAN as a broadcast 1-row aggregate —
+    // the former `interesting0.isEmpty` was a hidden eager action that
+    // executed the whole upstream subtree (e.g. the top-500 recency sort)
+    // once at frame-CONSTRUCTION time and again at the real action, in
+    // every battery/RCA query.
+    val isInteresting = col("event").isin(InterestingEvents.map(lit): _*)
+    val hasInteresting = events
+      .agg((count(when(isInteresting, 1)) > 0).as("__has"))
+    val interesting = events
+      .crossJoin(broadcast(hasInteresting))
+      .filter(!col("__has") || isInteresting)
+      .drop("__has")
 
     val vals = interesting
       .select(col("event_id"), col("ts"), col("event"), col("severity"),

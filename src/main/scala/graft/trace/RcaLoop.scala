@@ -106,6 +106,13 @@ object RcaLoop {
       shared: Option[Shared] = None): DataFrame = {
     val spark = events.sparkSession
     val ev = if (shared.isDefined) events else events.cache()
+    def prof[T](label: String)(f: => T): T =
+      if (sys.env.contains("GRAFT_RCA_PROF")) {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[rcaprof] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      } else f
 
     val trace = mutable.ArrayBuffer.empty[IterationTrace]
     val evidence = mutable.ArrayBuffer.empty[(String, String)]
@@ -152,21 +159,86 @@ object RcaLoop {
         DerivedTables.eventMetrics(ev), minCount = 3).cache())
     val batteryFrame = shared.map(_.battery)
       .getOrElse(Detectors.battery(ev, baselinesCached))
-    // the four Phase-B statics — battery summaries, timeline string,
-    // z-score hotspot buckets, severity-ordered dive candidates — are all
-    // bounded aggregates over the same immutable input, fetched in ONE
-    // fused action (idx, kd, k2, tool, payload) and re-ordered driver-side
-    // (union row order is arbitrary; each branch carries its sort keys)
-    lazy val (batteryRows: Seq[(String, String)], timelineStr: String,
-        hotspotBuckets: Seq[Long], diveCandidates: Seq[Long]) = {
-      val battery = batteryFrame.select(lit(0).as("idx"),
-        lit(0.0).as("kd"), lit(0L).as("k2"), col("detector").as("tool"),
+    // ---- one fused global sweep ------------------------------------------
+    // EVERYTHING static the loop ever reads — Phase A's top events,
+    // heatmap buckets and six summary strings, plus the Phase-B statics
+    // (battery rows, timeline string, z-score hotspot buckets, dive
+    // candidates) — is a bounded aggregate over the same immutable
+    // input, so it all rides ONE union with schema (idx, k1, k2, k3,
+    // kd, tool, payload) and ONE collect: the former two separate fused
+    // actions (Phase A, Phase B statics) each paid a full driver round
+    // trip and re-materialized the fixture caches back to back. Union
+    // row order is arbitrary; every multi-row branch carries its own
+    // sort keys and is re-ordered driver-side. The severity/histogram/
+    // time-span summaries fold onto one shared (severity, event)
+    // conditional aggregate (its exchange is reused across the three
+    // string branches) instead of three separate passes over ev.
+    lazy val sweepRows: Array[org.apache.spark.sql.Row] = prof("sweep") {
+      def s1(idx: Int, tool: String, df: DataFrame): DataFrame =
+        df.toDF("summary").select(lit(idx).as("idx"), lit(0L).as("k1"),
+          lit(0L).as("k2"), lit(0L).as("k3"), lit(0.0).as("kd"),
+          lit(tool).as("tool"), col("summary").cast("string").as("payload"))
+      // topEvents order = (severity desc, ts desc, event_id asc);
+      // unix_micros keeps sub-second ts ties exact, nulls sort last
+      // under desc (negate of MinValue+1 = MaxValue)
+      val topBranch = GlobalScanner
+        .topEvents(ev, severityMin = 30, limit = 500)
+        .select(lit(-2).as("idx"),
+          (-coalesce(col("severity").cast("long"),
+            lit(Long.MinValue + 1))).as("k1"),
+          (-coalesce(unix_micros(col("ts")),
+            lit(Long.MinValue + 1))).as("k2"),
+          col("event_id").cast("long").as("k3"), lit(0.0).as("kd"),
+          lit("top_events").as("tool"), fmtLine.as("payload"))
+      // highSeverityBuckets order = (max_severity desc, bucket asc)
+      val heatBranch = Investigation.highSeverityBuckets(ev,
+          minSeverity = 0, bucketSeconds = cfg.heatmapBucketSeconds,
+          limit = 100)
+        .select(lit(-1).as("idx"),
+          (-col("max_severity").cast("long")).as("k1"),
+          col("bucket").cast("long").as("k2"), lit(0L).as("k3"),
+          lit(0.0).as("kd"), lit("bucket_heatmap").as("tool"),
+          col("bucket").cast("string").as("payload"))
+      // shared (severity, event) grain: total count, per-severity and
+      // per-event counts, and the global ts span all re-aggregate
+      // EXACTLY from it (null groups preserved; long sums)
+      val sevEvt = ev.groupBy(col("severity"), col("event"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"),
+          max(col("ts")).as("mx"))
+      val sevBranch = s1(0, "severity_counts", sevEvt
+        .groupBy("severity").agg(sum(col("n")).as("n"))
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          // negate as LONG: -Int.MinValue overflows under Spark 4's
+          // ANSI-default arithmetic the moment a torn line yields a
+          // null severity (toInt's documented degrade path)
+          (-coalesce(col("severity").cast("long"),
+            lit(Int.MinValue.toLong))).as("k"),
+          concat_ws(":",
+            coalesce(col("severity").cast("string"), lit("null")),
+            col("n")).as("s")))), x => x.getField("s")), ",")))
+      val histBranch = s1(1, "event_histogram", sevEvt
+        .groupBy("event").agg(sum(col("n")).as("n"))
+        .orderBy(col("n").desc, col("event")).limit(10)
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          (-col("n")).as("k"), col("event").as("e"),
+          concat_ws("=", col("event"), col("n")).as("s")))),
+          x => x.getField("s")), ",")))
+      val spanBranch = s1(2, "time_span", sevEvt.agg(concat(
+        lit("n="), sum(col("n")),
+        lit(" first="), coalesce(
+          unix_timestamp(min(col("mn"))).cast("string"), lit("")),
+        lit(" last="), coalesce(
+          unix_timestamp(max(col("mx"))).cast("string"), lit("")))))
+      val battery = batteryFrame.select(lit(10).as("idx"),
+        lit(0L).as("k1"), lit(0L).as("k2"), lit(0L).as("k3"),
+        lit(0.0).as("kd"), col("detector").as("tool"),
         concat(lit("detected="), col("detected").cast("string"),
           lit(" n="), col("count")).as("payload"))
       // timeline evidence as one engine-portable string (epoch seconds +
       // the "+X.Xs" offsets); concat_ws skips nulls on any engine
-      val timeline = TimelineBuilder.build(ev).select(lit(1).as("idx"),
-        lit(0.0).as("kd"), lit(0L).as("k2"), lit("timeline").as("tool"),
+      val timeline = TimelineBuilder.build(ev).select(lit(11).as("idx"),
+        lit(0L).as("k1"), lit(0L).as("k2"), lit(0L).as("k3"),
+        lit(0.0).as("kd"), lit("timeline").as("tool"),
         concat_ws("|",
           unix_timestamp(col("start_ts")),
           unix_timestamp(col("first_severe_ts")),
@@ -178,24 +250,40 @@ object RcaLoop {
           col("first_recovery_rel")).as("payload"))
       val hotspots = Detectors.zscoreHotspots(ev,
           bucketSeconds = cfg.heatmapBucketSeconds, minZ = 2.0)
-        .select(lit(2).as("idx"), (-col("zscore")).as("kd"),
-          col("bucket").cast("long").as("k2"), lit("hotspot").as("tool"),
+        .select(lit(12).as("idx"), lit(0L).as("k1"),
+          col("bucket").cast("long").as("k2"), lit(0L).as("k3"),
+          (-col("zscore")).as("kd"), lit("hotspot").as("tool"),
           col("bucket").cast("string").as("payload"))
       val cands = Investigation.highSeverityBuckets(ev, minSeverity = 10,
           bucketSeconds = cfg.diveBucketSeconds, limit = Int.MaxValue)
-        .select(lit(3).as("idx"),
+        .select(lit(13).as("idx"), lit(0L).as("k1"),
+          col("bucket").cast("long").as("k2"), lit(0L).as("k3"),
           (-col("max_severity").cast("double")).as("kd"),
-          col("bucket").cast("long").as("k2"), lit("cand").as("tool"),
+          lit("cand").as("tool"),
           col("bucket").cast("string").as("payload"))
-      val rows = Seq(battery, timeline, hotspots, cands)
+      (Seq(topBranch, heatBranch, sevBranch, histBranch, spanBranch,
+        s1(4, "rollback_analysis", GlobalScanner.rollbackStatus(ev)
+          .select(concat(lit("detected="), col("detected"),
+            lit(" drops="), col("num_drops")))),
+        s1(5, "metric_baselines",
+          baselinesCached.agg(concat(lit("n="), count(lit(1))))),
+        s1(6, "recovery_episodes",
+          GlobalScanner.recoveryEpisodeCount(ev)
+            .select(concat(lit("n="), col("n_episodes")))),
+        battery, timeline, hotspots, cands))
         .reduce(_ unionAll _).collect()
-      (rows.filter(_.getInt(0) == 0).sortBy(_.getString(3))
-         .map(r => r.getString(3) -> r.getString(4)).toSeq,
-       rows.find(_.getInt(0) == 1).map(_.getString(4)).getOrElse(""),
-       rows.filter(_.getInt(0) == 2)
-         .sortBy(r => (r.getDouble(1), r.getLong(2))).map(_.getLong(2)).toSeq,
-       rows.filter(_.getInt(0) == 3)
-         .sortBy(r => (r.getDouble(1), r.getLong(2))).map(_.getLong(2)).toSeq)
+    }
+    // Phase-B statics parsed from the one sweep (idx >= 10)
+    lazy val (batteryRows: Seq[(String, String)], timelineStr: String,
+        hotspotBuckets: Seq[Long], diveCandidates: Seq[Long]) = {
+      val rows = sweepRows
+      (rows.filter(_.getInt(0) == 10).sortBy(_.getString(5))
+         .map(r => r.getString(5) -> r.getString(6)).toSeq,
+       rows.find(_.getInt(0) == 11).map(_.getString(6)).getOrElse(""),
+       rows.filter(_.getInt(0) == 12)
+         .sortBy(r => (r.getDouble(4), r.getLong(2))).map(_.getLong(2)).toSeq,
+       rows.filter(_.getInt(0) == 13)
+         .sortBy(r => (r.getDouble(4), r.getLong(2))).map(_.getLong(2)).toSeq)
     }
 
     // ---- batched context-window prefetch --------------------------------
@@ -207,8 +295,7 @@ object RcaLoop {
     // bucket boundaries, so events explode into every matching range
     // (same rows the per-bucket collects produced); per-bucket order and
     // limit replicate Investigation.contextWindow exactly.
-    def batchWindows(buckets: Seq[Long]): Map[Long, Seq[String]] = {
-      if (buckets.isEmpty) return Map.empty
+    def batchWindowsDf(buckets: Seq[Long]): DataFrame = {
       val half = cfg.diveBucketSeconds / 2
       val ranges = array(buckets.map { b =>
         struct(lit(b).as("bucket"),
@@ -223,7 +310,10 @@ object RcaLoop {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= cfg.contextLimit)
         .select(col("bucket"), col("rk"), fmtLine.as("line"))
-        .collect()
+    }
+    def runBatchWindows(buckets: Seq[Long]): Map[Long, Seq[String]] = {
+      if (buckets.isEmpty) return Map.empty
+      prof("prefetch")(batchWindowsDf(buckets).collect())
         .groupBy(_.getAs[Long]("bucket"))
         .map { case (b, rows) =>
           b -> rows.sortBy(_.getAs[Int]("rk")).toSeq.map(_.getAs[String]("line")) }
@@ -232,7 +322,7 @@ object RcaLoop {
     // the exact order the per-iteration selection walks; capped at the
     // iteration budget (a few over-fetched windows are bounded by
     // contextLimit rows each)
-    lazy val prefetchedWindows: Map[Long, Seq[String]] = batchWindows(
+    lazy val prefetchedWindows: Map[Long, Seq[String]] = runBatchWindows(
       (hotspotBuckets ++ diveCandidates)
         .distinct.filterNot(inspected.contains).take(cfg.maxIterations))
 
@@ -242,84 +332,25 @@ object RcaLoop {
 
       if (phase == "A") {
         // ---- Phase A: global sweep (investigation_agent.py:976-1096) ----
-        // ONE action total: the top-event lines, the heatmap buckets (also
-        // feeding `inspected`), and the six summary aggregates all ride a
-        // single union with schema (idx, k1, k2, k3, tool, payload) —
-        // union row order is arbitrary, so each multi-row branch carries
-        // its own sort keys and is re-ordered driver-side. Every summary
-        // is a SQL-built string (epoch seconds, ':'/'=' joins) so the
-        // exact evidence bytes are cross-engine derivable.
-        def s1(idx: Int, tool: String, df: DataFrame): DataFrame =
-          df.toDF("summary").select(lit(idx).as("idx"), lit(0L).as("k1"),
-            lit(0L).as("k2"), lit(0L).as("k3"), lit(tool).as("tool"),
-            col("summary").cast("string").as("payload"))
-        // topEvents order = (severity desc, ts desc, event_id asc);
-        // unix_micros keeps sub-second ts ties exact, nulls sort last
-        // under desc (negate of MinValue+1 = MaxValue)
-        val topBranch = GlobalScanner
-          .topEvents(ev, severityMin = 30, limit = 500)
-          .select(lit(-2).as("idx"),
-            (-coalesce(col("severity").cast("long"),
-              lit(Long.MinValue + 1))).as("k1"),
-            (-coalesce(unix_micros(col("ts")),
-              lit(Long.MinValue + 1))).as("k2"),
-            col("event_id").cast("long").as("k3"),
-            lit("top_events").as("tool"), fmtLine.as("payload"))
-        // highSeverityBuckets order = (max_severity desc, bucket asc)
-        val heatBranch = Investigation.highSeverityBuckets(ev,
-            minSeverity = 0, bucketSeconds = cfg.heatmapBucketSeconds,
-            limit = 100)
-          .select(lit(-1).as("idx"),
-            (-col("max_severity").cast("long")).as("k1"),
-            col("bucket").cast("long").as("k2"), lit(0L).as("k3"),
-            lit("bucket_heatmap").as("tool"),
-            col("bucket").cast("string").as("payload"))
-        val rows = (Seq(topBranch, heatBranch) ++ Seq(
-          s1(0, "severity_counts", GlobalScanner.severityCounts(ev)
-            .agg(array_join(transform(array_sort(collect_list(struct(
-              // negate as LONG: -Int.MinValue overflows under Spark 4's
-              // ANSI-default arithmetic the moment a torn line yields a
-              // null severity (toInt's documented degrade path)
-              (-coalesce(col("severity").cast("long"),
-                lit(Int.MinValue.toLong))).as("k"),
-              concat_ws(":",
-                coalesce(col("severity").cast("string"), lit("null")),
-                col("n")).as("s")))), x => x.getField("s")), ","))),
-          s1(1, "event_histogram", GlobalScanner.eventHistogram(ev, 10)
-            .agg(array_join(transform(array_sort(collect_list(struct(
-              (-col("n")).as("k"), col("event").as("e"),
-              concat_ws("=", col("event"), col("n")).as("s")))),
-              x => x.getField("s")), ","))),
-          s1(2, "time_span", ev.agg(concat(
-            lit("n="), count(lit(1)),
-            lit(" first="), coalesce(
-              unix_timestamp(min(col("ts"))).cast("string"), lit("")),
-            lit(" last="), coalesce(
-              unix_timestamp(max(col("ts"))).cast("string"), lit(""))))),
-          s1(4, "rollback_analysis", GlobalScanner.rollbackStatus(ev)
-            .select(concat(lit("detected="), col("detected"),
-              lit(" drops="), col("num_drops")))),
-          s1(5, "metric_baselines",
-            baselinesCached.agg(concat(lit("n="), count(lit(1))))),
-          s1(6, "recovery_episodes",
-            GlobalScanner.recoveryEpisodeCount(ev)
-              .select(concat(lit("n="), col("n_episodes")))))
-          ).reduce(_ unionAll _)
-          .collect()
+        // parsed from the one fused sweep action (idx -2..6; the
+        // Phase-B statics in the same collect are parsed lazily above).
+        // Every summary is a SQL-built string (epoch seconds, ':'/'='
+        // joins) so the exact evidence bytes are cross-engine derivable.
+        val rows = sweepRows.filter(_.getInt(0) < 10)
         val top = rows.filter(_.getInt(0) == -2)
           .sortBy(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-          .map(_.getString(5)).toSeq
+          .map(_.getString(6)).toSeq
         contextLines ++= top.take(cfg.promptEventLimit)
         record("top_events", s"n=${top.length}")
         val heat = rows.filter(_.getInt(0) == -1)
           .sortBy(r => (r.getLong(1), r.getLong(2)))
-          .map(_.getString(5).toLong)
+          .map(_.getString(6).toLong)
         heat.take(10).foreach(inspected += _)
         // summaries in idx order; the heatmap count (historical idx 3) is
         // the length of the heat branch we already hold — synthesized
         // driver-side in its original record position
         val sums = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
-          .map(r => (r.getInt(0), r.getString(4), r.getString(5)))
+          .map(r => (r.getInt(0), r.getString(5), r.getString(6)))
         sums.takeWhile(_._1 < 3).foreach { case (_, t, p) => record(t, p) }
         record("bucket_heatmap", s"buckets=${heat.length}")
         sums.dropWhile(_._1 < 3).foreach { case (_, t, p) => record(t, p) }
