@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_repetition_stats"),
       info("graft_repetition_stats"),
       graft.functions.TextFunctions.repetitionStatsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_gram_hashes"),
+      info("graft_gram_hashes"),
+      graft.functions.TextFunctions.gramHashesBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash"), graft.functions.MinHashAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_hll"),

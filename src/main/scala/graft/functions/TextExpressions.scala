@@ -463,6 +463,113 @@ object RepetitionStatsExpr {
   }
 }
 
+/** Native word k-gram hasher: ONE compiled pass over the UTF-8 buffer
+  * returning every gram's md5 — as the full 32-char hex digest
+  * (`hex = true`, the dupPassages/decontam recipe) or as the 60-bit
+  * always-positive BIGINT `CAST(conv(substr(md5(g),1,15),16,10) AS
+  * BIGINT)` (`hex = false`, the winnowing/dup-span recipe, extracted
+  * straight from the digest bytes — no hex string, no conv parse).
+  * `clip = true` replicates `transform(sequence(1, greatest(len-k+1,
+  * 1)), slice)` (a doc shorter than k words yields its whole text as
+  * the single gram); `clip = false` replicates the
+  * `filter(len >= k) + sequence(1, len-k+1)` stream (short docs yield
+  * an EMPTY array, which explode drops like the former filter).
+  *
+  * Value-identical to the SQL chain it replaces: tokens split on the
+  * single space byte (limit -1 semantics), and because the joiner
+  * equals the splitter every gram IS a contiguous byte slice of the
+  * original buffer — hashed zero-copy through one reused MessageDigest.
+  * The per-gram `concat_ws(slice(...))` plan this replaces allocated a
+  * token-array slice, a joined string, a digest lookup, a 32-char hex
+  * string and a conv() decimal parse per gram per pass. */
+case class GramHashesExpr(child: Expression, k: Int, clip: Boolean,
+    hex: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      if (hex) StringType else LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes k must be >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GramHashesExpr.hashes(v.asInstanceOf[UTF8String], k, clip, hex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramHashesExpr.hashes($c, $k, $clip, $hex)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GramHashesExpr {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val Hex = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Shared by interpreted + generated code paths. */
+  def hashes(u: UTF8String, k: Int, clip: Boolean, hex: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = u.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) nTok += 1
+      i += 1
+    }
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    def tokEnd(x: Int): Int =
+      if (x == nTok - 1) bytes.length else starts(x + 1) - 1
+    val nGrams =
+      if (clip) math.max(nTok - (k - 1), 1)
+      else nTok - (k - 1)
+    if (nGrams <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val md = digest.get()
+    val out = new Array[Any](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = starts(g)
+      val until = tokEnd(math.min(g + k - 1, nTok - 1))
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      if (hex) {
+        val h = new Array[Byte](32)
+        var j = 0
+        while (j < 16) {
+          h(2 * j) = Hex((d(j) >> 4) & 0xf)
+          h(2 * j + 1) = Hex(d(j) & 0xf)
+          j += 1
+        }
+        out(g) = UTF8String.fromBytes(h)
+      } else {
+        // first 15 hex digits == top 60 bits of the digest, always >= 0
+        out(g) =
+          ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+          ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+          ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+          ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Shared builder (per-session registry AND GraftExtensions). */
   val md5SeedsBuilder: Seq[Expression] => Expression = exprs => {
@@ -493,6 +600,19 @@ object TextFunctions {
     require(exprs.length == 1,
       s"graft_langid expects (text), got ${exprs.length} arguments")
     LangIdExpr(exprs.head)
+  }
+
+  val gramHashesBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 4,
+      s"graft_gram_hashes expects (text, k, clip, hex), got ${exprs.length} arguments")
+    def lt[T](e: Expression, what: String, f: String => T): T = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        f(v.toString)
+      case other => throw new IllegalArgumentException(
+        s"graft_gram_hashes $what must be a literal, got $other")
+    }
+    GramHashesExpr(exprs.head, lt(exprs(1), "k", _.toInt),
+      lt(exprs(2), "clip", _.toBoolean), lt(exprs(3), "hex", _.toBoolean))
   }
 
   val repetitionStatsBuilder: Seq[Expression] => Expression = exprs => {
@@ -529,6 +649,8 @@ object TextFunctions {
       "graft_split_text", splitTextBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition_stats", repetitionStatsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_hashes", gramHashesBuilder, "built-in")
   }
 
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
@@ -546,6 +668,18 @@ object TextFunctions {
   }
   def repetitionStats(c: Column): Column = {
     register(SparkSession.active); call_function("graft_repetition_stats", c)
+  }
+  /** 60-bit gram hashes (the winnow/dup-span BIGINT recipe). */
+  def gramHash60(c: Column, k: Int, clip: Boolean): Column = {
+    register(SparkSession.active)
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_gram_hashes", c, lit(k), lit(clip), lit(false))
+  }
+  /** Full md5 hex gram digests (the dupPassages/decontam recipe). */
+  def gramMd5(c: Column, k: Int, clip: Boolean): Column = {
+    register(SparkSession.active)
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_gram_hashes", c, lit(k), lit(clip), lit(true))
   }
   def splitText(c: Column, chunkSize: Int, overlap: Int): Column = {
     register(SparkSession.active)

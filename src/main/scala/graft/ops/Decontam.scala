@@ -30,11 +30,9 @@ object Decontam {
   def ngramHashes(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
-      .withColumn("w", split(col(textCol), " "))
       .select(col(idCol).as("id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, greatest(size(w)-${n - 1}, 1)), i -> md5(concat_ws(' ', slice(w, i, $n))))"
-        ))).as("gram"))
+        explode(array_distinct(graft.functions.TextFunctions.gramMd5(
+          col(textCol), n, clip = true))).as("gram"))
 
   /** Per-training-doc contamination report against `evalDocs`:
     * (doc_id, n_grams, n_contaminated, contaminated). n_grams counts the

@@ -59,16 +59,15 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, win: Int = 4): DataFrame = {
     require(k >= 1 && win >= 1, s"k and win must be >= 1, got k=$k win=$win")
+    // gram hashes in one native pass (GramHashesExpr: zero-copy byte
+    // slices, digest bits extracted directly — no per-gram string/hex/
+    // conv allocations); clip mode = the short-doc single-gram rule
     val g = docs
-      .withColumn("w", split(col(textCol), " "))
-      .withColumn("gcnt", greatest(size(col("w")) - (k - 1), lit(1)))
-      .select(col(idCol).as("doc_id"), col("gcnt"),
-        posexplode(expr(
-          s"transform(sequence(1, gcnt), i -> concat_ws(' ', slice(w, i, $k)))"
-        )).as(Seq("p0", "gram")))
+      .withColumn("__gh",
+        graft.functions.TextFunctions.gramHash60(col(textCol), k, clip = true))
+      .select(col(idCol).as("doc_id"), size(col("__gh")).as("gcnt"),
+        posexplode(col("__gh")).as(Seq("p0", "h")))
       .withColumn("pos", col("p0") + 1)
-      .withColumn("h",
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("bigint"))
     // sliding-window min over the per-doc gram stream: the row at
     // pos = e IS window-end e (gram positions are contiguous 1..gcnt),
     // and rowsBetween(-(win-1), 0) covers exactly that window's grams
@@ -586,11 +585,9 @@ object Dedup {
   def dupPassages(docs: DataFrame, n: Int = 20, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val windows = docs
-      .withColumn("__w", split(col(textCol), " "))
       .select(col(idCol),
-        explode(expr(
-          s"transform(sequence(1, greatest(size(__w) - ${n - 1}, 1)), i -> md5(concat_ws(' ', slice(__w, i, $n))))"
-        )).as("__h"))
+        explode(graft.functions.TextFunctions.gramMd5(
+          col(textCol), n, clip = true)).as("__h"))
     val dupCounts = windows.groupBy("__h")
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)
@@ -698,16 +695,15 @@ object Dedup {
     * than k words yield no grams. */
   private def gramStream(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
+    // one native pass (see winnowFingerprints); non-clip mode yields an
+    // empty array for docs under k words, which posexplode drops exactly
+    // like the former size(w) >= k filter
     docs
-      .withColumn("w", split(col(textCol), " "))
-      .filter(size(col("w")) >= k)
       .select(col(idCol).as("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"
-        )).as(Seq("p0", "gram")))
+        posexplode(graft.functions.TextFunctions.gramHash60(
+          col(textCol), k, clip = false)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("bigint")
-          .as("h"))
+        col("h"))
 
   /** Maximal duplicated word spans — the exact-substring complement of
     * document-level dedup (Lee, Ippolito et al., ACL 2022: duplicated
@@ -763,31 +759,32 @@ object Dedup {
     * Returns (doc_id, n_kept, n_removed, trimmed_text). */
   def dupSpanTrim(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, minWords: Int = 6): DataFrame = {
-    val covered = dupSpans(docs, idCol, textCol, k, minWords)
-      .select(col("doc_id"),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-      .distinct()
-    val words = docs
-      .withColumn("w", split(col(textCol), " "))
-      .select(col(idCol).as("doc_id"),
-        posexplode(col("w")).as(Seq("p0", "word")))
-      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
-        col("word"))
-    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
-    // per-doc totals map-side off the word array (size == the posexplode
-    // row count) — no second corpus explode + groupBy
-    val nWords = docs
-      .select(col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("n_total"))
-    kept
+    // spans collapse to ONE per-doc array row (bounded by doc length,
+    // never corpus-wide), and the trim itself is a per-row projection
+    // over the doc's own word array: keep word i iff no span covers
+    // position i+1. The former shape exploded every covered position,
+    // posexploded every corpus word, ANTI-joined the two streams on
+    // (doc, pos) and re-assembled documents through a collect_list sort
+    // — three corpus-scale exchanges plus two Generates for what a
+    // filter-with-index computes in place; the only remaining exchange
+    // above dupSpans is the slim span-array attach by doc_id.
+    val spanArrs = dupSpans(docs, idCol, textCol, k, minWords)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(expr("transform(array_sort(collect_list(" +
-          "struct(pos, word))), x -> x.word)"), " ").as("trimmed_text"))
-      .join(nWords, Seq("doc_id"), "right")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val w = split(col(textCol), " ")
+    val spans = coalesce(col("__spans"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val kept = filter(w, (x, i) =>
+      !exists(spans, sp =>
+        (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .join(spanArrs, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+        coalesce(size(kept).cast("long"), lit(0L)).as("n_kept"),
+        (size(w).cast("long") -
+          coalesce(size(kept).cast("long"), lit(0L))).as("n_removed"),
+        coalesce(array_join(kept, " "), lit("")).as("trimmed_text"))
   }
 }

@@ -95,11 +95,9 @@ object StreamingOps {
       n: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val grams = docs
-      .withColumn("w", split(col(textCol), " "))
       .select(col(idCol),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, greatest(size(w)-${n - 1}, 1)), i -> md5(concat_ws(' ', slice(w, i, $n))))"
-        ))).as("gram"))
+        explode(array_distinct(graft.functions.TextFunctions.gramMd5(
+          col(textCol), n, clip = true))).as("gram"))
     grams.join(broadcast(evalGrams.select(col("gram")).distinct()),
       Seq("gram"), "inner")
   }
@@ -208,8 +206,8 @@ object StreamingOps {
     val base = docs
       .withColumn("__w", split(col(textCol), " "))
       .withColumn("__sh", shingleArray)
-      .withColumn("__g8", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(__w)-${n - 1}, 1)), i -> md5(concat_ws(' ', slice(__w, i, $n)))))"))
+      .withColumn("__g8", array_distinct(
+        graft.functions.TextFunctions.gramMd5(col(textCol), n, clip = true)))
       .withColumn("__top2", graft.ops.TextAnalysis.top2GramStats(col(textCol)))
       .withColumn("__content_hash", md5(col(textCol)))
     val withSig = base.select(col("*") +: sigCols(hashes): _*)

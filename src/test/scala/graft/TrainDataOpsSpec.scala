@@ -587,6 +587,46 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(r1.getAs[Long]("dup3_chars") === 0L)
   }
 
+  test("GramHashesExpr equals the SQL md5-gram recipe in all four modes") {
+    graft.functions.TextFunctions.register(spark)
+    // texts covering: normal, shorter than k, empty, consecutive spaces
+    // (empty tokens), leading/trailing space, unicode
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "ab"), (2L, ""), (3L, "a  b   c"), (4L, " x y "),
+      (5L, "héllo wörld ünïcode grams here")).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+    for (k <- Seq(3, 8)) {
+      val clipHexSql =
+        s"transform(sequence(1, greatest(size(w)-${k - 1}, 1)), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $k))))"
+      val streamHexSql =
+        s"CASE WHEN size(w) >= $k THEN transform(sequence(1, size(w)-${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $k)))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"
+      def to60(inner: String): String =
+        s"transform($inner, g -> CAST(conv(substring(g, 1, 15), 16, 10) AS BIGINT))"
+      val got = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.gramMd5(col("text"), k, clip = true)
+          .as("hexClip"),
+        graft.functions.TextFunctions.gramHash60(col("text"), k, clip = true)
+          .as("h60Clip"),
+        graft.functions.TextFunctions.gramHash60(col("text"), k, clip = false)
+          .as("h60Stream"),
+        expr(clipHexSql).as("refHexClip"),
+        expr(to60(clipHexSql)).as("ref60Clip"),
+        expr(to60(streamHexSql)).as("ref60Stream"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](4),
+          s"hex clip mismatch doc=${r.getLong(0)} k=$k")
+        assert(r.getSeq[Long](2) === r.getSeq[Long](5),
+          s"60-bit clip mismatch doc=${r.getLong(0)} k=$k")
+        assert(r.getSeq[Long](3) === r.getSeq[Long](6),
+          s"60-bit stream mismatch doc=${r.getLong(0)} k=$k")
+      }
+    }
+  }
+
   test("tokenBudgetSample: greedy fill in hash order; deterministic under repartition") {
     val docs = (0L until 200L).map(i => (i, s"s${i % 3}", 100L + i % 7))
       .toDF("doc_id", "stratum", "n_tokens")
